@@ -1,0 +1,150 @@
+"""Feature normalizations — offline (utterance) and streaming (cumulative).
+
+These are the five normalizations dispatched by the reference's
+``BaseModel.norm_wrapper`` (``audio_zen/model/base_model.py:102-372``),
+re-expressed as pure functions on [B, C, F, T] arrays:
+
+* ``offline_laplace_norm``   — divide by utterance mean.
+* ``cumulative_laplace_norm``— divide by running (causal) mean: streamable.
+* ``offline_gaussian_norm``  — utterance zero-norm (mean/std).
+* ``cumulative_layer_norm``  — running zero-norm.
+* ``forgetting_norm``        — per-frame EMA of the frame mean. The
+  reference computes this with a Python loop over frames
+  (``base_model.py:127-141``) — a CPU-bound hazard; here it is a single
+  ``lax.scan``-free closed form (the EMA with time-varying coefficient has a
+  prefix-product closed form evaluated in log-free cumprod space), keeping
+  the whole op on-device with static shapes.
+
+The warm-up schedule of forgetting/hybrid norm is replicated exactly,
+including the odd ``alp = min((t-1)/(t+1), alpha)`` coefficient at frame 0
+(= -1), which makes frame 0's mu equal 2·mean_0.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from fullsubnet_tpu.constant import EPSILON
+
+
+def offline_laplace_norm(x: jax.Array) -> jax.Array:
+    """x / (mean over all non-batch dims + 1e-5). x: [B, ...]."""
+    mu = jnp.mean(x, axis=tuple(range(1, x.ndim)), keepdims=True)
+    return x / (mu + 1e-5)
+
+
+def cumulative_laplace_norm(x: jax.Array) -> jax.Array:
+    """Causal running-mean normalization. x: [B, C, F, T]."""
+    b, c, f, t = x.shape
+    xr = x.reshape(b * c, f, t)
+    step_sum = jnp.sum(xr, axis=1)  # [B*C, T]
+    cumulative_sum = jnp.cumsum(step_sum, axis=-1)
+    entry_count = jnp.arange(f, f * t + 1, f, dtype=x.dtype)  # [T]
+    cumulative_mean = cumulative_sum / entry_count[None, :]
+    normed = xr / (cumulative_mean[:, None, :] + EPSILON)
+    return normed.reshape(b, c, f, t)
+
+
+def offline_gaussian_norm(x: jax.Array) -> jax.Array:
+    """(x - mu) / (std + 1e-5) with utterance statistics. x: [B, C, F, T].
+
+    Uses the unbiased (ddof=1) std to match ``torch.std`` in the reference
+    (``base_model.py:305``).
+    """
+    mu = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    std = jnp.std(x, axis=(1, 2, 3), keepdims=True, ddof=1)
+    return (x - mu) / (std + 1e-5)
+
+
+def cumulative_layer_norm(x: jax.Array) -> jax.Array:
+    """Causal running zero-norm (mean and std). x: [B, C, F, T]."""
+    b, c, f, t = x.shape
+    xr = x.reshape(b * c, f, t)
+    step_sum = jnp.sum(xr, axis=1)  # [B*C, T]
+    step_pow_sum = jnp.sum(jnp.square(xr), axis=1)
+    cumulative_sum = jnp.cumsum(step_sum, axis=-1)
+    cumulative_pow_sum = jnp.cumsum(step_pow_sum, axis=-1)
+    entry_count = jnp.arange(f, f * t + 1, f, dtype=x.dtype)[None, :]  # [1, T]
+    cumulative_mean = cumulative_sum / entry_count
+    cumulative_var = (
+        cumulative_pow_sum - 2 * cumulative_mean * cumulative_sum
+    ) / entry_count + jnp.square(cumulative_mean)
+    cumulative_std = jnp.sqrt(cumulative_var + EPSILON)
+    normed = (xr - cumulative_mean[:, None, :]) / cumulative_std[:, None, :]
+    return normed.reshape(b, c, f, t)
+
+
+def _ema_mu(frame_mean: jax.Array, sample_length: int) -> jax.Array:
+    """EMA of per-frame means with the reference's warm-up coefficients.
+
+    frame_mean: [B, T] -> mu: [B, T] where
+      mu_t = alp_t * mu_{t-1} + (1 - alp_t) * frame_mean_t,  mu_{-1} = 0,
+      alp_t = min((t-1)/(t+1), (L-1)/(L+1)).
+
+    Evaluated as a first-order linear recurrence via ``lax.scan`` over time
+    (the carry is [B], so the scan body is a cheap fused VPU op).
+    """
+    t = frame_mean.shape[-1]
+    alpha = (sample_length - 1) / (sample_length + 1)
+    tt = jnp.arange(t, dtype=frame_mean.dtype)
+    alp = jnp.minimum((tt - 1.0) / (tt + 1.0), alpha)  # [T]
+
+    def step(mu, inp):
+        a, m = inp
+        mu = a * mu + (1.0 - a) * m
+        return mu, mu
+
+    _, mus = jax.lax.scan(
+        step,
+        jnp.zeros(frame_mean.shape[0], frame_mean.dtype),
+        (alp, frame_mean.swapaxes(0, 1)),
+    )
+    return mus.swapaxes(0, 1)  # [B, T]
+
+
+def forgetting_norm(x: jax.Array, sample_length: int = 192) -> jax.Array:
+    """Divide by an EMA of per-frame means. x: [B, C, F, T]."""
+    b, c, f, t = x.shape
+    xr = x.reshape(b, c * f, t)
+    frame_mean = jnp.mean(xr, axis=1)  # [B, T]
+    mu = _ema_mu(frame_mean, sample_length)  # [B, T]
+    out = xr / (mu[:, None, :] + 1e-10)
+    return out.reshape(b, c, f, t)
+
+
+def hybrid_norm(x: jax.Array, sample_length_in_training: int = 192) -> jax.Array:
+    """EMA warm-up for the first ``sample_length`` frames, cumulative mean after.
+
+    x: [B, F, T] (3-D in the reference, ``base_model.py:153-201``).
+    """
+    b, f, t = x.shape
+    frame_mean = jnp.mean(x, axis=1)  # [B, T]
+    mu_ema = _ema_mu(frame_mean, sample_length_in_training)  # [B, T]
+
+    step_sum = jnp.sum(x, axis=1)  # [B, T]
+    cumulative_sum = jnp.cumsum(step_sum, axis=-1)
+    entry_count = jnp.arange(f, f * t + 1, f, dtype=x.dtype)[None, :]
+    cum_mean = cumulative_sum / entry_count  # [B, T]
+
+    tt = jnp.arange(t)
+    mu = jnp.where(tt[None, :] < sample_length_in_training, mu_ema, cum_mean)
+    return x / (mu[:, None, :] + 1e-10)
+
+
+_NORMS = {
+    "offline_laplace_norm": offline_laplace_norm,
+    "cumulative_laplace_norm": cumulative_laplace_norm,
+    "offline_gaussian_norm": offline_gaussian_norm,
+    "cumulative_layer_norm": cumulative_layer_norm,
+    "forgetting_norm": forgetting_norm,
+    "hybrid_norm": hybrid_norm,
+}
+
+
+def norm_wrapper(norm_type: str):
+    """String -> normalization function (reference ``norm_wrapper``)."""
+    try:
+        return _NORMS[norm_type]
+    except KeyError:
+        raise NotImplementedError(
+            f"Unknown norm {norm_type!r}. Choose from {sorted(_NORMS)}."
+        ) from None

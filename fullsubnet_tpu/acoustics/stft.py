@@ -1,0 +1,173 @@
+"""Batched STFT / iSTFT as pure-JAX jit-able ops.
+
+Semantics are locked to the conventions the reference relies on via
+``torch.stft`` / ``torch.istft`` (see reference
+``audio_zen/acoustics/feature.py:9-96``): center=True with reflect padding,
+periodic Hann window, onesided rfft, no normalization, and iSTFT overlap-add
+with squared-window envelope division and ``length=`` trimming.
+
+TPU notes
+---------
+* Framing is a static gather (shapes are static under jit); the rfft lowers
+  to XLA's FFT which runs on-device. For the FullSubNet family the STFT cost
+  is negligible next to the recurrent stacks, so no Pallas kernel is needed
+  here — the win is keeping everything device-resident and fused by XLA.
+* All functions accept leading batch/channel dims: [..., T] -> [..., F, T'].
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def hann_window(win_length: int, dtype=jnp.float32) -> jax.Array:
+    """Periodic Hann window (matches ``torch.hann_window(periodic=True)``)."""
+    n = jnp.arange(win_length, dtype=jnp.float32)
+    w = 0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * n / win_length))
+    return w.astype(dtype)
+
+
+def _prepare_window(n_fft: int, win_length: int, window, dtype):
+    """Build the analysis window, centered and zero-padded to n_fft."""
+    if window is None:
+        window = hann_window(win_length, dtype=dtype)
+    if win_length < n_fft:
+        left = (n_fft - win_length) // 2
+        window = jnp.pad(window, (left, n_fft - win_length - left))
+    return window.astype(dtype)
+
+
+def _frame(y: jax.Array, n_fft: int, hop_length: int) -> jax.Array:
+    """Slice [..., T] into overlapping frames [..., num_frames, n_fft]."""
+    num_frames = 1 + (y.shape[-1] - n_fft) // hop_length
+    starts = jnp.arange(num_frames) * hop_length
+    idx = starts[:, None] + jnp.arange(n_fft)[None, :]  # [T', n_fft]
+    return y[..., idx]
+
+
+def stft_complex(
+    y: jax.Array,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    window: jax.Array | None = None,
+    center: bool = True,
+) -> jax.Array:
+    """Complex STFT of [..., T] -> [..., F, T'] with F = n_fft // 2 + 1.
+
+    Matches ``torch.stft(..., window=hann_window(n_fft), return_complex=True)``
+    (center=True, reflect pad, onesided).
+    """
+    window = _prepare_window(n_fft, win_length, window, y.dtype)
+    if center:
+        pad = n_fft // 2
+        pad_width = [(0, 0)] * (y.ndim - 1) + [(pad, pad)]
+        y = jnp.pad(y, pad_width, mode="reflect")
+    frames = _frame(y, n_fft, hop_length) * window  # [..., T', n_fft]
+    spec = jnp.fft.rfft(frames, axis=-1)  # [..., T', F]
+    return jnp.swapaxes(spec, -1, -2)  # [..., F, T']
+
+
+def stft(
+    y: jax.Array,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    window: jax.Array | None = None,
+):
+    """STFT returning (mag, phase, real, imag), each [..., F, T'].
+
+    Mirrors the reference wrapper (``audio_zen/acoustics/feature.py:9-50``)
+    which returns the four views used throughout the recipes. Accepts [B, T]
+    or [B, C, T] (any leading dims).
+    """
+    spec = stft_complex(y, n_fft, hop_length, win_length, window)
+    real, imag = spec.real, spec.imag
+    mag = jnp.abs(spec)
+    phase = jnp.angle(spec)
+    return mag, phase, real, imag
+
+
+def mag_phase(complex_spec: jax.Array):
+    """(|z|, angle(z)) of a complex spectrogram."""
+    return jnp.abs(complex_spec), jnp.angle(complex_spec)
+
+
+def istft(
+    features,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    length: int | None = None,
+    input_type: str = "complex",
+    window: jax.Array | None = None,
+    center: bool = True,
+    epsilon: float = 1e-11,
+) -> jax.Array:
+    """Inverse STFT of [..., F, T'] -> [..., T].
+
+    ``input_type``: "complex" | "real_imag" (tuple) | "mag_phase" (tuple),
+    mirroring the reference (``audio_zen/acoustics/feature.py:53-91``).
+    Overlap-add with squared-window envelope normalization, matching
+    ``torch.istft`` (center trim + ``length`` cut).
+    """
+    if input_type == "real_imag":
+        real, imag = features
+        spec = jax.lax.complex(real, imag)
+    elif input_type == "complex":
+        spec = features
+    elif input_type == "mag_phase":
+        mag, phase = features
+        spec = jax.lax.complex(mag * jnp.cos(phase), mag * jnp.sin(phase))
+    else:
+        raise NotImplementedError(
+            "Only 'real_imag', 'complex', and 'mag_phase' are supported."
+        )
+
+    window = _prepare_window(n_fft, win_length, window, jnp.float32)
+
+    spec = jnp.swapaxes(spec, -1, -2)  # [..., T', F]
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # [..., T', n_fft]
+    frames = frames * window
+
+    num_frames = frames.shape[-2]
+    out_len = n_fft + (num_frames - 1) * hop_length
+    starts = jnp.arange(num_frames) * hop_length
+    idx = starts[:, None] + jnp.arange(n_fft)[None, :]  # [T', n_fft]
+
+    batch_shape = frames.shape[:-2]
+    flat = frames.reshape((-1, num_frames, n_fft))
+
+    def ola(fr):
+        return jnp.zeros(out_len, fr.dtype).at[idx].add(fr)
+
+    out = jax.vmap(ola)(flat)  # [B*, out_len]
+    env = jnp.zeros(out_len, window.dtype).at[idx].add(
+        jnp.broadcast_to(window**2, (num_frames, n_fft))
+    )
+    out = out / jnp.maximum(env, epsilon)
+    out = out.reshape(batch_shape + (out_len,))
+
+    if center:
+        pad = n_fft // 2
+        # match torch.istft: with an explicit length, take [pad : pad+length]
+        # (the trailing center-pad region can hold real signal); otherwise
+        # trim the center pad from both ends.
+        end = out_len - pad if length is None else min(pad + length, out_len)
+        out = out[..., pad:end]
+    if length is not None:
+        cur = out.shape[-1]
+        if cur >= length:
+            out = out[..., :length]
+        else:
+            pad_width = [(0, 0)] * (out.ndim - 1) + [(0, length - cur)]
+            out = jnp.pad(out, pad_width)
+    return out
+
+
+def num_stft_frames(num_samples: int, hop_length: int, center: bool = True) -> int:
+    """Frame count produced by :func:`stft` for a given sample count."""
+    if center:
+        return 1 + num_samples // hop_length
+    raise NotImplementedError("non-centered frame math not needed yet")
