@@ -1,0 +1,196 @@
+"""Recurrent layers as ``lax.scan`` cells with MXU-friendly batched gates.
+
+Replaces the reference's reliance on cuDNN fused LSTM/GRU kernels
+(``audio_zen/model/module/sequence_model.py:52-66``) with a TPU-native
+design:
+
+* **Input projection hoisted out of the scan.** ``x @ W_ih^T + b`` for all
+  timesteps is one large [B·T, in] x [in, 4H] matmul that XLA tiles onto
+  the MXU. The scan body then only computes the recurrent [B, H] x [H, 4H]
+  GEMM + elementwise gates — the minimal sequential work.
+* **Parameters kept in the torch cuDNN layout** (``w_ih`` [G·H, in],
+  ``w_hh`` [G·H, H], ``b_ih``/``b_hh`` [G·H]; LSTM gate order i,f,g,o; GRU
+  gate order r,z,n) so released PyTorch checkpoints map 1:1 with no
+  re-packing, which is what the ≤0.01-PESQ parity gate depends on.
+* **Streaming steps.** ``lstm_step``/``gru_step`` expose the single-frame
+  transition so a streaming inferencer can carry (h, c) in a scan over an
+  unbounded stream with a fixed compiled shape.
+
+All functions are pure: params are pytrees (lists of per-layer dicts).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from fullsubnet_tpu.nn.init import rnn_weight_init
+
+
+# --------------------------------------------------------------------------
+# Parameter construction
+# --------------------------------------------------------------------------
+
+
+def _layer_init(key, input_size, hidden_size, num_gates, dtype):
+    k = 1.0 / (hidden_size**0.5)
+    ks = jax.random.split(key, 4)
+    shape_ih = (num_gates * hidden_size, input_size)
+    shape_hh = (num_gates * hidden_size, hidden_size)
+    u = lambda kk, shape: jax.random.uniform(kk, shape, dtype, -k, k)
+    return {
+        "w_ih": u(ks[0], shape_ih),
+        "w_hh": u(ks[1], shape_hh),
+        "b_ih": u(ks[2], (num_gates * hidden_size,)),
+        "b_hh": u(ks[3], (num_gates * hidden_size,)),
+    }
+
+
+def _stack_init(
+    key, input_size, hidden_size, num_layers, bidirectional, num_gates,
+    dtype, orthogonal_init,
+):
+    params = []
+    num_directions = 2 if bidirectional else 1
+    for layer in range(num_layers):
+        in_size = input_size if layer == 0 else hidden_size * num_directions
+        directions = []
+        for _ in range(num_directions):
+            key, sub = jax.random.split(key)
+            p = _layer_init(sub, in_size, hidden_size, num_gates, dtype)
+            if orthogonal_init:
+                key, sub = jax.random.split(key)
+                p = rnn_weight_init(sub, p)
+            directions.append(p)
+        params.append(directions)
+    return params
+
+
+def lstm_init(
+    key, input_size, hidden_size, num_layers=1, bidirectional=False,
+    dtype=jnp.float32, orthogonal_init=False,
+):
+    """Stacked-LSTM params: list over layers of list over directions of
+    {w_ih, w_hh, b_ih, b_hh} in torch layout (gate order i,f,g,o)."""
+    return _stack_init(
+        key, input_size, hidden_size, num_layers, bidirectional, 4, dtype,
+        orthogonal_init,
+    )
+
+
+def gru_init(
+    key, input_size, hidden_size, num_layers=1, bidirectional=False,
+    dtype=jnp.float32, orthogonal_init=False,
+):
+    """Stacked-GRU params (gate order r,z,n, torch layout)."""
+    return _stack_init(
+        key, input_size, hidden_size, num_layers, bidirectional, 3, dtype,
+        orthogonal_init,
+    )
+
+
+def rnn_init_state(params, batch_size, cell_type="LSTM", dtype=jnp.float32):
+    """Zero carry for streaming: list over (layer, direction) of h (and c)."""
+    states = []
+    for layer in params:
+        for direction in layer:
+            h = jnp.zeros((batch_size, direction["w_hh"].shape[1]), dtype)
+            if cell_type == "LSTM":
+                states.append((h, jnp.zeros_like(h)))
+            else:
+                states.append(h)
+    return states
+
+
+# --------------------------------------------------------------------------
+# Cell steps (single frame) — used by both the scan and streaming paths
+# --------------------------------------------------------------------------
+
+
+def lstm_step(params, state, x_proj):
+    """One LSTM transition. state=(h, c) each [B, H]; x_proj [B, 4H] is the
+    precomputed input projection ``x @ w_ih.T + b_ih + b_hh``."""
+    h, c = state
+    gates = x_proj + h @ params["w_hh"].T  # [B, 4H]
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h = jax.nn.sigmoid(o) * jnp.tanh(c)
+    return (h, c), h
+
+
+def gru_step(params, state, x_parts):
+    """One GRU transition (torch semantics: reset gate scales W_hn·h + b_hn).
+
+    state=h [B, H]; x_parts = (x_rz [B, 2H], x_n [B, H]) precomputed input
+    projections including b_ih.
+    """
+    h = state
+    x_rz, x_n = x_parts
+    hh = h @ params["w_hh"].T  # [B, 3H]
+    H = h.shape[-1]
+    h_rz, h_n = hh[..., : 2 * H], hh[..., 2 * H :]
+    b_hh = params["b_hh"]
+    rz = jax.nn.sigmoid(x_rz + h_rz + b_hh[: 2 * H])
+    r, z = jnp.split(rz, 2, axis=-1)
+    n = jnp.tanh(x_n + r * (h_n + b_hh[2 * H :]))
+    h = (1.0 - z) * n + z * h
+    return h, h
+
+
+# --------------------------------------------------------------------------
+# Full-sequence forward
+# --------------------------------------------------------------------------
+
+
+def _lstm_layer(params, x, reverse=False):
+    """x: [B, T, in] -> [B, T, H] for one direction."""
+    b = x.shape[0]
+    hidden = params["w_hh"].shape[1]
+    x_proj = x @ params["w_ih"].T + (params["b_ih"] + params["b_hh"])  # [B,T,4H]
+    x_proj = jnp.swapaxes(x_proj, 0, 1)  # time-major [T, B, 4H]
+
+    h0 = jnp.zeros((b, hidden), x.dtype)
+    step = lambda carry, xp: lstm_step(params, carry, xp)
+    _, hs = jax.lax.scan(step, (h0, h0), x_proj, reverse=reverse)
+    return jnp.swapaxes(hs, 0, 1)  # [B, T, H]
+
+
+def _gru_layer(params, x, reverse=False):
+    b = x.shape[0]
+    hidden = params["w_hh"].shape[1]
+    x_proj = x @ params["w_ih"].T + params["b_ih"]  # [B, T, 3H]
+    x_rz, x_n = x_proj[..., : 2 * hidden], x_proj[..., 2 * hidden :]
+    x_rz = jnp.swapaxes(x_rz, 0, 1)
+    x_n = jnp.swapaxes(x_n, 0, 1)
+
+    h0 = jnp.zeros((b, hidden), x.dtype)
+    step = lambda carry, xp: gru_step(params, carry, xp)
+    _, hs = jax.lax.scan(step, h0, (x_rz, x_n), reverse=reverse)
+    return jnp.swapaxes(hs, 0, 1)
+
+
+def _stack_forward(params, x, layer_fn):
+    for layer_params in params:
+        if len(layer_params) == 1:
+            x = layer_fn(layer_params[0], x)
+        else:
+            fwd = layer_fn(layer_params[0], x)
+            bwd = layer_fn(layer_params[1], x, reverse=True)
+            x = jnp.concatenate([fwd, bwd], axis=-1)
+    return x
+
+
+def lstm_forward(params, x):
+    """Stacked (bi)LSTM: x [B, T, in] -> [B, T, H·dirs]."""
+    return _stack_forward(params, x, _lstm_layer)
+
+
+def gru_forward(params, x):
+    """Stacked (bi)GRU: x [B, T, in] -> [B, T, H·dirs]."""
+    return _stack_forward(params, x, _gru_layer)
+
+
+def rnn_forward(params, x, cell_type: str):
+    if cell_type == "LSTM":
+        return lstm_forward(params, x)
+    if cell_type == "GRU":
+        return gru_forward(params, x)
+    raise NotImplementedError(f"Not implemented {cell_type}")

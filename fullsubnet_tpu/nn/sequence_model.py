@@ -1,0 +1,139 @@
+"""SequenceModel — uniform wrapper over stacked LSTM/GRU + projection.
+
+Functional twin of the reference wrapper
+(``audio_zen/model/module/sequence_model.py:26-125``): stacked
+uni/bidirectional LSTM or GRU, optional Linear projection, optional
+activation (Tanh | ReLU | ReLU6 | LeakyReLU | PReLU). Operates on
+[B, F, T] with the time axis last, like the reference (internally
+time-major for the scan).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from fullsubnet_tpu.nn import rnn
+from fullsubnet_tpu.nn.init import linear_init
+
+
+def _activation(name):
+    if not name:
+        return None
+    table = {
+        "Tanh": jnp.tanh,
+        "ReLU": jax.nn.relu,
+        "ReLU6": jax.nn.relu6,
+        "LeakyReLU": lambda x: jax.nn.leaky_relu(x, 0.01),
+    }
+    if name in table:
+        return table[name]
+    if name == "PReLU":
+        return "prelu"  # learnable — resolved in __call__
+    raise NotImplementedError(f"Not implemented activation function {name}")
+
+
+class SequenceModel:
+    """Config object; params live in a pytree returned by :meth:`init`."""
+
+    def __init__(
+        self,
+        input_size: int,
+        output_size: int,
+        hidden_size: int,
+        num_layers: int,
+        bidirectional: bool,
+        sequence_model: str = "GRU",
+        output_activate_function: str | None = "Tanh",
+    ):
+        if sequence_model not in ("LSTM", "GRU"):
+            raise NotImplementedError(f"Not implemented {sequence_model}")
+        self.input_size = input_size
+        self.output_size = int(output_size) if output_size else 0
+        self.hidden_size = hidden_size
+        self.num_layers = num_layers
+        self.bidirectional = bidirectional
+        self.sequence_model = sequence_model
+        self.output_activate_function = output_activate_function
+        self._act = _activation(output_activate_function)
+
+    def init(self, key, dtype=jnp.float32, orthogonal_init=True) -> dict:
+        krnn, kfc = jax.random.split(key)
+        init_fn = rnn.lstm_init if self.sequence_model == "LSTM" else rnn.gru_init
+        params = {
+            "rnn": init_fn(
+                krnn,
+                self.input_size,
+                self.hidden_size,
+                self.num_layers,
+                self.bidirectional,
+                dtype,
+                orthogonal_init=orthogonal_init,
+            )
+        }
+        if self.output_size:
+            in_features = self.hidden_size * (2 if self.bidirectional else 1)
+            if orthogonal_init:
+                # reference weight_init: xavier-normal weight, N(0,1) bias
+                params["fc"] = linear_init(kfc, in_features, self.output_size, dtype)
+            else:
+                # torch default Linear init: U(±1/sqrt(fan_in))
+                kw, kb = jax.random.split(kfc)
+                bound = 1.0 / (in_features**0.5)
+                params["fc"] = {
+                    "weight": jax.random.uniform(
+                        kw, (self.output_size, in_features), dtype, -bound, bound
+                    ),
+                    "bias": jax.random.uniform(
+                        kb, (self.output_size,), dtype, -bound, bound
+                    ),
+                }
+        if self._act == "prelu":
+            params["prelu"] = jnp.full((1,), 0.25, dtype)
+        return params
+
+    def __call__(self, params: dict, x: jax.Array) -> jax.Array:
+        """x: [B, F, T] -> [B, F_out, T]."""
+        assert x.ndim == 3, f"The shape of input is {x.shape}."
+        x = jnp.swapaxes(x, 1, 2)  # [B, T, F]
+        o = rnn.rnn_forward(params["rnn"], x, self.sequence_model)
+        if self.output_size:
+            o = o @ params["fc"]["weight"].T + params["fc"]["bias"]
+        if self._act == "prelu":
+            o = jnp.where(o >= 0, o, params["prelu"] * o)
+        elif self._act is not None:
+            o = self._act(o)
+        return jnp.swapaxes(o, 1, 2)  # [B, F_out, T]
+
+    # -- streaming -----------------------------------------------------
+
+    def init_state(self, params, batch_size, dtype=jnp.float32):
+        return rnn.rnn_init_state(
+            params["rnn"], batch_size, self.sequence_model, dtype
+        )
+
+    def step(self, params: dict, state, x: jax.Array):
+        """Single-frame transition: x [B, F] -> (new_state, y [B, F_out]).
+
+        Only unidirectional stacks can stream.
+        """
+        assert not self.bidirectional, "bidirectional models cannot stream"
+        new_state = []
+        h_in = x
+        for li, layer in enumerate(params["rnn"]):
+            p = layer[0]
+            if self.sequence_model == "LSTM":
+                x_proj = h_in @ p["w_ih"].T + (p["b_ih"] + p["b_hh"])
+                st, h_in = rnn.lstm_step(p, state[li], x_proj)
+            else:
+                hidden = p["w_hh"].shape[1]
+                x_proj = h_in @ p["w_ih"].T + p["b_ih"]
+                parts = (x_proj[..., : 2 * hidden], x_proj[..., 2 * hidden :])
+                st, h_in = rnn.gru_step(p, state[li], parts)
+            new_state.append(st)
+        o = h_in
+        if self.output_size:
+            o = o @ params["fc"]["weight"].T + params["fc"]["bias"]
+        if self._act == "prelu":
+            o = jnp.where(o >= 0, o, params["prelu"] * o)
+        elif self._act is not None:
+            o = self._act(o)
+        return new_state, o
