@@ -1,0 +1,217 @@
+"""Checkpoint management: Orbax persistence + PyTorch checkpoint interop.
+
+Two jobs:
+
+1. **Interop** — load the reference's released ``.tar``/``.pth`` checkpoints
+   (``audio_zen/trainer/base_trainer.py:194-237`` writes
+   ``latest_model.tar`` {epoch, best_score, optimizer, scaler, model},
+   ``model_NNNN.pth`` raw state_dict, ``best_model.tar``) and convert the
+   torch state_dict into our param pytrees. Because our RNN/Linear params
+   keep the torch layout (see ``fullsubnet_tpu.nn.rnn``), conversion is
+   pure key-mapping — no transposes or gate re-ordering.
+
+2. **Native persistence** — save/restore the same latest/best/epoch-NNNN
+   triplet semantics with Orbax (atomic, preemption-safe for TPU pods).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# PyTorch -> pytree conversion
+# --------------------------------------------------------------------------
+
+
+def load_torch_state_dict(path: str | os.PathLike) -> dict:
+    """Load a reference checkpoint (.tar or .pth) into a flat numpy dict.
+
+    Strips DDP ``module.`` prefixes like the reference inferencer
+    (``audio_zen/inferencer/base_inferencer.py:144-161``).
+    """
+    import torch
+
+    blob = torch.load(os.fspath(path), map_location="cpu", weights_only=False)
+    if isinstance(blob, dict) and "model" in blob:
+        state = blob["model"]
+    else:
+        state = blob
+    out = {}
+    for k, v in state.items():
+        if k.startswith("module."):
+            k = k[len("module.") :]
+        out[k] = np.asarray(v.detach().numpy() if hasattr(v, "detach") else v)
+    return out
+
+
+def _convert_sequence_model(
+    state: dict, prefix: str, dtype=jnp.float32
+) -> dict:
+    """Map torch ``SequenceModel`` keys under ``prefix`` to our pytree.
+
+    Handles ``{prefix}.sequence_model.{weight,bias}_{ih,hh}_l{K}[_reverse]``
+    and ``{prefix}.fc_output_layer.{weight,bias}`` plus PReLU weight.
+    """
+    rnn_key = re.compile(
+        re.escape(prefix)
+        + r"\.sequence_model\.(weight|bias)_(ih|hh)_l(\d+)(_reverse)?$"
+    )
+    layers: dict[tuple[int, int], dict] = {}
+    fc = {}
+    prelu = None
+    for k, v in state.items():
+        m = rnn_key.match(k)
+        if m:
+            kind, gate, layer, rev = m.groups()
+            li, di = int(layer), 1 if rev else 0
+            name = ("w_" if kind == "weight" else "b_") + gate
+            layers.setdefault((li, di), {})[name] = jnp.asarray(v, dtype)
+        elif k == f"{prefix}.fc_output_layer.weight":
+            fc["weight"] = jnp.asarray(v, dtype)
+        elif k == f"{prefix}.fc_output_layer.bias":
+            fc["bias"] = jnp.asarray(v, dtype)
+        elif k == f"{prefix}.activate_function.weight":
+            prelu = jnp.asarray(v, dtype)
+
+    if not layers:
+        raise KeyError(f"No RNN weights found under prefix {prefix!r}")
+
+    num_layers = 1 + max(li for li, _ in layers)
+    num_dirs = 1 + max(di for _, di in layers)
+    params: dict[str, Any] = {
+        "rnn": [
+            [layers[(li, di)] for di in range(num_dirs)]
+            for li in range(num_layers)
+        ]
+    }
+    if fc:
+        params["fc"] = fc
+    if prelu is not None:
+        params["prelu"] = prelu
+    return params
+
+
+def convert_fullsubnet(state: dict, dtype=jnp.float32) -> dict:
+    """Reference FullSubNet state_dict -> our FullSubNet params."""
+    return {
+        "fb_model": _convert_sequence_model(state, "fb_model", dtype),
+        "sb_model": _convert_sequence_model(state, "sb_model", dtype),
+    }
+
+
+def convert_fullband(state: dict, dtype=jnp.float32) -> dict:
+    """Reference fullband_baseline state_dict -> our FullBandModel params."""
+    return {"fullband_model": _convert_sequence_model(state, "fullband_model", dtype)}
+
+
+def convert_fast_fullsubnet(state: dict, dtype=jnp.float32) -> dict:
+    """Reference Fast FullSubNet state_dict -> our FastFullSubNet params."""
+    return {
+        "encoder": [
+            _convert_sequence_model(state, "encoder.0", dtype),
+            _convert_sequence_model(state, "encoder.1", dtype),
+        ],
+        "bottleneck": _convert_sequence_model(state, "bottleneck", dtype),
+        "decoder_lstm": [
+            _convert_sequence_model(state, "decoder_lstm.0", dtype),
+            _convert_sequence_model(state, "decoder_lstm.1", dtype),
+        ],
+    }
+
+
+def convert_improved_fullsubnet(state: dict, num_sections: int, dtype=jnp.float32) -> dict:
+    """Reference Improved FullSubNet state_dict -> our params."""
+    return {
+        "fb_model": _convert_sequence_model(state, "fb_model", dtype),
+        "sb_model": {
+            "sb_models": [
+                _convert_sequence_model(state, f"sb_model.sb_models.{i}", dtype)
+                for i in range(num_sections)
+            ]
+        },
+    }
+
+
+CONVERTERS = {
+    "fullsubnet": convert_fullsubnet,
+    "fullband_baseline": convert_fullband,
+    "fast_fullsubnet": convert_fast_fullsubnet,
+    "improved_fullsubnet": convert_improved_fullsubnet,
+}
+
+
+def load_reference_checkpoint(path, model_name: str, dtype=jnp.float32, **kwargs):
+    """One-call path: torch checkpoint file -> our model params pytree."""
+    state = load_torch_state_dict(path)
+    return CONVERTERS[model_name](state, dtype=dtype, **kwargs)
+
+
+# --------------------------------------------------------------------------
+# Native (Orbax) persistence with the latest/best/epoch triplet semantics
+# --------------------------------------------------------------------------
+
+
+class CheckpointManager:
+    """Save/restore {params, opt_state, epoch, best_score} with the
+    reference's artifact semantics: ``latest`` (resume point), ``best``
+    (best validation score), ``epoch_NNNN`` (weights-only history)."""
+
+    def __init__(self, directory: str | os.PathLike):
+        self.directory = Path(directory).expanduser().absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+
+    def _ckpt(self):
+        import orbax.checkpoint as ocp
+
+        return ocp.StandardCheckpointer()
+
+    def save(
+        self,
+        state: dict,
+        epoch: int,
+        is_best: bool = False,
+        keep_weights_history: bool = True,
+    ):
+        """state: pytree with params/opt_state/epoch/best_score leaves."""
+        import orbax.checkpoint as ocp
+
+        ckpt = self._ckpt()
+        latest = self.directory / "latest"
+        if latest.exists():
+            _rmtree(latest)
+        ckpt.save(latest, state)
+        if keep_weights_history:
+            edir = self.directory / f"epoch_{epoch:04d}"
+            if edir.exists():
+                _rmtree(edir)
+            ckpt.save(edir, {"params": state["params"]})
+        if is_best:
+            best = self.directory / "best"
+            if best.exists():
+                _rmtree(best)
+            ckpt.save(best, state)
+        ckpt.wait_until_finished()
+
+    def restore(self, which: str = "latest", target: dict | None = None) -> dict:
+        ckpt = self._ckpt()
+        path = self.directory / which
+        if not path.exists():
+            raise FileNotFoundError(f"No checkpoint at {path}")
+        return ckpt.restore(path, target)
+
+    def has(self, which: str = "latest") -> bool:
+        return (self.directory / which).exists()
+
+
+def _rmtree(path: Path):
+    import shutil
+
+    shutil.rmtree(path)

@@ -1,0 +1,168 @@
+"""Fast FullSubNet — mel-domain acceleration of FullSubNet.
+
+Functional twin of the reference
+(``recipes/dns_interspeech_2020/fast_fullsubnet/model.py:11-202``):
+encoder F_l2m (two stacked sequence models on 64-mel magnitudes), a
+sub-band bottleneck S on time-downsampled mel units (shrink_size block
+means), and decoder F_m2l emitting the full-resolution 2F cRM. The mel
+projection matrix is built natively (HTK scale, matching torchaudio
+``MelScale``) and applied as one MXU matmul.
+
+``real_time_downsampling`` keeps frame 0, block-averages the interior, and
+averages the (possibly partial) tail block — replicated with static
+shapes; ``real_time_upsampling`` is a repeat + trim.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from fullsubnet_tpu.acoustics.feature import freq_unfold
+from fullsubnet_tpu.acoustics.filterbank import mel_filterbank
+from fullsubnet_tpu.acoustics.norm import norm_wrapper
+from fullsubnet_tpu.nn.sequence_model import SequenceModel
+
+
+class FastFullSubNet:
+    def __init__(
+        self,
+        look_ahead: int = 2,
+        shrink_size: int = 2,
+        sequence_model: str = "LSTM",
+        num_mels: int = 64,
+        encoder_input_size: int = 257,
+        bottleneck_hidden_size: int = 384,
+        bottleneck_num_layers: int = 2,
+        noisy_input_num_neighbors: int = 5,
+        encoder_output_num_neighbors: int = 0,
+        norm_type: str = "offline_laplace_norm",
+        sample_rate: int = 16000,
+    ):
+        assert sequence_model in ("GRU", "LSTM"), (
+            "FastFullSubNet only supports GRU and LSTM."
+        )
+        self.look_ahead = look_ahead
+        self.shrink_size = shrink_size
+        self.num_mels = num_mels
+        self.num_freqs = encoder_input_size
+        self.noisy_input_num_neighbors = noisy_input_num_neighbors
+        self.enc_output_num_neighbors = encoder_output_num_neighbors
+        self.norm = norm_wrapper(norm_type)
+
+        # F_l2m (encoder): hidden sizes fixed per the reference constructor
+        self.encoder = [
+            SequenceModel(num_mels, 0, 384, 1, False, sequence_model, None),
+            SequenceModel(384, num_mels, 257, 1, False, sequence_model, "ReLU"),
+        ]
+        # S (bottleneck)
+        self.bottleneck = SequenceModel(
+            (noisy_input_num_neighbors * 2 + 1)
+            + (encoder_output_num_neighbors * 2 + 1),
+            1,
+            bottleneck_hidden_size,
+            bottleneck_num_layers,
+            False,
+            sequence_model,
+            "ReLU",
+        )
+        # F_m2l (decoder)
+        self.decoder_lstm = [
+            SequenceModel(num_mels + num_mels, 0, 512, 1, False, sequence_model, None),
+            SequenceModel(512, encoder_input_size * 2, 512, 1, False, sequence_model, None),
+        ]
+        self.mel_fb = jnp.asarray(
+            mel_filterbank(encoder_input_size, num_mels, sample_rate, 0.0, sample_rate / 2)
+        )
+
+    def init(self, key, dtype=jnp.float32, weight_init=False) -> dict:
+        keys = jax.random.split(key, 5)
+        oi = weight_init
+        return {
+            "encoder": [
+                self.encoder[0].init(keys[0], dtype, orthogonal_init=oi),
+                self.encoder[1].init(keys[1], dtype, orthogonal_init=oi),
+            ],
+            "bottleneck": self.bottleneck.init(keys[2], dtype, orthogonal_init=oi),
+            "decoder_lstm": [
+                self.decoder_lstm[0].init(keys[3], dtype, orthogonal_init=oi),
+                self.decoder_lstm[1].init(keys[4], dtype, orthogonal_init=oi),
+            ],
+        }
+
+    # -- time down/up-sampling (reference :108-140) ---------------------
+
+    def real_time_downsampling(self, x: jax.Array) -> jax.Array:
+        """[B, C, F, T] -> [B, C, F, ceil((T-1)/shrink)+1] block means."""
+        s = self.shrink_size
+        t = x.shape[-1]
+        first = x[..., 0:1]
+        rest = x[..., 1:]
+        n_rest = t - 1
+        n_full = n_rest // s
+        r = n_rest % s
+        if r == 0:
+            # last full block is averaged separately (mirrors torch.split)
+            body = rest[..., : (n_full - 1) * s]
+            body = body.reshape(*body.shape[:-1], n_full - 1, s).mean(axis=-1)
+            last = rest[..., (n_full - 1) * s :].mean(axis=-1, keepdims=True)
+        else:
+            body = rest[..., : n_full * s]
+            body = body.reshape(*body.shape[:-1], n_full, s).mean(axis=-1)
+            last = rest[..., n_full * s :].mean(axis=-1, keepdims=True)
+        return jnp.concatenate([first, body, last], axis=-1)
+
+    def real_time_upsampling(self, x: jax.Array, target_len=None) -> jax.Array:
+        """Repeat each frame shrink_size times along T, trim to target_len."""
+        t = x.shape[-1]
+        out = jnp.repeat(x, self.shrink_size, axis=-1)
+        if target_len:
+            out = out[..., :target_len]
+        return out
+
+    # -- forward --------------------------------------------------------
+
+    def __call__(self, params: dict, mix_mag: jax.Array) -> jax.Array:
+        """mix_mag [B, 1, F, T] -> cRM [B, 2, F, T]."""
+        assert mix_mag.ndim == 4
+        x = jnp.pad(mix_mag, ((0, 0), (0, 0), (0, 0), (0, self.look_ahead)))
+        batch_size, num_channels, num_freqs, num_frames = x.shape
+        assert num_channels == 1, "FastFullSubNet takes a magnitude feature."
+
+        # Mel projection: [B, C, F, T] -> [B, C, F_mel, T]
+        mix_mel = jnp.einsum("bcft,fm->bcmt", x, self.mel_fb)
+
+        # F_l2m
+        enc = self.norm(mix_mel).reshape(batch_size, -1, num_frames)
+        enc = self.encoder[0](params["encoder"][0], enc)
+        enc = self.encoder[1](params["encoder"][1], enc)
+        enc_output = enc.reshape(batch_size, num_channels, -1, num_frames)
+
+        # Unfold noisy mel + encoder output into sub-band units
+        mix_unfold = freq_unfold(mix_mel, self.noisy_input_num_neighbors).reshape(
+            batch_size, self.num_mels, self.noisy_input_num_neighbors * 2 + 1, num_frames
+        )
+        enc_unfold = freq_unfold(enc_output, self.enc_output_num_neighbors).reshape(
+            batch_size, self.num_mels, self.enc_output_num_neighbors * 2 + 1, num_frames
+        )
+
+        bn_input = jnp.concatenate([mix_unfold, enc_unfold], axis=2)
+        num_sb_unit_freqs = bn_input.shape[2]
+
+        # Bottleneck on time-downsampled units
+        bn_shrunk = self.real_time_downsampling(bn_input)
+        bn_shrunk = self.norm(bn_shrunk)
+        bn_shrunk = bn_shrunk.reshape(
+            batch_size * self.num_mels, num_sb_unit_freqs, -1
+        )
+        bn_out = self.bottleneck(params["bottleneck"], bn_shrunk)  # [B*M, 1, T']
+        bn_out = bn_out.reshape(batch_size, self.num_mels, 1, -1)
+        bn_out = jnp.transpose(bn_out, (0, 2, 1, 3))  # [B, 1, F_mel, T']
+        bn_out = self.real_time_upsampling(bn_out, target_len=num_frames)
+
+        # F_m2l
+        dec_input = jnp.concatenate([enc_output, bn_out], axis=2)
+        dec_input = dec_input.reshape(batch_size, -1, num_frames)
+        dec = self.decoder_lstm[0](params["decoder_lstm"][0], dec_input)
+        dec = self.decoder_lstm[1](params["decoder_lstm"][1], dec)
+        dec_output = dec.reshape(batch_size, 2, num_freqs, num_frames)
+
+        return dec_output[:, :, :, self.look_ahead :]
