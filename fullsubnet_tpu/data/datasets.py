@@ -1,0 +1,332 @@
+"""DNS-2020 datasets: on-the-fly noisy-mixture synthesis, validation pairs,
+inference listing.
+
+Host-side NumPy pipeline feeding the device (the reference's
+``recipes/dns_interspeech_2020/dataset_{train,validation,inference}.py``).
+Per-sample RNG is derived from (seed, epoch, index) so multi-host sharding
+is reproducible without shared state — each host synthesizes only its shard.
+
+Synthesis semantics follow ``dataset_train.py:109-224``: random crop of the
+clean utterance, noise concatenated with silence gaps, optional
+multichannel-RIR reverb via fftconvolve, amplitude+loudness normalization
+of both signals, SNR gain, random target loudness, anti-clipping rescale.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from pathlib import Path
+
+import numpy as np
+from scipy import signal
+
+from fullsubnet_tpu.acoustics.feature import (
+    is_clipped,
+    norm_amplitude,
+    subsample,
+    tailor_dB_FS,
+)
+from fullsubnet_tpu.data.wavio import load_wav, read_wav
+from fullsubnet_tpu.utils import basename, expand_path
+
+_AUDIO_EXTS = (".wav", ".flac", ".aif", ".aiff", ".ogg")
+
+
+def find_audio_files(directory: str | os.PathLike) -> list[str]:
+    """Recursively list audio files, sorted (librosa.util.find_files twin)."""
+    out = []
+    for root, _dirs, files in os.walk(os.fspath(directory)):
+        for f in files:
+            if f.lower().endswith(_AUDIO_EXTS):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+class BaseDataset:
+    @staticmethod
+    def _offset_and_limit(dataset_list, offset, limit):
+        dataset_list = dataset_list[offset:]
+        if limit:
+            dataset_list = dataset_list[:limit]
+        return dataset_list
+
+    @staticmethod
+    def _parse_snr_range(snr_range):
+        assert len(snr_range) == 2, (
+            f"The range of SNR should be [low, high], not {snr_range}."
+        )
+        assert snr_range[0] <= snr_range[-1], (
+            "The low SNR should not be larger than the high SNR."
+        )
+        return list(range(snr_range[0], snr_range[-1] + 1))
+
+
+class TrainDataset(BaseDataset):
+    """On-the-fly noisy synthesis from clean/noise/RIR scp lists."""
+
+    def __init__(
+        self,
+        clean_dataset,
+        noise_dataset,
+        rir_dataset,
+        snr_range=(-5, 20),
+        reverb_proportion=0.75,
+        silence_length=0.2,
+        target_dB_FS=-25,
+        target_dB_FS_floating_value=10,
+        sub_sample_length=3.072,
+        sr=16000,
+        clean_dataset_limit=None,
+        clean_dataset_offset=0,
+        noise_dataset_limit=None,
+        noise_dataset_offset=0,
+        rir_dataset_limit=None,
+        rir_dataset_offset=0,
+        pre_load_clean_dataset=False,
+        pre_load_noise=False,
+        pre_load_rir=False,
+        num_workers=0,
+        seed=0,
+    ):
+        self.sr = sr
+        self.num_workers = num_workers
+
+        read_list = lambda p: [ln.rstrip("\n") for ln in open(expand_path(p))]
+        clean_list = self._offset_and_limit(
+            read_list(clean_dataset), clean_dataset_offset, clean_dataset_limit
+        )
+        noise_list = self._offset_and_limit(
+            read_list(noise_dataset), noise_dataset_offset, noise_dataset_limit
+        )
+        rir_list = self._offset_and_limit(
+            read_list(rir_dataset), rir_dataset_offset, rir_dataset_limit
+        )
+
+        if pre_load_clean_dataset:
+            clean_list = self._preload(clean_list, "Clean Dataset")
+        if pre_load_noise:
+            noise_list = self._preload(noise_list, "Noise Dataset")
+        if pre_load_rir:
+            rir_list = self._preload(rir_list, "RIR Dataset")
+
+        self.clean_dataset_list = clean_list
+        self.noise_dataset_list = noise_list
+        self.rir_dataset_list = rir_list
+        self.snr_list = self._parse_snr_range(list(snr_range))
+
+        assert 0 <= reverb_proportion <= 1, (
+            "The 'reverb_proportion' should be in [0, 1]."
+        )
+        self.reverb_proportion = reverb_proportion
+        self.silence_length = silence_length
+        self.target_dB_FS = target_dB_FS
+        self.target_dB_FS_floating_value = target_dB_FS_floating_value
+        self.sub_sample_length = sub_sample_length
+        self.seed = seed
+        self.epoch = 0
+        self.length = len(self.clean_dataset_list)
+
+    def set_epoch(self, epoch: int):
+        """Changes the per-sample RNG stream so every epoch mixes differently."""
+        self.epoch = epoch
+
+    def _preload(self, file_path_list, remark=""):
+        from joblib import Parallel, delayed
+
+        n_jobs = max(1, self.num_workers)
+        waveforms = Parallel(n_jobs=n_jobs)(
+            delayed(load_wav)(p, self.sr) for p in file_path_list
+        )
+        return list(zip(file_path_list, waveforms))
+
+    def __len__(self):
+        return self.length
+
+    def _select_noise_y(self, target_length: int, rng: np.random.Generator):
+        noise_y = np.zeros(0, dtype=np.float32)
+        silence = np.zeros(int(self.sr * self.silence_length), dtype=np.float32)
+        remaining_length = target_length
+
+        while remaining_length > 0:
+            noise_file = self.noise_dataset_list[
+                int(rng.integers(0, len(self.noise_dataset_list)))
+            ]
+            noise_added = load_wav(noise_file, sr=self.sr)
+            noise_y = np.append(noise_y, noise_added)
+            remaining_length -= len(noise_added)
+            if remaining_length > 0:
+                silence_len = min(remaining_length, len(silence))
+                noise_y = np.append(noise_y, silence[:silence_len])
+                remaining_length -= silence_len
+
+        if len(noise_y) > target_length:
+            idx_start = int(rng.integers(0, len(noise_y) - target_length))
+            noise_y = noise_y[idx_start : idx_start + target_length]
+        return noise_y
+
+    @staticmethod
+    def snr_mix(
+        clean_y,
+        noise_y,
+        snr,
+        target_dB_FS,
+        target_dB_FS_floating_value,
+        rir=None,
+        eps=1e-6,
+        rng: np.random.Generator | None = None,
+    ):
+        """Mix clean and noise at an SNR, with optional RIR reverb.
+
+        Reference semantics (``dataset_train.py:136-195``): reverb the clean
+        signal (random channel of a multichannel RIR), normalize amplitude +
+        loudness of both, apply the SNR gain to the noise, re-target the
+        mixture loudness to target±floating dBFS, rescale both if clipped.
+        """
+        rng = rng or np.random.default_rng()
+        if rir is not None:
+            if rir.ndim > 1:
+                rir = rir[int(rng.integers(0, rir.shape[0])), :]
+            clean_y = signal.fftconvolve(clean_y, rir)[: len(clean_y)]
+
+        clean_y, _ = norm_amplitude(clean_y)
+        clean_y, _, _ = tailor_dB_FS(clean_y, target_dB_FS)
+        clean_rms = (clean_y**2).mean() ** 0.5
+
+        noise_y, _ = norm_amplitude(noise_y)
+        noise_y, _, _ = tailor_dB_FS(noise_y, target_dB_FS)
+        noise_rms = (noise_y**2).mean() ** 0.5
+
+        snr_scalar = clean_rms / (10 ** (snr / 20)) / (noise_rms + eps)
+        noise_y = noise_y * snr_scalar
+        noisy_y = clean_y + noise_y
+
+        noisy_target_dB_FS = int(
+            rng.integers(
+                target_dB_FS - target_dB_FS_floating_value,
+                target_dB_FS + target_dB_FS_floating_value,
+            )
+        )
+        noisy_y, _, noisy_scalar = tailor_dB_FS(noisy_y, noisy_target_dB_FS)
+        clean_y = clean_y * noisy_scalar
+
+        if is_clipped(noisy_y):
+            noisy_y_scalar = np.max(np.abs(noisy_y)) / (0.99 - eps)
+            noisy_y = noisy_y / noisy_y_scalar
+            clean_y = clean_y / noisy_y_scalar
+
+        return noisy_y, clean_y
+
+    def __getitem__(self, item: int):
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch, item])
+        )
+        clean_fpath = self.clean_dataset_list[item]
+        clean_y = load_wav(clean_fpath, sr=self.sr)
+        clean_y = subsample(
+            clean_y,
+            sub_sample_length=int(self.sub_sample_length * self.sr),
+            rng=rng,
+        )
+
+        noise_y = self._select_noise_y(target_length=len(clean_y), rng=rng)
+        assert len(clean_y) == len(noise_y)
+
+        snr = self.snr_list[int(rng.integers(0, len(self.snr_list)))]
+        use_reverb = bool(rng.random() < self.reverb_proportion)
+        rir = (
+            load_wav(
+                self.rir_dataset_list[int(rng.integers(0, len(self.rir_dataset_list)))],
+                sr=self.sr,
+            )
+            if use_reverb
+            else None
+        )
+
+        noisy_y, clean_y = self.snr_mix(
+            clean_y=clean_y,
+            noise_y=noise_y,
+            snr=snr,
+            target_dB_FS=self.target_dB_FS,
+            target_dB_FS_floating_value=self.target_dB_FS_floating_value,
+            rir=rir,
+            rng=rng,
+        )
+        return noisy_y.astype(np.float32), clean_y.astype(np.float32)
+
+
+class ValidationDataset(BaseDataset):
+    """DNS test_set/synthetic pairs; returns (noisy, clean, name, speech_type).
+
+    Clean paths are derived from the noisy fileid like the reference
+    (``dataset_validation.py:42-93``), including dns_2 layouts.
+    """
+
+    def __init__(self, dataset_dir_list, sr=16000):
+        self.noisy_files_list = []
+        for dataset_dir in dataset_dir_list:
+            d = Path(dataset_dir).expanduser().absolute()
+            self.noisy_files_list += find_audio_files(d / "noisy")
+        self.length = len(self.noisy_files_list)
+        self.sr = sr
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, item: int):
+        noisy_file_path = self.noisy_files_list[item]
+        parent_dir = Path(noisy_file_path).parents[1].name
+        noisy_filename, _ = basename(noisy_file_path)
+        reverb_remark = ""
+
+        if parent_dir == "with_reverb":
+            speech_type = "With_reverb"
+        elif parent_dir == "no_reverb":
+            speech_type = "No_reverb"
+        elif parent_dir == "dns_2_non_english":
+            speech_type = "Non_english"
+        elif parent_dir == "dns_2_emotion":
+            speech_type = "Emotion"
+        elif parent_dir == "dns_2_singing":
+            speech_type = "Singing"
+        else:
+            raise NotImplementedError(f"Not supported dir: {parent_dir}")
+
+        file_id = noisy_filename.split("_")[-1]
+        if parent_dir in ("dns_2_emotion", "dns_2_singing"):
+            clean_filename = f"synthetic_{speech_type.lower()}_clean_fileid_{file_id}"
+        elif parent_dir == "dns_2_non_english":
+            clean_filename = f"synthetic_clean_fileid_{file_id}"
+        else:
+            if parent_dir == "with_reverb":
+                reverb_remark = "with_reverb"
+            clean_filename = f"clean_fileid_{file_id}"
+
+        clean_file_path = noisy_file_path.replace(
+            f"noisy/{noisy_filename}", f"clean/{clean_filename}"
+        )
+
+        noisy = load_wav(expand_path(noisy_file_path), sr=self.sr)
+        clean = load_wav(expand_path(clean_file_path), sr=self.sr)
+        return noisy, clean, reverb_remark + noisy_filename, speech_type
+
+
+class InferenceDataset(BaseDataset):
+    """Noisy-only recursive listing; returns (waveform, basename)."""
+
+    def __init__(self, dataset_dir_list, sr=16000):
+        assert isinstance(dataset_dir_list, list)
+        self.sr = sr
+        self.noisy_file_path_list = []
+        for dataset_dir in dataset_dir_list:
+            d = Path(dataset_dir).expanduser().absolute()
+            self.noisy_file_path_list += find_audio_files(d)
+        self.length = len(self.noisy_file_path_list)
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, item: int):
+        noisy_file_path = self.noisy_file_path_list[item]
+        noisy_y = load_wav(noisy_file_path, sr=self.sr).astype(np.float32)
+        return noisy_y, basename(noisy_file_path)[0]

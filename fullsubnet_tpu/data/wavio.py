@@ -1,0 +1,64 @@
+"""WAV I/O without librosa/soundfile: scipy.io.wavfile + polyphase resampling.
+
+The reference loads audio with ``librosa.load(..., sr=16000)`` (float32,
+resampled, mono-preserving multi-channel via ``mono=False``) and writes with
+``soundfile.write``. Neither library is available here, so this module
+provides the same surface on scipy + stdlib.
+"""
+
+from __future__ import annotations
+
+import os
+from fractions import Fraction
+
+import numpy as np
+from scipy.io import wavfile
+from scipy.signal import resample_poly
+
+
+def read_wav(path: str | os.PathLike, sr: int | None = None, mono: bool = False):
+    """Read a wav file to float32 in [-1, 1]; optionally resample to ``sr``.
+
+    Returns (audio, sample_rate). Multi-channel audio is returned as
+    [C, T] (librosa ``mono=False`` convention); mono as [T].
+    """
+    file_sr, data = wavfile.read(os.fspath(path))
+    if data.dtype == np.int16:
+        audio = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        audio = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        audio = (data.astype(np.float32) - 128.0) / 128.0
+    else:  # float32/float64
+        audio = data.astype(np.float32)
+
+    if audio.ndim == 2:  # scipy gives [T, C]
+        audio = audio.T  # -> [C, T]
+        if mono:
+            audio = audio.mean(axis=0)
+
+    if sr is not None and sr != file_sr:
+        frac = Fraction(sr, file_sr)
+        audio = resample_poly(audio, frac.numerator, frac.denominator, axis=-1)
+        audio = audio.astype(np.float32)
+        file_sr = sr
+    return audio, file_sr
+
+
+def load_wav(file, sr: int = 16000):
+    """Reference-compatible loader (``audio_zen/acoustics/feature.py:117``):
+    accepts a path or a (name, array) pair; returns the waveform."""
+    if not isinstance(file, (str, os.PathLike)) and len(file) == 2:
+        return file[-1]
+    return read_wav(os.path.abspath(os.path.expanduser(os.fspath(file))), sr=sr)[0]
+
+
+def write_wav(path: str | os.PathLike, audio: np.ndarray, sr: int):
+    """Write float32 [-1, 1] (or int16) audio; [T] or [C, T]."""
+    audio = np.asarray(audio)
+    if audio.ndim == 2:
+        audio = audio.T  # -> [T, C] for scipy
+    if audio.dtype in (np.float32, np.float64):
+        audio = np.clip(audio, -1.0, 1.0)
+        audio = (audio * 32767.0).astype(np.int16)
+    wavfile.write(os.fspath(path), sr, audio)

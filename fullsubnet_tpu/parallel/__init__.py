@@ -1,0 +1,8 @@
+from fullsubnet_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    replicate,
+    local_shard_info,
+)

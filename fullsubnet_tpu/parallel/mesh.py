@@ -1,0 +1,73 @@
+"""Device mesh construction + sharding rules.
+
+Replaces the reference's NCCL/DDP distribution (``train.py:29``,
+``base_trainer.py:32``) with the JAX SPMD model: a device mesh, sharding
+annotations, and XLA-inserted collectives over ICI.
+
+Axes:
+* ``data``    — batch-dim data parallelism (gradient mean == the DDP
+  all-reduce, emitted by XLA as a psum over ICI).
+* ``subband`` — optional model axis mapping FullSubNet's frequency-batched
+  sub-band LSTM across devices ("sub-band parallelism", the axis the
+  reference approximates with drop_band).
+
+All functions work on CPU-virtual meshes too (tests run on an 8-device
+host-platform mesh).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_data: int | None = None,
+    num_subband: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a (data, subband) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if num_data is None:
+        num_data = len(devices) // num_subband
+    assert num_data * num_subband <= len(devices), (
+        f"mesh {num_data}x{num_subband} needs more than {len(devices)} devices"
+    )
+    grid = np.asarray(devices[: num_data * num_subband]).reshape(
+        num_data, num_subband
+    )
+    return Mesh(grid, axis_names=("data", "subband"))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch (pytree of [B, ...] arrays) sharded on data."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    """Device-put a pytree fully replicated over the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def local_shard_info(mesh: Mesh) -> tuple[int, int]:
+    """(shard_index, num_shards) for the host data pipeline.
+
+    Single-process: one shard. Multi-host: one shard per process, matching
+    the data-axis layout (per-host sharding replaces DistributedSampler).
+    """
+    if jax.process_count() == 1:
+        return 0, 1
+    return jax.process_index(), jax.process_count()
