@@ -1,0 +1,124 @@
+"""Benchmark: FullSubNet real-time factor (audio-sec enhanced / sec / chip).
+
+Runs the flagship FullSubNet full enhancement pipeline (STFT -> fullband +
+sub-band LSTMs -> cIRM decompress -> mask -> iSTFT) end-to-end on the
+default JAX device, steady-state, and prints ONE JSON line:
+
+    {"metric": "rtf_fullsubnet_16khz", "value": N, "unit":
+     "audio_sec_per_sec_per_chip", "vs_baseline": N/500}
+
+``vs_baseline`` is relative to the 500x real-time north-star from
+BASELINE.json (the reference publishes no RTF numbers).
+
+Flags: --batch, --seconds, --iters, --dtype {bf16,fp32}, --model.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_pipeline(model_name: str, dtype):
+    from fullsubnet_tpu.acoustics.mask import decompress_cIRM
+    from fullsubnet_tpu.acoustics.stft import istft, stft_complex
+    from fullsubnet_tpu.models import MODEL_REGISTRY
+
+    n_fft, hop, win = 512, 256, 512
+
+    if model_name == "improved_fullsubnet":
+        model = MODEL_REGISTRY[model_name]()
+        params = model.init(jax.random.PRNGKey(0), weight_init=False)
+        params = jax.tree.map(lambda x: x.astype(dtype), params)
+
+        def fn(params, noisy):
+            return model(params, noisy.astype(dtype)).astype(jnp.float32)
+
+        return fn, params
+
+    model = MODEL_REGISTRY[model_name]()
+    params = model.init(jax.random.PRNGKey(0), weight_init=False)
+    params = jax.tree.map(lambda x: x.astype(dtype), params)
+
+    from fullsubnet_tpu.models import FullSubNet
+
+    model_kwargs = (
+        {"dropping_band": False} if isinstance(model, FullSubNet) else {}
+    )
+
+    def fn(params, noisy):
+        # fp32 STFT (cheap, accuracy-critical), low-precision model compute
+        spec = stft_complex(noisy, n_fft, hop, win)
+        noisy_mag = jnp.abs(spec)[:, None].astype(dtype)
+        crm = model(params, noisy_mag, **model_kwargs)
+        crm = jnp.transpose(crm, (0, 2, 3, 1)).astype(jnp.float32)
+        crm = decompress_cIRM(crm)
+        er = crm[..., 0] * spec.real - crm[..., 1] * spec.imag
+        ei = crm[..., 1] * spec.real + crm[..., 0] * spec.imag
+        return istft(
+            (er, ei), n_fft, hop, win, length=noisy.shape[-1],
+            input_type="real_imag",
+        )
+
+    return fn, params
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--seconds", type=float, default=30.0)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--dtype", choices=["bf16", "fp32"], default="bf16")
+    p.add_argument("--model", default="fullsubnet")
+    p.add_argument("--sr", type=int, default=16000)
+    args = p.parse_args()
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    fn, params = build_pipeline(args.model, dtype)
+    jfn = jax.jit(fn)
+
+    num_samples = int(args.sr * args.seconds)
+    rng = np.random.default_rng(0)
+    noisy = jnp.asarray(
+        rng.standard_normal((args.batch, num_samples)).astype(np.float32) * 0.1
+    )
+
+    # force a scalar host read each iteration: on tunneled/async backends
+    # block_until_ready alone can return before the remote computation
+    # actually finishes, which inflates RTF by orders of magnitude
+    def run_sync():
+        return float(jnp.sum(jfn(params, noisy)))
+
+    for _ in range(args.warmup):
+        run_sync()
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        run_sync()
+        times.append(time.perf_counter() - t0)
+
+    sec_per_iter = float(np.median(times))
+    audio_sec = args.batch * args.seconds
+    rtf = audio_sec / sec_per_iter
+
+    print(
+        json.dumps(
+            {
+                "metric": f"rtf_{args.model}_{args.sr // 1000}khz_{args.dtype}",
+                "value": round(rtf, 2),
+                "unit": "audio_sec_per_sec_per_chip",
+                "vs_baseline": round(rtf / 500.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

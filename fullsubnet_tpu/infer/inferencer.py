@@ -68,6 +68,12 @@ class Inferencer:
         prepare_empty_dir([self.enhanced_dir, self.noisy_dir])
 
         self._jitted = {}
+        from fullsubnet_tpu.models import FullSubNet
+
+        # inference never subsamples frequencies, even for batched inputs
+        self._model_kwargs = (
+            {"dropping_band": False} if isinstance(self.model, FullSubNet) else {}
+        )
 
     # ------------------------------------------------------------------
     # checkpoint loading: torch (.tar/.pth) or orbax dir
@@ -120,7 +126,7 @@ class Inferencer:
         spec = self._stft(noisy)
         noisy_real, noisy_imag = spec.real, spec.imag
         noisy_mag = jnp.abs(spec)[:, None]  # [B, 1, F, T]
-        pred_crm = self.model(params, noisy_mag)  # [B, 2, F, T]
+        pred_crm = self.model(params, noisy_mag, **self._model_kwargs)  # [B, 2, F, T]
         pred_crm = jnp.transpose(pred_crm, (0, 2, 3, 1))  # [B, F, T, 2]
         pred_crm = decompress_cIRM(pred_crm)
         enhanced_real = pred_crm[..., 0] * noisy_real - pred_crm[..., 1] * noisy_imag
@@ -133,7 +139,7 @@ class Inferencer:
         """Magnitude-mask strategy with the noisy phase."""
         spec = self._stft(noisy)
         noisy_mag, noisy_phase = jnp.abs(spec), jnp.angle(spec)
-        enhanced_mag = self.model(params, noisy_mag[:, None])[:, 0]
+        enhanced_mag = self.model(params, noisy_mag[:, None], **self._model_kwargs)[:, 0]
         return self._istft(
             (enhanced_mag, noisy_phase), noisy.shape[-1], input_type="mag_phase"
         )
@@ -141,7 +147,7 @@ class Inferencer:
     def _scaled_mask_fn(self, params, noisy):
         spec = self._stft(noisy)
         noisy_mag = jnp.abs(spec)[:, None]
-        mask = self.model(params, noisy_mag)  # [B, 2, F, T]
+        mask = self.model(params, noisy_mag, **self._model_kwargs)  # [B, 2, F, T]
         mask = jnp.transpose(mask, (0, 2, 3, 1))
         enhanced = spec * jax.lax.complex(mask[..., 0], mask[..., 1])
         return self._istft(enhanced, noisy.shape[-1])

@@ -140,30 +140,62 @@ def gru_step(params, state, x_parts):
 # --------------------------------------------------------------------------
 
 
+# Above this many elements the hoisted [B, T, G·H] input projection stops
+# paying for itself in HBM (e.g. FullSubNet's sub-band stack at 30 s audio
+# would materialize ~24 GB); fall back to fusing the input GEMM into the
+# scan step as one [B, in+H] x [in+H, G·H] matmul (identical FLOPs).
+_HOIST_ELEMENT_LIMIT = 64 * 1024 * 1024
+
+
 def _lstm_layer(params, x, reverse=False):
     """x: [B, T, in] -> [B, T, H] for one direction."""
-    b = x.shape[0]
+    b, t, _ = x.shape
     hidden = params["w_hh"].shape[1]
-    x_proj = x @ params["w_ih"].T + (params["b_ih"] + params["b_hh"])  # [B,T,4H]
-    x_proj = jnp.swapaxes(x_proj, 0, 1)  # time-major [T, B, 4H]
-
     h0 = jnp.zeros((b, hidden), x.dtype)
-    step = lambda carry, xp: lstm_step(params, carry, xp)
-    _, hs = jax.lax.scan(step, (h0, h0), x_proj, reverse=reverse)
+
+    if b * t * 4 * hidden <= _HOIST_ELEMENT_LIMIT:
+        x_proj = x @ params["w_ih"].T + (params["b_ih"] + params["b_hh"])
+        x_proj = jnp.swapaxes(x_proj, 0, 1)  # time-major [T, B, 4H]
+        step = lambda carry, xp: lstm_step(params, carry, xp)
+        _, hs = jax.lax.scan(step, (h0, h0), x_proj, reverse=reverse)
+    else:
+        w = jnp.concatenate([params["w_ih"], params["w_hh"]], axis=1)  # [4H, in+H]
+        bias = params["b_ih"] + params["b_hh"]
+        xs = jnp.swapaxes(x, 0, 1)  # [T, B, in]
+
+        def step(carry, x_t):
+            h, c = carry
+            gates = jnp.concatenate([x_t, h], axis=-1) @ w.T + bias
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h = jax.nn.sigmoid(o) * jnp.tanh(c)
+            return (h, c), h
+
+        _, hs = jax.lax.scan(step, (h0, h0), xs, reverse=reverse)
     return jnp.swapaxes(hs, 0, 1)  # [B, T, H]
 
 
 def _gru_layer(params, x, reverse=False):
-    b = x.shape[0]
+    b, t, _ = x.shape
     hidden = params["w_hh"].shape[1]
-    x_proj = x @ params["w_ih"].T + params["b_ih"]  # [B, T, 3H]
-    x_rz, x_n = x_proj[..., : 2 * hidden], x_proj[..., 2 * hidden :]
-    x_rz = jnp.swapaxes(x_rz, 0, 1)
-    x_n = jnp.swapaxes(x_n, 0, 1)
-
     h0 = jnp.zeros((b, hidden), x.dtype)
-    step = lambda carry, xp: gru_step(params, carry, xp)
-    _, hs = jax.lax.scan(step, h0, (x_rz, x_n), reverse=reverse)
+
+    if b * t * 3 * hidden <= _HOIST_ELEMENT_LIMIT:
+        x_proj = x @ params["w_ih"].T + params["b_ih"]  # [B, T, 3H]
+        x_rz, x_n = x_proj[..., : 2 * hidden], x_proj[..., 2 * hidden :]
+        x_rz = jnp.swapaxes(x_rz, 0, 1)
+        x_n = jnp.swapaxes(x_n, 0, 1)
+        step = lambda carry, xp: gru_step(params, carry, xp)
+        _, hs = jax.lax.scan(step, h0, (x_rz, x_n), reverse=reverse)
+    else:
+        xs = jnp.swapaxes(x, 0, 1)  # [T, B, in]
+
+        def step(h, x_t):
+            x_proj = x_t @ params["w_ih"].T + params["b_ih"]
+            parts = (x_proj[..., : 2 * hidden], x_proj[..., 2 * hidden :])
+            return gru_step(params, h, parts)
+
+        _, hs = jax.lax.scan(step, h0, xs, reverse=reverse)
     return jnp.swapaxes(hs, 0, 1)
 
 
