@@ -68,6 +68,43 @@ def build_pipeline(model_name: str, dtype):
     return fn, params
 
 
+def bench_streaming(args):
+    """Single-frame streaming step latency: one 16 ms hop per step."""
+    from fullsubnet_tpu.infer.streaming import StreamingFullSubNet
+    from fullsubnet_tpu.models import FullSubNet
+
+    model = FullSubNet(norm_type="cumulative_laplace_norm")
+    params = model.init(jax.random.PRNGKey(0), weight_init=False)
+    engine = StreamingFullSubNet(model, params)
+
+    rng = np.random.default_rng(0)
+    frame = jnp.asarray(np.abs(rng.standard_normal(model.num_freqs)).astype(np.float32))
+    state = engine.init_state()
+    for _ in range(args.warmup + 3):
+        state, crm = engine.step(state, frame)
+    float(jnp.sum(crm))
+
+    times = []
+    for _ in range(args.iters * 20):
+        t0 = time.perf_counter()
+        state, crm = engine.step(state, frame)
+        _ = float(jnp.sum(crm))  # force host sync
+        times.append(time.perf_counter() - t0)
+
+    hop_sec = 256 / args.sr  # 16 ms of audio per step
+    step_ms = float(np.median(times)) * 1e3
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_step_latency_fullsubnet",
+                "value": round(step_ms, 3),
+                "unit": "ms_per_16ms_hop",
+                "vs_baseline": round(hop_sec * 1e3 / step_ms, 4),
+            }
+        )
+    )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
@@ -77,7 +114,15 @@ def main():
     p.add_argument("--dtype", choices=["bf16", "fp32"], default="bf16")
     p.add_argument("--model", default="fullsubnet")
     p.add_argument("--sr", type=int, default=16000)
+    p.add_argument(
+        "--streaming", action="store_true",
+        help="benchmark the single-frame streaming step (latency per hop)",
+    )
     args = p.parse_args()
+
+    if args.streaming:
+        bench_streaming(args)
+        return
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     fn, params = build_pipeline(args.model, dtype)

@@ -1,0 +1,129 @@
+"""Streaming engine parity: frame-by-frame == offline forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fullsubnet_tpu.acoustics.stft import hann_window, istft, stft_complex
+from fullsubnet_tpu.infer.streaming import StreamingFullSubNet, StreamingISTFT
+from fullsubnet_tpu.models import FullSubNet
+
+
+def _tiny_model():
+    model = FullSubNet(
+        num_freqs=33,
+        look_ahead=2,
+        fb_num_neighbors=0,
+        sb_num_neighbors=3,
+        fb_model_hidden_size=16,
+        sb_model_hidden_size=12,
+        norm_type="cumulative_laplace_norm",
+    )
+    params = model.init(jax.random.PRNGKey(0), weight_init=False)
+    return model, params
+
+
+def test_streaming_matches_offline_forward():
+    model, params = _tiny_model()
+    engine = StreamingFullSubNet(model, params)
+
+    rng = np.random.default_rng(0)
+    T = 40
+    noisy_mag = jnp.asarray(np.abs(rng.standard_normal((33, T))).astype(np.float32))
+
+    offline = model(params, noisy_mag[None, None], dropping_band=False)[0]  # [2, F, T]
+    streamed = engine.enhance_spectrogram(noisy_mag)  # [2, F, T]
+    np.testing.assert_allclose(
+        np.asarray(streamed), np.asarray(offline), atol=1e-4, rtol=1e-3
+    )
+
+
+def test_streaming_step_by_step_equals_block():
+    model, params = _tiny_model()
+    engine = StreamingFullSubNet(model, params)
+    rng = np.random.default_rng(1)
+    frames = jnp.asarray(np.abs(rng.standard_normal((10, 33))).astype(np.float32))
+
+    state = engine.init_state()
+    outs = []
+    for t in range(10):
+        state, crm = engine.step(state, frames[t])
+        outs.append(crm)
+    step_out = jnp.stack(outs)
+
+    state2 = engine.init_state()
+    _, block_out = engine.step_block(state2, frames)
+    np.testing.assert_allclose(
+        np.asarray(step_out), np.asarray(block_out), atol=1e-5, rtol=1e-4
+    )
+
+
+def test_streaming_is_causal():
+    """Changing future frames must not change already-emitted masks."""
+    model, params = _tiny_model()
+    engine = StreamingFullSubNet(model, params)
+    rng = np.random.default_rng(2)
+    frames = np.abs(rng.standard_normal((12, 33))).astype(np.float32)
+    frames2 = frames.copy()
+    frames2[8:] *= 7.0
+
+    _, out1 = engine.step_block(engine.init_state(), jnp.asarray(frames))
+    _, out2 = engine.step_block(engine.init_state(), jnp.asarray(frames2))
+    np.testing.assert_allclose(
+        np.asarray(out1[:8]), np.asarray(out2[:8]), atol=1e-6
+    )
+    assert not np.allclose(np.asarray(out1[8:]), np.asarray(out2[8:]))
+
+
+def test_streaming_istft_matches_offline():
+    """Streaming OLA == offline istft in the steady-state interior."""
+    n_fft, hop = 512, 256
+    rng = np.random.default_rng(3)
+    y = rng.standard_normal((1, 8192)).astype(np.float32)
+    spec = stft_complex(y, n_fft, hop, n_fft)  # [1, F, T]
+    offline = np.asarray(istft(spec, n_fft, hop, n_fft))  # untrimmed length logic
+
+    s = StreamingISTFT(n_fft, hop)
+    state = s.init_state()
+    hops = []
+    T = spec.shape[-1]
+    for t in range(T):
+        state, out = s.push(state, spec[0, :, t])
+        hops.append(np.asarray(out))
+    stream = np.concatenate(hops)
+
+    # streaming output sample i corresponds to padded-signal sample i;
+    # istft's `center` trim removes n_fft//2 leading samples. Interior only
+    # (first/last frames have partial overlap in the offline version).
+    pad = n_fft // 2
+    a = stream[pad + hop : T * hop - n_fft]
+    b = offline[0][hop : T * hop - n_fft - pad]
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_streaming_full_pipeline_reconstructs():
+    """wave -> streaming STFT/model/iSTFT -> wave; output is well-formed."""
+    model, params = _tiny_model()
+    engine = StreamingFullSubNet(model, params)
+    n_fft, hop = 64, 32
+    sr_len = 4096
+    rng = np.random.default_rng(4)
+    y = (0.3 * rng.standard_normal(sr_len)).astype(np.float32)
+
+    spec = stft_complex(jnp.asarray(y)[None], n_fft, hop, n_fft)[0]  # [33, T]
+    crm = engine.enhance_spectrogram(jnp.abs(spec))
+    from fullsubnet_tpu.acoustics.mask import decompress_cIRM
+
+    crm = decompress_cIRM(jnp.transpose(crm, (1, 2, 0)))  # [F, T, 2]
+    er = crm[..., 0] * spec.real - crm[..., 1] * spec.imag
+    ei = crm[..., 1] * spec.real + crm[..., 0] * spec.imag
+
+    s = StreamingISTFT(n_fft, hop)
+    state = s.init_state()
+    outs = []
+    for t in range(spec.shape[-1]):
+        state, o = s.push(state, jax.lax.complex(er[:, t], ei[:, t]))
+        outs.append(np.asarray(o))
+    wave = np.concatenate(outs)
+    assert np.isfinite(wave).all()
+    assert wave.shape[0] == spec.shape[-1] * hop
