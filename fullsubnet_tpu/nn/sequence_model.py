@@ -90,18 +90,93 @@ class SequenceModel:
             params["prelu"] = jnp.full((1,), 0.25, dtype)
         return params
 
+    # Above this many elements per materialized [B, T, H] inter-layer
+    # activation, switch to the time-chunked fused path: all layers (and
+    # the output projection) run chunk-by-chunk inside one scan, so the
+    # full-sequence activations never hit HBM. This is what lets e.g.
+    # FullSubNet's sub-band stack run 32x30s batches inside 16 GB.
+    _CHUNK_THRESHOLD = 192 * 1024 * 1024
+
     def __call__(self, params: dict, x: jax.Array) -> jax.Array:
         """x: [B, F, T] -> [B, F_out, T]."""
         assert x.ndim == 3, f"The shape of input is {x.shape}."
+        b, _, t = x.shape
         x = jnp.swapaxes(x, 1, 2)  # [B, T, F]
-        o = rnn.rnn_forward(params["rnn"], x, self.sequence_model)
+
+        if (
+            not self.bidirectional
+            and b * t * self.hidden_size > self._CHUNK_THRESHOLD
+        ):
+            o = self._chunked_forward(params, x)
+        else:
+            o = rnn.rnn_forward(params["rnn"], x, self.sequence_model)
+            o = self._project(params, o)
+        return jnp.swapaxes(o, 1, 2)  # [B, F_out, T]
+
+    def _project(self, params, o):
         if self.output_size:
             o = o @ params["fc"]["weight"].T + params["fc"]["bias"]
         if self._act == "prelu":
             o = jnp.where(o >= 0, o, params["prelu"] * o)
         elif self._act is not None:
             o = self._act(o)
-        return jnp.swapaxes(o, 1, 2)  # [B, F_out, T]
+        return o
+
+    def _chunked_forward(self, params, x):
+        """Fused multi-layer scan over time chunks. x: [B, T, F] ->
+        [B, T, out]. Zero-padding the tail is safe: the stack is causal, so
+        padded steps only influence outputs that get trimmed."""
+        b, t, f_in = x.shape
+        chunk = max(8, self._CHUNK_THRESHOLD // (8 * b * self.hidden_size))
+        num_chunks = -(-t // chunk)
+        t_pad = num_chunks * chunk
+        if t_pad != t:
+            x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+        # [num_chunks, chunk, B, F] time-major within chunk
+        xs = jnp.swapaxes(x, 0, 1).reshape(num_chunks, chunk, b, f_in)
+
+        layer_params = [layer[0] for layer in params["rnn"]]
+        is_lstm = self.sequence_model == "LSTM"
+
+        def layer_scan(p, carry, h_seq):
+            if is_lstm:
+                w = jnp.concatenate([p["w_ih"], p["w_hh"]], axis=1)
+                bias = p["b_ih"] + p["b_hh"]
+
+                def step(cr, x_t):
+                    h, c = cr
+                    gates = jnp.concatenate([x_t, h], axis=-1) @ w.T + bias
+                    i, fg, g, o = jnp.split(gates, 4, axis=-1)
+                    c = jax.nn.sigmoid(fg) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+                    h = jax.nn.sigmoid(o) * jnp.tanh(c)
+                    return (h, c), h
+
+                return jax.lax.scan(step, carry, h_seq)
+            hidden = p["w_hh"].shape[1]
+
+            def step(h, x_t):
+                x_proj = x_t @ p["w_ih"].T + p["b_ih"]
+                parts = (x_proj[..., : 2 * hidden], x_proj[..., 2 * hidden :])
+                return rnn.gru_step(p, h, parts)
+
+            return jax.lax.scan(step, carry, h_seq)
+
+        def chunk_body(states, x_chunk):
+            h_seq = x_chunk  # [chunk, B, F]
+            new_states = []
+            for li, p in enumerate(layer_params):
+                st, h_seq = layer_scan(p, states[li], h_seq)
+                new_states.append(st)
+            out = self._project(params, h_seq)  # [chunk, B, out]
+            return new_states, out
+
+        h0 = jnp.zeros((b, self.hidden_size), x.dtype)
+        states0 = [((h0, h0) if is_lstm else h0) for _ in layer_params]
+        _, ys = jax.lax.scan(chunk_body, states0, xs)
+        # ys: [num_chunks, chunk, B, out] -> [B, T, out]
+        out_dim = ys.shape[-1]
+        ys = ys.reshape(t_pad, b, out_dim)
+        return jnp.swapaxes(ys, 0, 1)[:, :t]
 
     # -- streaming -----------------------------------------------------
 
