@@ -113,6 +113,47 @@ def overlap_cat(chunk_list, axis: int = -1) -> jax.Array:
     return jnp.concatenate(pieces, axis=axis)
 
 
+def channel_wise_layer_norm(x: jax.Array, scale, bias, eps: float = 1e-5):
+    """LayerNorm over the channel axis of [B, N, K] (normalize dim 1).
+
+    Functional twin of the reference ``ChannelWiseLayerNorm``
+    (``feature.py:348-365``): torch LayerNorm applied after transposing to
+    [B, K, N], i.e. statistics over N per (batch, position).
+    """
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.var(x, axis=1, keepdims=True)
+    normed = (x - mu) * jax.lax.rsqrt(var + eps)
+    return normed * scale[None, :, None] + bias[None, :, None]
+
+
+def reduce_complexity_separately(
+    sub_band_input: jax.Array, full_band_output: jax.Array, key: jax.Array = None
+) -> jax.Array:
+    """Group dropout for FullSubNet (reference ``base_model.py:48-100``).
+
+    Splits the batch into 3 groups; group i keeps frequencies
+    ``i+1, i+4, ...`` (avoiding the padded first/last bins) and
+    concatenates the sub-band and full-band units on the feature axis.
+
+    Shapes: sub_band_input [B, F, C, F_s, T], full_band_output
+    [B, F, C, F_f, T] -> [B, F//3(ish), C, F_s+F_f, T].
+    """
+    batch_size = full_band_output.shape[0]
+    n_freqs = full_band_output.shape[1]
+    sub_batch_size = batch_size // 3
+
+    final_selected = []
+    for idx in range(3):
+        sub_batch = np.arange(idx * sub_batch_size, (idx + 1) * sub_batch_size)
+        fb_sub = full_band_output[sub_batch]
+        sb_sub = sub_band_input[sub_batch]
+        freq_indices = np.arange(idx + 1, n_freqs - 1, 3)
+        fb_sub = fb_sub[:, freq_indices]
+        sb_sub = sb_sub[:, freq_indices]
+        final_selected.append(jnp.concatenate([sb_sub, fb_sub], axis=-2))
+    return jnp.concatenate(final_selected, axis=0)
+
+
 # --------------------------------------------------------------------------
 # Host-side (NumPy) — data-pipeline utilities
 # --------------------------------------------------------------------------

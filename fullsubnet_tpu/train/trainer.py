@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import json
 import time
-from functools import partial
 from pathlib import Path
 
 import jax
@@ -288,11 +287,34 @@ class Trainer:
             return None
 
     def _dump_config(self):
+        """Experiment bookkeeping: timestamped config dump + source state.
+
+        The reference copies the full source tree into the experiment dir
+        (``base_trainer.py:124-134``); we record the git commit + working
+        diff instead — same reproducibility, none of the bloat.
+        """
         if jax.process_index() != 0:
             return
         stamp = time.strftime("%Y-%m-%d--%H-%M-%S")
         with open(self.save_dir / f"{stamp}.json", "w") as f:
             json.dump(self.config, f, indent=2, default=str)
+        try:
+            import subprocess
+
+            root = Path(__file__).resolve().parents[2]
+            rev = subprocess.run(
+                ["git", "rev-parse", "HEAD"], cwd=root,
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+            diff = subprocess.run(
+                ["git", "diff", "HEAD"], cwd=root,
+                capture_output=True, text=True, timeout=10,
+            ).stdout
+            (self.save_dir / f"{stamp}.source.txt").write_text(
+                f"commit: {rev}\n\n{diff}"
+            )
+        except Exception:
+            pass
 
     def _log_scalar(self, tag: str, value: float, step: int):
         if self.writer is not None:
@@ -346,63 +368,121 @@ class Trainer:
         )
         return np.asarray(enhanced[0]), float(jnp.mean(jnp.square(er)))
 
-    def _validation_epoch(self, epoch: int) -> float:
-        if self.valid_dataset is None:
-            return 0.0
+    def spec_audio_visualization(self, noisy, enhanced, clean, name, epoch, sr):
+        """Audio clips + magma spectrogram triptych to TensorBoard
+        (reference ``base_trainer.py:277-314``)."""
+        if self.writer is None:
+            return
+        self.writer.add_audio(f"Audio/{name}_Noisy", noisy[:, None], epoch, sample_rate=sr)
+        self.writer.add_audio(f"Audio/{name}_Enhanced", enhanced[:, None], epoch, sample_rate=sr)
+        self.writer.add_audio(f"Audio/{name}_Clean", clean[:, None], epoch, sample_rate=sr)
+
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            a = self.acoustics
+            fig, axes = plt.subplots(3, 1, figsize=(6, 6))
+            for ax, (y, label) in zip(
+                axes, [(noisy, "Noisy"), (enhanced, "Enhanced"), (clean, "Clean")]
+            ):
+                mag = np.abs(
+                    np.asarray(
+                        stft_complex(
+                            jnp.asarray(y)[None], a["n_fft"], a["hop_length"], a["win_length"]
+                        )[0]
+                    )
+                )
+                ax.imshow(
+                    20 * np.log10(mag + 1e-8),
+                    origin="lower", aspect="auto", cmap="magma",
+                )
+                ax.set_title(
+                    f"{label}: mean {np.mean(y):.3f}, std {np.std(y):.3f}"
+                )
+            plt.tight_layout()
+            self.writer.add_figure(f"Spectrogram/{name}", fig, epoch)
+            plt.close(fig)
+        except Exception:
+            pass
+
+    def metrics_visualization(self, rows, epoch: int) -> float:
+        """Parallel metric computation + Noisy-vs-Enhanced scalars
+        (reference ``base_trainer.py:316-370``). rows: list of
+        (noisy, clean, enhanced, speech_type)."""
         sr = self.acoustics["sr"]
         use_pesq = pesq_available()
-        per_type: dict[str, dict[str, list]] = {}
+        n_jobs = int(self.vis_cfg.get("num_workers", 10))
 
-        n_samples_vis = int(self.vis_cfg.get("n_samples", 10))
-        for i in range(len(self.valid_dataset)):
-            noisy, clean, name, speech_type = self.valid_dataset[i]
-            enhanced, _ = self._enhance_utterance(noisy)
-            length = min(len(enhanced), len(clean))
-            enhanced, clean_c, noisy_c = (
-                enhanced[:length],
-                clean[:length],
-                noisy[:length],
-            )
+        from joblib import Parallel, delayed
 
-            bucket = per_type.setdefault(
-                speech_type, {"stoi_e": [], "sisdr_e": [], "pesq_e": []}
-            )
-            bucket["stoi_e"].append(STOI(clean_c, enhanced, sr=sr))
-            bucket["sisdr_e"].append(SI_SDR(clean_c, enhanced, sr=sr))
+        def one(noisy, clean, enhanced):
+            out = {
+                "stoi_n": STOI(clean, noisy, sr=sr),
+                "stoi_e": STOI(clean, enhanced, sr=sr),
+                "sisdr_n": SI_SDR(clean, noisy, sr=sr),
+                "sisdr_e": SI_SDR(clean, enhanced, sr=sr),
+            }
             if use_pesq:
                 from fullsubnet_tpu.metrics import WB_PESQ
 
-                bucket["pesq_e"].append(WB_PESQ(clean_c, enhanced, sr=sr))
+                out["pesq_n"] = WB_PESQ(clean, noisy, sr=sr)
+                out["pesq_e"] = WB_PESQ(clean, enhanced, sr=sr)
+            return out
 
-            if i < n_samples_vis and self.writer is not None:
-                self.writer.add_audio(
-                    f"Audio/{speech_type}_{name}_Enhanced",
-                    enhanced[:, None],
-                    epoch,
-                    sample_rate=sr,
-                )
+        per_type: dict[str, list] = {}
+        results = Parallel(n_jobs=n_jobs)(
+            delayed(one)(n, c, e) for n, c, e, _ in rows
+        )
+        for (_, _, _, speech_type), res in zip(rows, results):
+            per_type.setdefault(speech_type, []).append(res)
 
         scores = {}
-        for speech_type, bucket in per_type.items():
-            stoi_mean = float(np.mean(bucket["stoi_e"]))
-            sisdr_mean = float(np.mean(bucket["sisdr_e"]))
-            self._log_scalar(f"Validation/STOI_{speech_type}", stoi_mean, epoch)
-            self._log_scalar(f"Validation/SI_SDR_{speech_type}", sisdr_mean, epoch)
-            if use_pesq and bucket["pesq_e"]:
-                pesq_mean = float(np.mean(bucket["pesq_e"]))
+        for speech_type, items in per_type.items():
+            mean = lambda k: float(np.mean([it[k] for it in items]))
+            self._log_scalar(f"Validation/STOI_{speech_type}_Noisy", mean("stoi_n"), epoch)
+            self._log_scalar(f"Validation/STOI_{speech_type}_Enhanced", mean("stoi_e"), epoch)
+            self._log_scalar(f"Validation/SI_SDR_{speech_type}_Noisy", mean("sisdr_n"), epoch)
+            self._log_scalar(f"Validation/SI_SDR_{speech_type}_Enhanced", mean("sisdr_e"), epoch)
+            if use_pesq:
                 self._log_scalar(
-                    f"Validation/WB_PESQ_{speech_type}", pesq_mean, epoch
+                    f"Validation/WB_PESQ_{speech_type}_Enhanced", mean("pesq_e"), epoch
                 )
+                # reference model-selection score (base_trainer.py:364-370)
                 scores[speech_type] = (
-                    stoi_mean + transform_pesq_range(pesq_mean)
+                    mean("stoi_e") + transform_pesq_range(mean("pesq_e"))
                 ) / 2
             else:
-                scores[speech_type] = stoi_mean
+                scores[speech_type] = mean("stoi_e")
 
         # reference selects on the With_reverb split (fullsubnet/trainer.py:181)
         if "With_reverb" in scores:
             return scores["With_reverb"]
         return float(np.mean(list(scores.values()))) if scores else 0.0
+
+    def _validation_epoch(self, epoch: int) -> float:
+        if self.valid_dataset is None:
+            return 0.0
+        sr = self.acoustics["sr"]
+        n_samples_vis = int(self.vis_cfg.get("n_samples", 10))
+
+        rows = []
+        for i in range(len(self.valid_dataset)):
+            noisy, clean, name, speech_type = self.valid_dataset[i]
+            enhanced, _ = self._enhance_utterance(noisy)
+            length = min(len(enhanced), len(clean))
+            enhanced, clean_c, noisy_c = (
+                enhanced[:length], clean[:length], noisy[:length],
+            )
+            rows.append((noisy_c, clean_c, enhanced, speech_type))
+            if i < n_samples_vis:
+                self.spec_audio_visualization(
+                    noisy_c, enhanced, clean_c, f"{speech_type}_{name}", epoch, sr
+                )
+
+        return self.metrics_visualization(rows, epoch)
 
     def train(self):
         start_epoch = int(np.asarray(self.state["epoch"])) + 1
