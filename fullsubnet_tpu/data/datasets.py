@@ -184,9 +184,27 @@ class TrainDataset(BaseDataset):
         mixture loudness to target±floating dBFS, rescale both if clipped.
         """
         rng = rng or np.random.default_rng()
+        if rir is not None and rir.ndim > 1:
+            rir = rir[int(rng.integers(0, rir.shape[0])), :]
+
+        noisy_target_dB_FS = int(
+            rng.integers(
+                target_dB_FS - target_dB_FS_floating_value,
+                target_dB_FS + target_dB_FS_floating_value,
+            )
+        )
+
+        # native C++ fast path (GIL-free full mix incl. RIR convolution)
+        from fullsubnet_tpu import native
+
+        mixed = native.snr_mix(
+            clean_y, noise_y, snr, target_dB_FS, noisy_target_dB_FS,
+            rir=rir, eps=eps,
+        )
+        if mixed is not None:
+            return mixed
+
         if rir is not None:
-            if rir.ndim > 1:
-                rir = rir[int(rng.integers(0, rir.shape[0])), :]
             clean_y = signal.fftconvolve(clean_y, rir)[: len(clean_y)]
 
         clean_y, _ = norm_amplitude(clean_y)
@@ -201,12 +219,6 @@ class TrainDataset(BaseDataset):
         noise_y = noise_y * snr_scalar
         noisy_y = clean_y + noise_y
 
-        noisy_target_dB_FS = int(
-            rng.integers(
-                target_dB_FS - target_dB_FS_floating_value,
-                target_dB_FS + target_dB_FS_floating_value,
-            )
-        )
         noisy_y, _, noisy_scalar = tailor_dB_FS(noisy_y, noisy_target_dB_FS)
         clean_y = clean_y * noisy_scalar
 
