@@ -20,9 +20,11 @@ sb neighbors=15, fb neighbors=0).
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fullsubnet_tpu.acoustics.feature import drop_band, freq_unfold
 from fullsubnet_tpu.acoustics.norm import norm_wrapper
+from fullsubnet_tpu.constant import EPSILON
 from fullsubnet_tpu.nn.sequence_model import SequenceModel
 
 
@@ -77,6 +79,11 @@ class FullSubNet:
             "sb_model": self.sb_model.init(ks, dtype, orthogonal_init=weight_init),
         }
 
+    # Above this many unfolded elements (B·F·(2N+1)·T), the [B, F, 32, T]
+    # freq_unfold materialization dominates HBM; switch to the fused
+    # sub-band pipeline that gathers/normalizes/scans chunk-by-chunk.
+    _FUSED_SB_THRESHOLD = 2**28
+
     def __call__(
         self, params: dict, noisy_mag: jax.Array, dropping_band: bool = True
     ) -> jax.Array:
@@ -95,6 +102,26 @@ class FullSubNet:
         fb_input = self.norm(x).reshape(batch_size, num_freqs, num_frames)
         fb_output = self.fb_model(params["fb_model"], fb_input)
         fb_output = fb_output.reshape(batch_size, 1, num_freqs, num_frames)
+
+        # Fused big-batch path: unfold + norm + sub-band scan chunk-by-chunk
+        drop_applies = (
+            batch_size > 1 and dropping_band and self.num_groups_in_drop_band > 1
+        )
+        unfold_elems = (
+            batch_size
+            * num_freqs
+            * (2 * self.sb_num_neighbors + 1)
+            * num_frames
+        )
+        if (
+            not drop_applies
+            and self.fb_num_neighbors == 0
+            and not self.sb_model.output_activate_function
+            and self.norm in (self._norms_fusable())
+            and unfold_elems > self._FUSED_SB_THRESHOLD
+        ):
+            sb_mask = self._fused_subband_stage(params, x, fb_output)
+            return sb_mask[:, :, :, self.look_ahead :]
 
         # Unfold: [B, F, fb_unit, T] and [B, F, sb_unit, T]
         fb_unfolded = freq_unfold(fb_output, self.fb_num_neighbors)
@@ -126,3 +153,158 @@ class FullSubNet:
         sb_mask = jnp.transpose(sb_mask, (0, 2, 1, 3))  # [B, 2, F, T]
 
         return sb_mask[:, :, :, self.look_ahead :]
+
+    # ------------------------------------------------------------------
+    # Fused sub-band pipeline (inference / big batches)
+    # ------------------------------------------------------------------
+
+    def _norms_fusable(self):
+        from fullsubnet_tpu.acoustics.norm import (
+            cumulative_laplace_norm,
+            offline_laplace_norm,
+        )
+
+        return (offline_laplace_norm, cumulative_laplace_norm)
+
+    def _sb_norm_mu(self, noisy_pad, fb_flat):
+        """Normalization denominator of the concatenated sub-band input,
+        computed WITHOUT materializing the unfold.
+
+        noisy_pad: [B, F+2N, T] reflect-padded magnitudes;
+        fb_flat:   [B, F, T] full-band output.
+
+        offline_laplace_norm over [B, F, 32, T] is a per-batch scalar mean;
+        the unfold's sum equals a counts-weighted sum over padded bins
+        (bin fp appears in ``count[fp]`` windows). cumulative_laplace_norm
+        (input viewed as [B·F, 32, T]) is a per-(batch, f) running mean of
+        the 32-unit sums — a frequency box filter + time cumsum.
+        Returns mu broadcastable against [B, F, unit, T].
+        """
+        from fullsubnet_tpu.acoustics.norm import offline_laplace_norm
+
+        b, fp_len, t = noisy_pad.shape
+        f = fb_flat.shape[1]
+        n = self.sb_num_neighbors
+        unit = 2 * n + 2  # 2N+1 noisy neighbors + 1 fb bin
+
+        if self.norm is offline_laplace_norm:
+            counts = np.zeros(fp_len, np.float32)
+            for u in range(2 * n + 1):
+                counts[u : u + f] += 1.0
+            total = jnp.einsum(
+                "bpt,p->b", noisy_pad, jnp.asarray(counts, noisy_pad.dtype)
+            )
+            total = total + jnp.sum(fb_flat, axis=(1, 2))
+            mu = total / (f * unit * t)  # [B]
+            return mu[:, None, None, None] + 1e-5
+
+        # cumulative_laplace_norm: unit_sum[b,f,t] then running mean
+        csum = jnp.cumsum(noisy_pad, axis=1)
+        zeros = jnp.zeros_like(csum[:, :1])
+        csum = jnp.concatenate([zeros, csum], axis=1)  # [B, FP+1, T]
+        box = csum[:, 2 * n + 1 :, :] - csum[:, : f, :]  # [B, F, T]
+        unit_sum = box + fb_flat
+        run = jnp.cumsum(unit_sum, axis=-1)  # [B, F, T]
+        counts_t = jnp.arange(unit, unit * t + 1, unit, dtype=noisy_pad.dtype)
+        mu = run / counts_t[None, None, :]  # [B, F, T]
+        return mu[:, :, None, :] + EPSILON
+
+    def _fused_subband_stage(self, params, x, fb_output):
+        """Chunk-fused sub-band stage: per time chunk, gather the
+        (2N+1)-bin units, concat the fb bin, normalize, and advance the
+        sub-band LSTM layers — the full [B, F, 32, T] tensor never exists.
+
+        x: [B, 1, F, T] padded magnitudes; fb_output: [B, 1, F, T].
+        Returns [B, 2, F, T].
+        """
+        b, _, f, t = x.shape
+        n = self.sb_num_neighbors
+        noisy_pad = jnp.pad(
+            x[:, 0], ((0, 0), (n, n), (0, 0)), mode="reflect"
+        )  # [B, F+2N, T]
+        fb_flat = fb_output[:, 0]  # [B, F, T]
+        mu = self._sb_norm_mu(noisy_pad, fb_flat)  # [B,1,1,1] or [B,F,1,T]
+        mu_is_scalar = mu.shape[1] == 1
+
+        sb = self.sb_model
+        hidden = sb.hidden_size
+        chunk = max(8, 2**25 // (b * f * hidden // 8 + 1))
+        chunk = min(chunk, t)
+        num_chunks = -(-t // chunk)
+        t_pad = num_chunks * chunk
+
+        if t_pad != t:
+            pad_t = ((0, 0), (0, 0), (0, t_pad - t))
+            noisy_pad = jnp.pad(noisy_pad, pad_t)
+            fb_flat = jnp.pad(fb_flat, pad_t)
+            if not mu_is_scalar:
+                # padded steps' outputs are trimmed; any positive mu works
+                mu = jnp.pad(
+                    mu,
+                    ((0, 0), (0, 0), (0, 0), (0, t_pad - t)),
+                    constant_values=1.0,
+                )
+
+        gather_idx = jnp.asarray(
+            np.arange(f)[:, None] + np.arange(2 * n + 1)[None, :]
+        )  # [F, 2N+1]
+        layer_params = [layer[0] for layer in params["sb_model"]["rnn"]]
+        fc = params["sb_model"].get("fc")
+
+        def layer_scan(p, carry, h_seq):
+            w = jnp.concatenate([p["w_ih"], p["w_hh"]], axis=1)
+            bias = p["b_ih"] + p["b_hh"]
+
+            def step(cr, x_t):
+                h, c = cr
+                gates = jnp.concatenate([x_t, h], axis=-1) @ w.T + bias
+                i, fg, g, o = jnp.split(gates, 4, axis=-1)
+                c = jax.nn.sigmoid(fg) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+                h = jax.nn.sigmoid(o) * jnp.tanh(c)
+                return (h, c), h
+
+            return jax.lax.scan(step, carry, h_seq)
+
+        # [num_chunks, B, *, chunk] views
+        noisy_cs = noisy_pad.reshape(b, f + 2 * n, num_chunks, chunk)
+        fb_cs = fb_flat.reshape(b, f, num_chunks, chunk)
+        noisy_cs = jnp.transpose(noisy_cs, (2, 0, 1, 3))
+        fb_cs = jnp.transpose(fb_cs, (2, 0, 1, 3))
+        if mu_is_scalar:
+            mu_cs = jnp.broadcast_to(
+                mu[None, :, 0, 0, 0], (num_chunks, b)
+            )  # [C, B]
+        else:
+            mu_cs = jnp.transpose(
+                mu[:, :, 0].reshape(b, f, num_chunks, chunk), (2, 0, 1, 3)
+            )  # [C, B, F, chunk]
+
+        def chunk_body(states, inputs):
+            noisy_c, fb_c, mu_c = inputs  # [B, F+2N, K], [B, F, K], mu
+            units = noisy_c[:, gather_idx, :]  # [B, F, 2N+1, K]
+            sb_in = jnp.concatenate([units, fb_c[:, :, None, :]], axis=2)
+            if mu_is_scalar:
+                sb_in = sb_in / mu_c[:, None, None, None]
+            else:
+                sb_in = sb_in / mu_c[:, :, None, :]
+            k = sb_in.shape[-1]
+            # [B, F, 32, K] -> time-major [K, B·F, 32]
+            h_seq = (
+                jnp.transpose(sb_in, (3, 0, 1, 2))
+                .reshape(k, b * f, -1)
+                .astype(x.dtype)
+            )
+            new_states = []
+            for li, p in enumerate(layer_params):
+                st, h_seq = layer_scan(p, states[li], h_seq)
+                new_states.append(st)
+            if fc is not None:
+                h_seq = h_seq @ fc["weight"].T + fc["bias"]
+            return new_states, h_seq  # [K, B·F, 2]
+
+        h0 = jnp.zeros((b * f, hidden), x.dtype)
+        states0 = [(h0, h0) for _ in layer_params]
+        _, ys = jax.lax.scan(chunk_body, states0, (noisy_cs, fb_cs, mu_cs))
+        # ys: [num_chunks, chunk, B·F, 2] -> [B, 2, F, T]
+        ys = ys.reshape(t_pad, b, f, 2)[:t]
+        return jnp.transpose(ys, (1, 3, 2, 0))
