@@ -85,13 +85,21 @@ class FullSubNet:
     _FUSED_SB_THRESHOLD = 2**28
 
     def __call__(
-        self, params: dict, noisy_mag: jax.Array, dropping_band: bool = True
+        self,
+        params: dict,
+        noisy_mag: jax.Array,
+        dropping_band: bool = True,
+        sharding_hint=None,
     ) -> jax.Array:
         """noisy_mag [B, 1, F, T] -> cRM [B, 2, F', T].
 
         F' = F unless drop_band applies (training batches with B > 1 and
         ``dropping_band``), in which case F' = F // num_groups — matching
         the reference's train-time behavior (``fullsubnet/model.py:114-119``).
+
+        ``sharding_hint``: optional callable applied to the sub-band input
+        [B·F, unit, T] — multi-chip runs use it to spread the
+        frequency-batched axis over a (data, subband) mesh.
         """
         assert noisy_mag.ndim == 4
         x = jnp.pad(noisy_mag, ((0, 0), (0, 0), (0, 0), (0, self.look_ahead)))
@@ -120,7 +128,9 @@ class FullSubNet:
             and self.norm in (self._norms_fusable())
             and unfold_elems > self._FUSED_SB_THRESHOLD
         ):
-            sb_mask = self._fused_subband_stage(params, x, fb_output)
+            sb_mask = self._fused_subband_stage(
+                params, x, fb_output, sharding_hint
+            )
             return sb_mask[:, :, :, self.look_ahead :]
 
         # Unfold: [B, F, fb_unit, T] and [B, F, sb_unit, T]
@@ -146,6 +156,8 @@ class FullSubNet:
 
         sb_unit = (self.sb_num_neighbors * 2 + 1) + (self.fb_num_neighbors * 2 + 1)
         sb_input = sb_input.reshape(batch_size * num_freqs, sb_unit, num_frames)
+        if sharding_hint is not None:
+            sb_input = sharding_hint(sb_input)
 
         # One shared sub-band LSTM batched over all frequencies.
         sb_mask = self.sb_model(params["sb_model"], sb_input)  # [B*F, 2, T]
@@ -209,7 +221,7 @@ class FullSubNet:
         mu = run / counts_t[None, None, :]  # [B, F, T]
         return mu[:, :, None, :] + EPSILON
 
-    def _fused_subband_stage(self, params, x, fb_output):
+    def _fused_subband_stage(self, params, x, fb_output, sharding_hint=None):
         """Chunk-fused sub-band stage: per time chunk, gather the
         (2N+1)-bin units, concat the fb bin, normalize, and advance the
         sub-band LSTM layers — the full [B, F, 32, T] tensor never exists.
@@ -294,6 +306,11 @@ class FullSubNet:
                 .reshape(k, b * f, -1)
                 .astype(x.dtype)
             )
+            if sharding_hint is not None:
+                # hint expects [B·F, unit, T]; our chunk is time-major
+                h_seq = jnp.swapaxes(
+                    sharding_hint(jnp.swapaxes(h_seq, 0, 1)), 0, 1
+                )
             new_states = []
             for li, p in enumerate(layer_params):
                 st, h_seq = layer_scan(p, states[li], h_seq)
