@@ -83,6 +83,12 @@ class FullSubNet:
     # freq_unfold materialization dominates HBM; switch to the fused
     # sub-band pipeline that gathers/normalizes/scans chunk-by-chunk.
     _FUSED_SB_THRESHOLD = 2**28
+    # On TPU, run the sub-band scan through the Pallas fused kernel
+    # (weights resident in VMEM; ~1.4x the XLA chunked scan). The kernel
+    # input [T, unit, B·F] is materialized feature-major (unpadded layout),
+    # so cap it by element count.
+    use_pallas_subband = True
+    _PALLAS_SB_MAX_ELEMENTS = 2**31  # ~4 GB bf16
 
     def __call__(
         self,
@@ -221,6 +227,51 @@ class FullSubNet:
         mu = run / counts_t[None, None, :]  # [B, F, T]
         return mu[:, :, None, :] + EPSILON
 
+    def _pallas_subband(
+        self, params, noisy_pad, fb_flat, mu, mu_is_scalar, sharding_hint=None,
+        interpret=False,
+    ):
+        """Sub-band stage through the Pallas fused dual-LSTM kernel.
+
+        Builds the normalized kernel input feature-major ([T, unit, B·F] —
+        the layout that keeps the large axis minor/unpadded in HBM), then
+        runs both LSTM layers + the output head entirely on-chip.
+        """
+        from fullsubnet_tpu.ops.subband_lstm import fused_subband_lstm
+
+        b, fp_len, t = noisy_pad.shape
+        f = fb_flat.shape[1]
+        n = self.sb_num_neighbors
+        unit = 2 * n + 2
+
+        # stack shifted slices (no gather): [unit, B, F, T]
+        slices = [noisy_pad[:, u : u + f, :] for u in range(2 * n + 1)]
+        slices.append(fb_flat)
+        sb_in = jnp.stack(slices, axis=0)
+        # mu is [B,1,1,1] (offline) or [B,F,1,T] (cumulative); both squeeze
+        # to a broadcastable [1, B, F', T]
+        sb_in = sb_in / mu[None, :, :, 0, :]
+        # -> [T, unit, B·F]
+        sb_in = jnp.transpose(sb_in, (3, 0, 1, 2)).reshape(t, unit, b * f)
+        sb_in = sb_in.astype(noisy_pad.dtype)
+        if sharding_hint is not None:
+            # hint expects [B·F, unit, T]
+            sb_in = jnp.transpose(
+                sharding_hint(jnp.transpose(sb_in, (2, 1, 0))), (2, 1, 0)
+            )
+
+        layers = params["sb_model"]["rnn"]
+        out = fused_subband_lstm(
+            sb_in,
+            layers[0][0],
+            layers[1][0],
+            params["sb_model"]["fc"],
+            time_major_features=True,
+            interpret=interpret,
+        )  # [T, B·F, 2]
+        out = out.reshape(t, b, f, 2)
+        return jnp.transpose(out, (1, 3, 2, 0))  # [B, 2, F, T]
+
     def _fused_subband_stage(self, params, x, fb_output, sharding_hint=None):
         """Chunk-fused sub-band stage: per time chunk, gather the
         (2N+1)-bin units, concat the fb bin, normalize, and advance the
@@ -237,6 +288,16 @@ class FullSubNet:
         fb_flat = fb_output[:, 0]  # [B, F, T]
         mu = self._sb_norm_mu(noisy_pad, fb_flat)  # [B,1,1,1] or [B,F,1,T]
         mu_is_scalar = mu.shape[1] == 1
+
+        if (
+            self.use_pallas_subband
+            and len(params["sb_model"]["rnn"]) == 2
+            and jax.default_backend() != "cpu"
+            and b * f * (2 * n + 2) * t <= self._PALLAS_SB_MAX_ELEMENTS
+        ):
+            return self._pallas_subband(
+                params, noisy_pad, fb_flat, mu, mu_is_scalar, sharding_hint
+            )
 
         sb = self.sb_model
         hidden = sb.hidden_size

@@ -1,0 +1,80 @@
+"""Pallas fused sub-band LSTM kernel parity (interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fullsubnet_tpu.nn.init import linear_init
+from fullsubnet_tpu.nn.rnn import lstm_forward, lstm_init
+from fullsubnet_tpu.models import FullSubNet
+from fullsubnet_tpu.ops.subband_lstm import fused_subband_lstm
+
+
+def _reference(p, fc, x):
+    """Scan-LSTM reference: x [T, N, F] -> [T, N, out]."""
+    ref = lstm_forward(p, jnp.swapaxes(x, 0, 1)) @ fc["weight"].T + fc["bias"]
+    return jnp.swapaxes(ref, 0, 1)
+
+
+def test_kernel_matches_scan_reference():
+    T, N, F_in, H = 13, 20, 32, 48
+    p = lstm_init(jax.random.PRNGKey(0), F_in, H, num_layers=2)
+    fc = linear_init(jax.random.PRNGKey(1), H, 2)
+    x = jax.random.normal(jax.random.PRNGKey(2), (T, N, F_in))
+    ref = _reference(p, fc, x)
+    out = fused_subband_lstm(x, p[0][0], p[1][0], fc, row_tile=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_kernel_row_and_time_padding():
+    """N not divisible by row_tile and T not divisible by 8."""
+    T, N, F_in, H = 11, 13, 8, 16
+    p = lstm_init(jax.random.PRNGKey(3), F_in, H, num_layers=2)
+    fc = linear_init(jax.random.PRNGKey(4), H, 2)
+    x = jax.random.normal(jax.random.PRNGKey(5), (T, N, F_in))
+    ref = _reference(p, fc, x)
+    out = fused_subband_lstm(x, p[0][0], p[1][0], fc, row_tile=8, interpret=True)
+    assert out.shape == (T, N, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_kernel_time_major_features_layout():
+    T, N, F_in, H = 9, 16, 8, 16
+    p = lstm_init(jax.random.PRNGKey(6), F_in, H, num_layers=2)
+    fc = linear_init(jax.random.PRNGKey(7), H, 2)
+    x = jax.random.normal(jax.random.PRNGKey(8), (T, N, F_in))
+    a = fused_subband_lstm(x, p[0][0], p[1][0], fc, row_tile=8, interpret=True)
+    b = fused_subband_lstm(
+        jnp.swapaxes(x, 1, 2), p[0][0], p[1][0], fc,
+        row_tile=8, interpret=True, time_major_features=True,
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_model_pallas_branch_matches_forward():
+    """FullSubNet._pallas_subband (interpret) == standard forward."""
+    for norm in ("offline_laplace_norm", "cumulative_laplace_norm"):
+        model = FullSubNet(
+            num_freqs=33, sb_num_neighbors=3, fb_model_hidden_size=16,
+            sb_model_hidden_size=12, norm_type=norm,
+        )
+        params = model.init(jax.random.PRNGKey(0), weight_init=False)
+        x = jnp.asarray(
+            np.abs(
+                np.random.default_rng(0).standard_normal((2, 1, 33, 37))
+            ).astype(np.float32)
+        )
+        ref = model(params, x, dropping_band=False)
+
+        xx = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, model.look_ahead)))
+        fb_in = model.norm(xx).reshape(2, 33, -1)
+        fb_out = model.fb_model(params["fb_model"], fb_in).reshape(2, 1, 33, -1)
+        noisy_pad = jnp.pad(xx[:, 0], ((0, 0), (3, 3), (0, 0)), mode="reflect")
+        mu = model._sb_norm_mu(noisy_pad, fb_out[:, 0])
+        out = model._pallas_subband(
+            params, noisy_pad, fb_out[:, 0], mu, mu.shape[1] == 1,
+            interpret=True,
+        )[..., model.look_ahead :]
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )
