@@ -32,16 +32,18 @@ def build_pipeline(model_name: str, dtype):
     n_fft, hop, win = 512, 256, 512
 
     if model_name == "improved_fullsubnet":
-        model = MODEL_REGISTRY[model_name]()
+        # wave-to-wave model: fp32 STFT/iSTFT, low-precision recurrent stacks
+        model = MODEL_REGISTRY[model_name](compute_dtype=dtype)
         params = model.init(jax.random.PRNGKey(0), weight_init=False)
         params = jax.tree.map(lambda x: x.astype(dtype), params)
 
         def fn(params, noisy):
-            return model(params, noisy.astype(dtype)).astype(jnp.float32)
+            return model(params, noisy).astype(jnp.float32)
 
         return fn, params
 
-    model = MODEL_REGISTRY[model_name]()
+    defaults = {"fullband_baseline": dict(num_freqs=257, hidden_size=512)}
+    model = MODEL_REGISTRY[model_name](**defaults.get(model_name, {}))
     params = model.init(jax.random.PRNGKey(0), weight_init=False)
     params = jax.tree.map(lambda x: x.astype(dtype), params)
 

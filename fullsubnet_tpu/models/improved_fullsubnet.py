@@ -180,11 +180,15 @@ class ImprovedFullSubNet:
         fb_output_activate_function=None,
         sb_output_activate_function=None,
         norm_type: str = "offline_laplace_norm",
+        compute_dtype=None,
     ):
         self.n_fft = n_fft
         self.hop_length = hop_length
         self.win_length = win_length
         self.fdrc = fdrc
+        # optional low-precision policy for the recurrent stacks; the
+        # STFT/iSTFT and masking stay fp32
+        self.compute_dtype = compute_dtype
         self.num_freqs = num_freqs
         self.norm = norm_wrapper(norm_type)
 
@@ -232,6 +236,8 @@ class ImprovedFullSubNet:
         # Fullband (on FDRC-compressed magnitudes, last bin dropped)
         noisy_mag = noisy_mag**self.fdrc
         noisy_mag = noisy_mag[..., :-1, :]
+        if self.compute_dtype is not None:
+            noisy_mag = noisy_mag.astype(self.compute_dtype)
         b, c, f, t = noisy_mag.shape
         fb_input = self.norm(noisy_mag).reshape(b, f, t)
         fb_output = self.fb_model(params["fb_model"], fb_input)
@@ -239,6 +245,7 @@ class ImprovedFullSubNet:
 
         # Subband sections -> cRM over F-1 bins, pad the last bin with 0
         cRM = self.sb_model(params["sb_model"], noisy_mag, fb_output)
+        cRM = cRM.astype(jnp.float32)
         cRM = jnp.pad(cRM, ((0, 0), (0, 0), (0, 1), (0, 0)))
 
         # Masking + iSTFT. NOTE: the reference applies the mask elementwise
