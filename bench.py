@@ -70,6 +70,78 @@ def build_pipeline(model_name: str, dtype):
     return fn, params
 
 
+def bench_train(args):
+    """Full training step (STFT -> cIRM target -> fwd -> bwd -> Adam) on
+    the reference recipe shapes: 3.072 s crops, drop_band groups=2."""
+    import optax
+
+    from fullsubnet_tpu.acoustics.feature import drop_band
+    from fullsubnet_tpu.acoustics.mask import build_complex_ideal_ratio_mask
+    from fullsubnet_tpu.acoustics.stft import stft_complex
+    from fullsubnet_tpu.models import FullSubNet
+
+    model = FullSubNet()
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(1e-3))
+    opt_state = optimizer.init(params)
+    use_bf16 = args.dtype == "bf16"
+    groups = model.num_groups_in_drop_band
+
+    def loss_fn(p, noisy, clean):
+        if use_bf16:
+            p = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, p,
+            )
+        ns = stft_complex(noisy, 512, 256, 512)
+        cs = stft_complex(clean, 512, 256, 512)
+        cirm = build_complex_ideal_ratio_mask(ns.real, ns.imag, cs.real, cs.imag)
+        cirm = jnp.transpose(
+            drop_band(jnp.transpose(cirm, (0, 3, 1, 2)), groups), (0, 2, 3, 1)
+        )
+        mag = jnp.abs(ns)[:, None]
+        if use_bf16:
+            mag = mag.astype(jnp.bfloat16)
+        crm = model(p, mag)
+        crm = jnp.transpose(crm, (0, 2, 3, 1)).astype(jnp.float32)
+        return jnp.mean(jnp.square(crm - cirm))
+
+    @jax.jit
+    def step(p, o, noisy, clean):
+        loss, grads = jax.value_and_grad(loss_fn)(p, noisy, clean)
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        updates, o = optimizer.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    seconds = 3.072
+    num_samples = int(args.sr * seconds)
+    rng = np.random.default_rng(0)
+    noisy = jnp.asarray(rng.standard_normal((args.batch, num_samples)).astype(np.float32) * 0.1)
+    clean = jnp.asarray(rng.standard_normal((args.batch, num_samples)).astype(np.float32) * 0.1)
+
+    for _ in range(args.warmup):
+        params, opt_state, loss = step(params, opt_state, noisy, clean)
+        float(loss)
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        params, opt_state, loss = step(params, opt_state, noisy, clean)
+        float(loss)  # host sync
+        times.append(time.perf_counter() - t0)
+
+    sec_per_step = float(np.median(times))
+    print(
+        json.dumps(
+            {
+                "metric": f"train_step_fullsubnet_{args.dtype}_b{args.batch}",
+                "value": round(args.batch * seconds / sec_per_step, 2),
+                "unit": "audio_sec_trained_per_sec_per_chip",
+                "vs_baseline": round(1.0 / sec_per_step, 4),
+            }
+        )
+    )
+
+
 def bench_streaming(args):
     """Single-frame streaming step latency: one 16 ms hop per step."""
     from fullsubnet_tpu.infer.streaming import StreamingFullSubNet
@@ -120,10 +192,17 @@ def main():
         "--streaming", action="store_true",
         help="benchmark the single-frame streaming step (latency per hop)",
     )
+    p.add_argument(
+        "--train", action="store_true",
+        help="benchmark the jitted training step (fwd+bwd+Adam)",
+    )
     args = p.parse_args()
 
     if args.streaming:
         bench_streaming(args)
+        return
+    if args.train:
+        bench_train(args)
         return
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32

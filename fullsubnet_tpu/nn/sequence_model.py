@@ -161,7 +161,11 @@ class SequenceModel:
 
             return jax.lax.scan(step, carry, h_seq)
 
+        @jax.checkpoint
         def chunk_body(states, x_chunk):
+            # rematerialized: backward stores only chunk-boundary states and
+            # recomputes in-chunk activations, so training memory is
+            # O(T/chunk · state) instead of O(T · 4H) per layer
             h_seq = x_chunk  # [chunk, B, F]
             new_states = []
             for li, p in enumerate(layer_params):
