@@ -131,9 +131,14 @@ class Trainer:
             config["train_dataset"], "train"
         )
         dl_cfg = config["train_dataset"].get("dataloader", {})
+        batch_size = int(dl_cfg.get("batch_size", 32))
+        assert batch_size % self.num_devices == 0, (
+            f"batch_size={batch_size} must be divisible by the number of "
+            f"devices on the data axis ({self.num_devices})."
+        )
         self.train_loader = DataLoader(
             self.train_dataset,
-            batch_size=int(dl_cfg.get("batch_size", 32)),
+            batch_size=batch_size,
             shuffle=True,
             drop_last=bool(dl_cfg.get("drop_last", True)),
             num_workers=int(dl_cfg.get("num_workers", 0)),
@@ -373,9 +378,12 @@ class Trainer:
         (reference ``base_trainer.py:277-314``)."""
         if self.writer is None:
             return
-        self.writer.add_audio(f"Audio/{name}_Noisy", noisy[:, None], epoch, sample_rate=sr)
-        self.writer.add_audio(f"Audio/{name}_Enhanced", enhanced[:, None], epoch, sample_rate=sr)
-        self.writer.add_audio(f"Audio/{name}_Clean", clean[:, None], epoch, sample_rate=sr)
+        try:  # tensorboardX audio encoding needs soundfile; optional
+            self.writer.add_audio(f"Audio/{name}_Noisy", noisy[:, None], epoch, sample_rate=sr)
+            self.writer.add_audio(f"Audio/{name}_Enhanced", enhanced[:, None], epoch, sample_rate=sr)
+            self.writer.add_audio(f"Audio/{name}_Clean", clean[:, None], epoch, sample_rate=sr)
+        except Exception:
+            pass
 
         try:
             import matplotlib

@@ -1,0 +1,171 @@
+"""Trainer validation epoch: metrics, visualization, best-epoch selection."""
+
+import numpy as np
+import pytest
+
+from fullsubnet_tpu.data.wavio import write_wav
+
+TOML = """
+[meta]
+save_dir = "{save_dir}"
+seed = 0
+use_amp = false
+
+[acoustics]
+n_fft = 320
+win_length = 320
+sr = 16000
+hop_length = 160
+
+[loss_function]
+name = "mse_loss"
+
+[optimizer]
+lr = 0.001
+
+[train_dataset]
+path = "dataset_train.Dataset"
+[train_dataset.args]
+clean_dataset = "{scp}"
+noise_dataset = "{scp_noise}"
+rir_dataset = "{scp_rir}"
+reverb_proportion = 0.0
+silence_length = 0.1
+snr_range = [5, 10]
+sr = 16000
+sub_sample_length = 0.4
+target_dB_FS = -25
+target_dB_FS_floating_value = 5
+
+[train_dataset.dataloader]
+batch_size = 8
+num_workers = 0
+drop_last = true
+
+[validation_dataset]
+path = "dataset_validation.Dataset"
+[validation_dataset.args]
+dataset_dir_list = ["{val_with}", "{val_no}"]
+sr = 16000
+
+[model]
+path = "fullsubnet.model.Model"
+[model.args]
+sb_num_neighbors = 2
+fb_num_neighbors = 0
+num_freqs = 161
+look_ahead = 2
+sequence_model = "LSTM"
+fb_output_activate_function = "ReLU"
+sb_output_activate_function = false
+fb_model_hidden_size = 12
+sb_model_hidden_size = 8
+weight_init = true
+norm_type = "offline_laplace_norm"
+num_groups_in_drop_band = 2
+
+[trainer]
+path = "trainer.Trainer"
+[trainer.train]
+clip_grad_norm_value = 10
+epochs = 1
+save_checkpoint_interval = 1
+[trainer.validation]
+save_max_metric_score = true
+validation_interval = 1
+[trainer.visualization]
+n_samples = 2
+num_workers = 2
+"""
+
+
+@pytest.fixture
+def full_setup(tmp_path):
+    sr = 16000
+    rng = np.random.default_rng(0)
+    t = np.arange(sr) / sr
+    speech = (0.4 * np.sin(2 * np.pi * 300 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+
+    clean_dir = tmp_path / "clean"
+    clean_dir.mkdir()
+    paths = []
+    for i in range(8):
+        p = clean_dir / f"c{i}.wav"
+        write_wav(p, speech, sr)
+        paths.append(str(p))
+    (tmp_path / "clean.txt").write_text("\n".join(paths) + "\n")
+    noise_p = tmp_path / "n.wav"
+    write_wav(noise_p, (0.05 * rng.standard_normal(sr)).astype(np.float32), sr)
+    (tmp_path / "noise.txt").write_text(str(noise_p) + "\n")
+    rir = np.zeros(100, np.float32); rir[0] = 1
+    rir_p = tmp_path / "r.wav"
+    write_wav(rir_p, rir, sr)
+    (tmp_path / "rir.txt").write_text(str(rir_p) + "\n")
+
+    # validation layout with BOTH splits
+    for cond in ("with_reverb", "no_reverb"):
+        nd = tmp_path / "val" / cond / "noisy"
+        cd = tmp_path / "val" / cond / "clean"
+        nd.mkdir(parents=True); cd.mkdir(parents=True)
+        write_wav(nd / f"clnsp1_x_snr10_tl-25_fileid_0.wav",
+                  speech + 0.1 * rng.standard_normal(sr).astype(np.float32), sr)
+        write_wav(cd / "clean_fileid_0.wav", speech, sr)
+
+    cfg = TOML.format(
+        save_dir=str(tmp_path / "exp"),
+        scp=str(tmp_path / "clean.txt"),
+        scp_noise=str(tmp_path / "noise.txt"),
+        scp_rir=str(tmp_path / "rir.txt"),
+        val_with=str(tmp_path / "val" / "with_reverb"),
+        val_no=str(tmp_path / "val" / "no_reverb"),
+    )
+    cfg_path = tmp_path / "cfg.toml"
+    cfg_path.write_text(cfg)
+    return cfg_path, tmp_path
+
+
+def test_full_train_loop_with_validation(full_setup):
+    """trainer.train(): one epoch incl. validation, checkpointing, best."""
+    cfg_path, tmp_path = full_setup
+    from fullsubnet_tpu.config import load_config
+    from fullsubnet_tpu.train.trainer import Trainer
+
+    trainer = Trainer(load_config(cfg_path), experiment_name="valtest")
+    trainer.train()
+    # validation produced a score and the best checkpoint was saved
+    assert trainer.ckpt.has("latest")
+    assert trainer.ckpt.has("best")
+    assert float(np.asarray(trainer.state["best_score"])) > 0.0
+    # TB logs written
+    assert any((tmp_path / "exp" / "valtest" / "logs").iterdir())
+
+
+def test_only_validation_mode(full_setup):
+    cfg_path, _ = full_setup
+    from fullsubnet_tpu.config import load_config
+    from fullsubnet_tpu.train.trainer import Trainer
+
+    trainer = Trainer(
+        load_config(cfg_path), only_validation=True, experiment_name="valonly"
+    )
+    trainer.train()  # runs a single validation pass, must not crash
+    assert trainer.ckpt.has("best")  # first score is always the best
+
+
+def test_validation_score_uses_with_reverb_split(full_setup):
+    """Model selection score comes from the With_reverb split (reference
+    fullsubnet/trainer.py:181)."""
+    cfg_path, _ = full_setup
+    from fullsubnet_tpu.config import load_config
+    from fullsubnet_tpu.train.trainer import Trainer
+
+    trainer = Trainer(load_config(cfg_path), experiment_name="score")
+    rows = [
+        (np.ones(1600, np.float32), np.ones(1600, np.float32),
+         np.ones(1600, np.float32), "With_reverb"),
+        (np.ones(1600, np.float32), np.ones(1600, np.float32),
+         np.ones(1600, np.float32), "No_reverb"),
+    ]
+    # degenerate rows -> STOI fallback path must still compute
+    score = trainer.metrics_visualization(rows, epoch=1)
+    assert np.isfinite(score)
