@@ -88,6 +88,9 @@ class SubbandModel:
         self.fb_num_center_freqs = list(fb_num_center_freqs)
         self.fb_num_neighbor_freqs = list(fb_num_neighbor_freqs)
         self.norm = norm_wrapper(norm_type)
+        # Pallas kernel path for the section LSTMs (inference; the kernel
+        # has no custom VJP, so training must disable it)
+        self.use_pallas = True
         self.sb_models = [
             SequenceModel(
                 input_size=(sc + 2 * sn) + (fc + 2 * fn),
@@ -149,7 +152,29 @@ class SubbandModel:
             n_units = sb_in.shape[1]
             width = sb_in.shape[-2]
             flat = sb_in.reshape(b * n_units, width, t)
-            out = sb_model(params["sb_models"][sb_idx], flat)
+            sb_params = params["sb_models"][sb_idx]
+            rows = b * n_units
+            if (
+                self.use_pallas
+                and jax.default_backend() != "cpu"
+                and len(sb_params["rnn"]) == 2
+                and not sb_model.output_activate_function
+                and rows >= 128  # row-tile padding waste dominates below
+            ):
+                # Pallas fused dual-LSTM kernel (weights resident in VMEM);
+                # tile sized to the section so lane padding stays small
+                from fullsubnet_tpu.ops.subband_lstm import fused_subband_lstm
+
+                out = fused_subband_lstm(
+                    jnp.transpose(flat, (2, 0, 1)),  # [T, B·N, width]
+                    sb_params["rnn"][0][0],
+                    sb_params["rnn"][1][0],
+                    sb_params["fc"],
+                    row_tile=min(512, -(-rows // 128) * 128),
+                )  # [T, B·N, 2c]
+                out = jnp.transpose(out, (1, 2, 0))  # [B·N, 2c, T]
+            else:
+                out = sb_model(sb_params, flat)
             # -> [B, N, 2, c, T] -> [B, 2, N·c, T]
             out = out.reshape(b, n_units, 2, -1, t)
             out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(b, 2, -1, t)

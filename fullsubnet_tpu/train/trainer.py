@@ -169,7 +169,12 @@ class Trainer:
     def _is_waveform_model(self) -> bool:
         from fullsubnet_tpu.models import ImprovedFullSubNet
 
-        return isinstance(self.model, ImprovedFullSubNet)
+        if isinstance(self.model, ImprovedFullSubNet):
+            # the Pallas section kernel has no custom VJP; train on the
+            # differentiable scan path
+            self.model.sb_model.use_pallas = False
+            return True
+        return False
 
     def _build_train_step(self):
         a = self.acoustics
