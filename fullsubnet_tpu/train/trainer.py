@@ -498,6 +498,7 @@ class Trainer:
         return self.metrics_visualization(rows, epoch)
 
     def train(self):
+        self._install_preemption_hook()
         start_epoch = int(np.asarray(self.state["epoch"])) + 1
         for epoch in range(start_epoch, self.epochs + 1):
             print(f"{'=' * 15} epoch {epoch} {'=' * 15}")
@@ -525,3 +526,24 @@ class Trainer:
                     self._save_checkpoint(epoch, is_best=True)
 
             print(f"[{timer.duration():.2f} seconds] This epoch is finished.")
+
+    def _install_preemption_hook(self):
+        """TPU-pod preemption safety: on SIGTERM, write a resumable
+        ``latest`` checkpoint before exiting (the reference's only recovery
+        is manual restart with -R; here the restart always has a fresh
+        resume point)."""
+        import signal
+        import sys
+
+        def handler(signum, frame):
+            epoch = int(np.asarray(self.state["epoch"]))
+            print(f"SIGTERM received: checkpointing epoch {epoch} before exit.")
+            try:
+                self._save_checkpoint(epoch, is_best=False)
+            finally:
+                sys.exit(143)
+
+        try:
+            signal.signal(signal.SIGTERM, handler)
+        except ValueError:
+            pass  # not in the main thread (tests)
