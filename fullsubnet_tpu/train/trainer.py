@@ -265,7 +265,24 @@ class Trainer:
 
             key = _model_key_from_path(self.config["model"].get("path", ""))
             state_dict = load_torch_state_dict(path)
-            self.state["params"] = CONVERTERS[key](state_dict)
+            loaded = CONVERTERS[key](state_dict)
+            mismatches = [
+                (jax.tree_util.keystr(kp), tuple(cur.shape), tuple(new.shape))
+                for (kp, cur), new in zip(
+                    jax.tree_util.tree_flatten_with_path(self.state["params"])[0],
+                    jax.tree.leaves(loaded),
+                )
+                if tuple(cur.shape) != tuple(new.shape)
+            ]
+            if mismatches:
+                details = "; ".join(
+                    f"{k}: model {a} vs checkpoint {b}" for k, a, b in mismatches[:5]
+                )
+                raise ValueError(
+                    f"Preloaded checkpoint {path} does not match the "
+                    f"configured model architecture: {details}"
+                )
+            self.state["params"] = loaded
         print(f"Model preloaded successfully from {path}.")
 
     def _save_checkpoint(self, epoch: int, is_best: bool):
