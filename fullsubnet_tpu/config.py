@@ -30,6 +30,7 @@ def _models():
         FullBandModel,
         FullSubNet,
         ImprovedFullSubNet,
+        SubBandBaseline,
     )
 
     return {
@@ -38,6 +39,8 @@ def _models():
         "fullband_baseline": FullBandModel,
         "fast_fullsubnet": FastFullSubNet,
         "improved_fullsubnet": ImprovedFullSubNet,
+        "subband_baseline": SubBandBaseline,
+        "subband_baseline.model.Model": SubBandBaseline,
         # reference dotted paths (recipe configs use these)
         "fullsubnet.model.Model": FullSubNet,
         "fullband_baseline.model.Model": FullBandModel,
