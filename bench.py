@@ -31,6 +31,24 @@ def build_pipeline(model_name: str, dtype):
 
     n_fft, hop, win = 512, 256, 512
 
+    if model_name == "improved_fullsubnet_48k":
+        model = MODEL_REGISTRY["improved_fullsubnet"](
+            n_fft=960, hop_length=480, win_length=960, num_freqs=481,
+            freq_cutoffs=[20, 120, 240],
+            sb_num_center_freqs=[1, 4, 20, 60],
+            sb_num_neighbor_freqs=[15, 15, 15, 15],
+            fb_num_center_freqs=[1, 4, 20, 60],
+            fb_num_neighbor_freqs=[15, 15, 15, 15],
+            compute_dtype=dtype,
+        )
+        params = model.init(jax.random.PRNGKey(0), weight_init=False)
+        params = jax.tree.map(lambda x: x.astype(dtype), params)
+
+        def fn(params, noisy):
+            return model(params, noisy).astype(jnp.float32)
+
+        return fn, params
+
     if model_name == "improved_fullsubnet":
         # wave-to-wave model: fp32 STFT/iSTFT, low-precision recurrent stacks
         model = MODEL_REGISTRY[model_name](compute_dtype=dtype)

@@ -44,6 +44,15 @@ def main(argv=None):
     if args.preloaded_model_path is not None:
         assert not args.resume, "The 'resume' conflicts with 'preloaded_model_path'."
 
+    # multi-host TPU pods: one process per host; the JAX runtime wires the
+    # mesh (replaces torchrun + NCCL rendezvous)
+    import os
+
+    if os.environ.get("FULLSUBNET_DISTRIBUTED", "").lower() in ("1", "true"):
+        import jax
+
+        jax.distributed.initialize()
+
     config = load_config(args.configuration)
     seed = int(config.get("meta", {}).get("seed", 0))
     random.seed(seed)
