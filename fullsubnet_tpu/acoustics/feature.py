@@ -51,6 +51,23 @@ def freq_unfold(x: jax.Array, num_neighbors: int) -> jax.Array:
     return jnp.transpose(units, (0, 2, 1, 3, 4))  # [B, F, C, size, T]
 
 
+def unfold_along_time(x: jax.Array, context_size: int) -> jax.Array:
+    """Split overlapped time-context chunks from a spectrogram.
+
+    x: [B, C, F, T] -> [B, N_chunks, C, F, context_size+1] where chunk i
+    holds frames (i-N, ..., i-1, i) with no padding (the inference twin of
+    the reference's ``_unfold_along_time``,
+    ``audio_zen/inferencer/base_inferencer.py:110-142``).
+    """
+    assert x.ndim == 4, f"The dims of input is {x.ndim}. It should be 4."
+    b, c, f, t = x.shape
+    chunk_size = context_size + 1
+    num_chunks = t - context_size
+    idx = np.arange(num_chunks)[:, None] + np.arange(chunk_size)[None, :]
+    chunks = x[..., idx]  # [B, C, F, N, chunk]
+    return jnp.transpose(chunks, (0, 3, 1, 2, 4))
+
+
 def drop_band(x: jax.Array, num_groups: int = 2) -> jax.Array:
     """Interleaved frequency subsampling across batch groups.
 
