@@ -140,6 +140,99 @@ class StreamingFullSubNet:
         return jnp.transpose(crms[self.look_ahead :], (1, 2, 0))  # [2, F, T]
 
 
+class StreamingEnhancer:
+    """Push-based wave-in/wave-out real-time enhancer.
+
+    Wires streaming STFT framing (with the offline pipeline's reflect
+    center-pad reproduced at stream start), the :class:`StreamingFullSubNet`
+    engine, the 2-frame look-ahead delay, cIRM decompression/masking, and
+    the streaming OLA iSTFT. Feed hop-sized sample blocks; receive
+    hop-sized enhanced blocks after an algorithmic latency of
+    ``(1 + look_ahead) · hop`` samples plus the OLA hop.
+
+    Matches the offline ``full_band_crm_mask`` pipeline (cumulative-norm
+    checkpoints) in the steady-state interior.
+    """
+
+    def __init__(self, model: FullSubNet, params, n_fft=512, hop_length=256):
+        from fullsubnet_tpu.acoustics.mask import decompress_cIRM
+
+        self.engine = StreamingFullSubNet(model, params)
+        self.n_fft = n_fft
+        self.hop = hop_length
+        self.window = hann_window(n_fft)
+        self.ola = StreamingISTFT(n_fft, hop_length)
+        self._decompress = decompress_cIRM
+        self.look_ahead = model.look_ahead
+
+    def init_state(self):
+        return {
+            "samples": np.zeros(0, np.float32),  # host-side frame buffer
+            "started": False,
+            "engine": self.engine.init_state(),
+            "spec_delay": [],  # complex frames awaiting their mask
+            "ola": self.ola.init_state(),
+        }
+
+    def _emit(self, state, spec_frame):
+        """Advance the engine one frame; mask + OLA the delayed frame."""
+        state["spec_delay"].append(spec_frame)
+        eng, crm = self.engine.step(state["engine"], jnp.abs(spec_frame))
+        state["engine"] = eng
+        if len(state["spec_delay"]) <= self.look_ahead:
+            return None  # warm-up: masks so far belong to future frames
+        target = state["spec_delay"].pop(0)
+        crm = self._decompress(crm)  # [2, F]
+        er = crm[0] * target.real - crm[1] * target.imag
+        ei = crm[1] * target.real + crm[0] * target.imag
+        state["ola"], out = self.ola.push(
+            state["ola"], jax.lax.complex(er, ei)
+        )
+        return np.asarray(out)
+
+    def push(self, state, samples: np.ndarray):
+        """Feed samples; returns (state, enhanced np.ndarray (maybe empty))."""
+        if not state["started"]:
+            state["samples"] = np.concatenate(
+                [state["samples"], np.asarray(samples, np.float32)]
+            )
+            pad = self.n_fft // 2
+            if len(state["samples"]) < pad + 1:  # reflect needs pad+1 samples
+                return state, np.zeros(0, np.float32)
+            # offline center reflect-pad, reproduced causally at start
+            head = state["samples"][1 : pad + 1][::-1]
+            state["samples"] = np.concatenate([head, state["samples"]])
+            state["started"] = True
+        else:
+            state["samples"] = np.concatenate(
+                [state["samples"], np.asarray(samples, np.float32)]
+            )
+
+        outs = []
+        while len(state["samples"]) >= self.n_fft:
+            frame = state["samples"][: self.n_fft] * np.asarray(self.window)
+            state["samples"] = state["samples"][self.hop :]
+            spec = jnp.fft.rfft(jnp.asarray(frame))
+            out = self._emit(state, spec)
+            if out is not None:
+                outs.append(out)
+        return state, (
+            np.concatenate(outs) if outs else np.zeros(0, np.float32)
+        )
+
+    def flush(self, state, remaining_padding: int | None = None):
+        """End of stream: push zeros until all buffered frames are emitted."""
+        outs = []
+        flush_blocks = 2 + self.look_ahead + self.n_fft // self.hop
+        for _ in range(flush_blocks):
+            state, out = self.push(state, np.zeros(self.hop, np.float32))
+            if len(out):
+                outs.append(out)
+        return state, (
+            np.concatenate(outs) if outs else np.zeros(0, np.float32)
+        )
+
+
 class StreamingISTFT:
     """Streaming inverse STFT via overlap-add with hop-sized output chunks.
 

@@ -127,3 +127,41 @@ def test_streaming_full_pipeline_reconstructs():
     wave = np.concatenate(outs)
     assert np.isfinite(wave).all()
     assert wave.shape[0] == spec.shape[-1] * hop
+
+
+def test_streaming_enhancer_matches_offline_pipeline():
+    """Push-based wave-in/wave-out enhancer == offline full_band_crm_mask
+    (cumulative-norm model) in the interior."""
+    from fullsubnet_tpu.acoustics.mask import decompress_cIRM
+    from fullsubnet_tpu.infer.streaming import StreamingEnhancer
+
+    n_fft, hop = 64, 32
+    model, params = _tiny_model()
+    rng = np.random.default_rng(7)
+    wave = (0.3 * rng.standard_normal(4096)).astype(np.float32)
+
+    spec = stft_complex(jnp.asarray(wave)[None], n_fft, hop, n_fft)
+    crm = model(params, jnp.abs(spec)[:, None], dropping_band=False)
+    crm = decompress_cIRM(jnp.transpose(crm, (0, 2, 3, 1)))
+    er = crm[..., 0] * spec.real - crm[..., 1] * spec.imag
+    ei = crm[..., 1] * spec.real + crm[..., 0] * spec.imag
+    offline = np.asarray(
+        istft((er, ei), n_fft, hop, n_fft, length=4096, input_type="real_imag")
+    )[0]
+
+    enh = StreamingEnhancer(model, params, n_fft, hop)
+    state = enh.init_state()
+    chunks = []
+    for i in range(0, 4096, hop):
+        state, out = enh.push(state, wave[i : i + hop])
+        if len(out):
+            chunks.append(out)
+    state, out = enh.flush(state)
+    if len(out):
+        chunks.append(out)
+    stream = np.concatenate(chunks)
+
+    pad = n_fft // 2
+    a = stream[pad : pad + 3800]
+    b = offline[:3800]
+    np.testing.assert_allclose(a[200:], b[200:3800], atol=1e-3)
