@@ -366,34 +366,46 @@ class Trainer:
             self._log_scalar("Loss/Train", loss_total / num_batches, epoch)
         return loss_total / max(num_batches, 1)
 
-    def _enhance_utterance(self, noisy: np.ndarray):
-        """Full enhancement of one utterance (cIRM path), host API."""
+    def _build_enhance_fn(self):
+        """Jitted full enhancement (compiled once per utterance length)."""
         a = self.acoustics
-        params = self.state["params"]
-        noisy_j = jnp.asarray(noisy)[None]
-        spec = stft_complex(noisy_j, a["n_fft"], a["hop_length"], a["win_length"])
-        noisy_mag = jnp.abs(spec)[:, None]
-        if self._is_waveform_model():
-            return np.asarray(self.model(params, noisy_j)[0, 0]), 0.0
+        model = self.model
+        waveform = self._is_waveform_model()
         from fullsubnet_tpu.models import FullSubNet
 
-        kwargs = (
-            {"dropping_band": False} if isinstance(self.model, FullSubNet) else {}
+        kwargs = {"dropping_band": False} if isinstance(model, FullSubNet) else {}
+
+        def fn(params, noisy_j):
+            if waveform:
+                return model(params, noisy_j)[:, 0]
+            spec = stft_complex(
+                noisy_j, a["n_fft"], a["hop_length"], a["win_length"]
+            )
+            noisy_mag = jnp.abs(spec)[:, None]
+            crm = model(params, noisy_mag, **kwargs)
+            crm = decompress_cIRM(jnp.transpose(crm, (0, 2, 3, 1)))
+            er = crm[..., 0] * spec.real - crm[..., 1] * spec.imag
+            ei = crm[..., 1] * spec.real + crm[..., 0] * spec.imag
+            return istft(
+                (er, ei),
+                a["n_fft"],
+                a["hop_length"],
+                a["win_length"],
+                length=noisy_j.shape[-1],
+                input_type="real_imag",
+            )
+
+        return jax.jit(fn)
+
+    def _enhance_utterance(self, noisy: np.ndarray):
+        """Full enhancement of one utterance, host API (jit-cached per
+        utterance length)."""
+        if not hasattr(self, "_enhance_fn"):
+            self._enhance_fn = self._build_enhance_fn()
+        enhanced = self._enhance_fn(
+            self.state["params"], jnp.asarray(noisy)[None]
         )
-        crm = self.model(params, noisy_mag, **kwargs)
-        crm = jnp.transpose(crm, (0, 2, 3, 1))
-        crm = decompress_cIRM(crm)
-        er = crm[..., 0] * spec.real - crm[..., 1] * spec.imag
-        ei = crm[..., 1] * spec.real + crm[..., 0] * spec.imag
-        enhanced = istft(
-            (er, ei),
-            a["n_fft"],
-            a["hop_length"],
-            a["win_length"],
-            length=noisy.shape[-1],
-            input_type="real_imag",
-        )
-        return np.asarray(enhanced[0]), float(jnp.mean(jnp.square(er)))
+        return np.asarray(enhanced[0]), 0.0
 
     def spec_audio_visualization(self, noisy, enhanced, clean, name, epoch, sr):
         """Audio clips + magma spectrogram triptych to TensorBoard
