@@ -40,16 +40,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(
     x_ref,      # [1, F_in, TILE]
-    w1_ref,     # [F_in + H, 4H]
-    b1_ref,     # [1, 4H]
-    w2_ref,     # [H + H, 4H]
-    b2_ref,     # [1, 4H]
+    w1_ref,     # [F_in + H, G·H]
+    b1_ref,     # [1, G·H] (+ for GRU a second row with b_hh)
+    w2_ref,     # [H + H, G·H]
+    b2_ref,     # [1|2, G·H]
     wfc_ref,    # [H, OUT]
     bfc_ref,    # [1, OUT]
-    out_ref,    # [OUT, 1, TILE]
-    h1, c1, h2, c2,  # scratch [TILE, H] f32
+    out_ref,    # [OUT, 8, TILE]
+    h1, c1, h2, c2,  # scratch [TILE, H] f32 (c unused for GRU)
     *,
     hidden: int,
+    cell: str,
 ):
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -74,9 +75,34 @@ def _kernel(
         h_ref[:] = h
         return h
 
+    def gru_step(x_t, h_ref, _c_ref, w_ref, b_ref):
+        # torch GRU: the reset gate scales (W_hn h + b_hn), so the x and h
+        # projections stay separate; w_ref stacks [W_ih^T; W_hh^T],
+        # b_ref rows = (b_ih, b_hh)
+        f_in = x_t.shape[-1]
+        xw = (
+            jnp.dot(x_t, w_ref[:f_in], preferred_element_type=jnp.float32)
+            + b_ref[0]
+        )
+        hw = jnp.dot(
+            h_ref[:].astype(x_t.dtype), w_ref[f_in:],
+            preferred_element_type=jnp.float32,
+        )
+        b_hh = b_ref[1]
+        rz = jax.nn.sigmoid(
+            xw[:, : 2 * hidden] + hw[:, : 2 * hidden] + b_hh[: 2 * hidden]
+        )
+        r = rz[:, :hidden]
+        z = rz[:, hidden:]
+        n = jnp.tanh(xw[:, 2 * hidden :] + r * (hw[:, 2 * hidden :] + b_hh[2 * hidden :]))
+        h = (1.0 - z) * n + z * h_ref[:]
+        h_ref[:] = h
+        return h
+
+    step = lstm_step if cell == "lstm" else gru_step
     x_t = x_ref[0].T  # [TILE, F_in]
-    h1_t = lstm_step(x_t, h1, c1, w1_ref, b1_ref)
-    h2_t = lstm_step(h1_t.astype(x_t.dtype), h2, c2, w2_ref, b2_ref)
+    h1_t = step(x_t, h1, c1, w1_ref, b1_ref)
+    h2_t = step(h1_t.astype(x_t.dtype), h2, c2, w2_ref, b2_ref)
     out = (
         jnp.dot(
             h2_t.astype(wfc_ref.dtype), wfc_ref[:],
@@ -119,13 +145,20 @@ def fused_subband_lstm(
         x = jnp.swapaxes(x, 1, 2)  # -> [T, F_in, N]
     t, f_in, n = x.shape
     hidden = l1["w_hh"].shape[1]
+    num_gates = l1["w_ih"].shape[0] // hidden
+    cell = {4: "lstm", 3: "gru"}[num_gates]
     out_dim = fc["weight"].shape[0]
     compute_dtype = x.dtype
 
+    # [W_ih^T stacked over W_hh^T] -> one [in+H, G·H] operand per layer
     w1 = jnp.concatenate([l1["w_ih"], l1["w_hh"]], axis=1).T.astype(compute_dtype)
-    b1 = (l1["b_ih"] + l1["b_hh"]).astype(jnp.float32)[None, :]
     w2 = jnp.concatenate([l2["w_ih"], l2["w_hh"]], axis=1).T.astype(compute_dtype)
-    b2 = (l2["b_ih"] + l2["b_hh"]).astype(jnp.float32)[None, :]
+    if cell == "lstm":
+        b1 = (l1["b_ih"] + l1["b_hh"]).astype(jnp.float32)[None, :]
+        b2 = (l2["b_ih"] + l2["b_hh"]).astype(jnp.float32)[None, :]
+    else:  # GRU keeps b_ih / b_hh separate (reset gate scales W_hn h + b_hn)
+        b1 = jnp.stack([l1["b_ih"], l1["b_hh"]]).astype(jnp.float32)
+        b2 = jnp.stack([l2["b_ih"], l2["b_hh"]]).astype(jnp.float32)
     wfc = fc["weight"].T.astype(compute_dtype)  # [H, OUT]
     bfc = fc["bias"].astype(jnp.float32)[None, :]
 
@@ -136,7 +169,7 @@ def fused_subband_lstm(
     num_tiles = n_pad // row_tile
 
     out = pl.pallas_call(
-        functools.partial(_kernel, hidden=hidden),
+        functools.partial(_kernel, hidden=hidden, cell=cell),
         grid=(num_tiles, t_pad),
         in_specs=[
             pl.BlockSpec(
@@ -145,11 +178,11 @@ def fused_subband_lstm(
             ),
             pl.BlockSpec((w1.shape[0], w1.shape[1]), lambda r, tt: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b1.shape[1]), lambda r, tt: (0, 0),
+            pl.BlockSpec((b1.shape[0], b1.shape[1]), lambda r, tt: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w2.shape[0], w2.shape[1]), lambda r, tt: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b2.shape[1]), lambda r, tt: (0, 0),
+            pl.BlockSpec((b2.shape[0], b2.shape[1]), lambda r, tt: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, out_dim), lambda r, tt: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -78,3 +78,44 @@ def test_model_pallas_branch_matches_forward():
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
         )
+
+
+def test_kernel_gru_matches_scan_reference():
+    from fullsubnet_tpu.nn.rnn import gru_forward, gru_init
+
+    T, N, F_in, H = 13, 20, 32, 48
+    p = gru_init(jax.random.PRNGKey(0), F_in, H, num_layers=2)
+    fc = linear_init(jax.random.PRNGKey(1), H, 2)
+    x = jax.random.normal(jax.random.PRNGKey(2), (T, N, F_in))
+    ref = gru_forward(p, jnp.swapaxes(x, 0, 1)) @ fc["weight"].T + fc["bias"]
+    ref = jnp.swapaxes(ref, 0, 1)
+    out = fused_subband_lstm(x, p[0][0], p[1][0], fc, row_tile=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_model_pallas_branch_gru():
+    """FullSubNet configured with GRU also routes through the kernel."""
+    model = FullSubNet(
+        num_freqs=33, sb_num_neighbors=3, fb_model_hidden_size=16,
+        sb_model_hidden_size=12, sequence_model="GRU",
+        norm_type="cumulative_laplace_norm",
+    )
+    params = model.init(jax.random.PRNGKey(0), weight_init=False)
+    x = jnp.asarray(
+        np.abs(np.random.default_rng(0).standard_normal((2, 1, 33, 37))).astype(
+            np.float32
+        )
+    )
+    ref = model(params, x, dropping_band=False)
+
+    xx = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, model.look_ahead)))
+    fb_in = model.norm(xx).reshape(2, 33, -1)
+    fb_out = model.fb_model(params["fb_model"], fb_in).reshape(2, 1, 33, -1)
+    noisy_pad = jnp.pad(xx[:, 0], ((0, 0), (3, 3), (0, 0)), mode="reflect")
+    mu = model._sb_norm_mu(noisy_pad, fb_out[:, 0])
+    out = model._pallas_subband(
+        params, noisy_pad, fb_out[:, 0], mu, mu.shape[1] == 1, interpret=True
+    )[..., model.look_ahead :]
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
+    )
