@@ -162,16 +162,66 @@ def load_reference_checkpoint(path, model_name: str, dtype=jnp.float32, **kwargs
 class CheckpointManager:
     """Save/restore {params, opt_state, epoch, best_score} with the
     reference's artifact semantics: ``latest`` (resume point), ``best``
-    (best validation score), ``epoch_NNNN`` (weights-only history)."""
+    (best validation score), ``epoch_NNNN`` (weights-only history).
+
+    Saves are preemption-safe: each artifact is written to a hidden
+    ``.tmp-<name>-*`` directory first (Orbax itself finalizes that write
+    atomically), then swapped in with two renames. The previous artifact
+    is never deleted before its replacement is fully on disk, and
+    ``_recover()`` (run on construction) adopts a completed tmp if a kill
+    landed between the two renames — so a resume point always survives.
+    """
 
     def __init__(self, directory: str | os.PathLike):
         self.directory = Path(directory).expanduser().absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
+        self._recover()
 
     def _ckpt(self):
         import orbax.checkpoint as ocp
 
         return ocp.StandardCheckpointer()
+
+    def _recover(self):
+        """Repair after a mid-save kill.
+
+        Invariants of ``_swap_in``: a ``.tmp-<name>-*`` directory only
+        exists in *completed* form (Orbax finalizes its own writes via
+        rename), and the final artifact is missing only during the window
+        between the rename-aside and the rename-in. So: if the final is
+        missing but a tmp exists, the tmp IS the new artifact — adopt the
+        newest one. Leftover ``.old-*`` and surplus tmps are garbage.
+        """
+        by_name: dict[str, list[Path]] = {}
+        for t in self.directory.glob(".tmp-*"):
+            name = t.name[len(".tmp-") :].rsplit("-", 1)[0]
+            by_name.setdefault(name, []).append(t)
+        for name, tmps in by_name.items():
+            final = self.directory / name
+            tmps.sort(key=lambda p: p.stat().st_mtime)
+            if not final.exists():
+                os.rename(tmps.pop(), final)
+            for t in tmps:
+                _rmtree(t)
+        for stale in self.directory.glob(".old-*"):
+            _rmtree(stale)
+
+    def _swap_in(self, ckpt, name: str, payload: dict):
+        """Atomically replace ``<dir>/<name>`` with a fresh save."""
+        import uuid
+
+        tag = uuid.uuid4().hex[:8]
+        final = self.directory / name
+        tmp = self.directory / f".tmp-{name}-{tag}"
+        ckpt.save(tmp, payload)
+        ckpt.wait_until_finished()  # tmp is now complete on disk
+        old = None
+        if final.exists():
+            old = self.directory / f".old-{name}-{tag}"
+            os.rename(final, old)
+        os.rename(tmp, final)
+        if old is not None:
+            _rmtree(old)
 
     def save(
         self,
@@ -181,24 +231,12 @@ class CheckpointManager:
         keep_weights_history: bool = True,
     ):
         """state: pytree with params/opt_state/epoch/best_score leaves."""
-        import orbax.checkpoint as ocp
-
         ckpt = self._ckpt()
-        latest = self.directory / "latest"
-        if latest.exists():
-            _rmtree(latest)
-        ckpt.save(latest, state)
+        self._swap_in(ckpt, "latest", state)
         if keep_weights_history:
-            edir = self.directory / f"epoch_{epoch:04d}"
-            if edir.exists():
-                _rmtree(edir)
-            ckpt.save(edir, {"params": state["params"]})
+            self._swap_in(ckpt, f"epoch_{epoch:04d}", {"params": state["params"]})
         if is_best:
-            best = self.directory / "best"
-            if best.exists():
-                _rmtree(best)
-            ckpt.save(best, state)
-        ckpt.wait_until_finished()
+            self._swap_in(ckpt, "best", state)
 
     def restore(self, which: str = "latest", target: dict | None = None) -> dict:
         ckpt = self._ckpt()
