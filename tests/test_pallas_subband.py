@@ -119,3 +119,67 @@ def test_model_pallas_branch_gru():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
     )
+
+
+# --------------------------------------------------------------------------
+# Training variant: custom-VJP gradient parity vs the differentiable scan
+# --------------------------------------------------------------------------
+
+
+def _grad_setup(cell, T, N, F_in, H, seed=0):
+    from fullsubnet_tpu.nn.rnn import gru_init
+
+    init = lstm_init if cell == "lstm" else gru_init
+    p = init(jax.random.PRNGKey(seed), F_in, H, num_layers=2)
+    fc = linear_init(jax.random.PRNGKey(seed + 1), H, 2)
+    x = jax.random.normal(jax.random.PRNGKey(seed + 2), (T, N, F_in))
+    tgt = jax.random.normal(jax.random.PRNGKey(seed + 3), (T, N, 2))
+    return p, fc, x, tgt
+
+
+def _assert_tree_close(a, b, atol, rtol):
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    for ga, gb in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), atol=atol, rtol=rtol
+        )
+
+
+def _check_grad_parity(cell, T, N, F_in, H, row_tile):
+    from fullsubnet_tpu.nn.rnn import gru_forward
+    from fullsubnet_tpu.nn.rnn import lstm_forward as lf
+    from fullsubnet_tpu.ops.subband_lstm import fused_subband_lstm_train
+
+    fwd = lf if cell == "lstm" else gru_forward
+    p, fc, x, tgt = _grad_setup(cell, T, N, F_in, H)
+
+    def loss_ref(params, x):
+        pp, pfc = params
+        out = fwd(pp, jnp.swapaxes(x, 0, 1)) @ pfc["weight"].T + pfc["bias"]
+        return jnp.mean(jnp.square(jnp.swapaxes(out, 0, 1) - tgt))
+
+    def loss_fused(params, x):
+        pp, pfc = params
+        out = fused_subband_lstm_train(
+            x, pp[0][0], pp[1][0], pfc, row_tile=row_tile, interpret=True
+        )
+        return jnp.mean(jnp.square(out - tgt))
+
+    lr, gr = jax.value_and_grad(loss_ref, argnums=(0, 1))((p, fc), x)
+    lft, gf = jax.value_and_grad(loss_fused, argnums=(0, 1))((p, fc), x)
+    np.testing.assert_allclose(float(lft), float(lr), rtol=1e-5)
+    _assert_tree_close(gf, gr, atol=1e-5, rtol=1e-4)
+
+
+def test_train_kernel_grad_parity_lstm():
+    _check_grad_parity("lstm", T=13, N=16, F_in=32, H=48, row_tile=8)
+
+
+def test_train_kernel_grad_parity_gru():
+    _check_grad_parity("gru", T=13, N=16, F_in=32, H=48, row_tile=8)
+
+
+def test_train_kernel_grad_parity_padded():
+    """N not divisible by row_tile, T not divisible by 8."""
+    _check_grad_parity("lstm", T=11, N=13, F_in=8, H=16, row_tile=8)
