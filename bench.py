@@ -120,7 +120,7 @@ def bench_train(args):
         mag = jnp.abs(ns)[:, None]
         if use_bf16:
             mag = mag.astype(jnp.bfloat16)
-        crm = model(p, mag)
+        crm = model(p, mag, training=not args.train_unfused)
         crm = jnp.transpose(crm, (0, 2, 3, 1)).astype(jnp.float32)
         return jnp.mean(jnp.square(crm - cirm))
 
@@ -213,6 +213,10 @@ def main():
     p.add_argument(
         "--train", action="store_true",
         help="benchmark the jitted training step (fwd+bwd+Adam)",
+    )
+    p.add_argument(
+        "--train-unfused", action="store_true",
+        help="with --train: use the legacy unfused (freq_unfold) path",
     )
     args = p.parse_args()
 

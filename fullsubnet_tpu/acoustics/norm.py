@@ -10,10 +10,10 @@ re-expressed as pure functions on [B, C, F, T] arrays:
 * ``cumulative_layer_norm``  — running zero-norm.
 * ``forgetting_norm``        — per-frame EMA of the frame mean. The
   reference computes this with a Python loop over frames
-  (``base_model.py:127-141``) — a CPU-bound hazard; here it is a single
-  ``lax.scan``-free closed form (the EMA with time-varying coefficient has a
-  prefix-product closed form evaluated in log-free cumprod space), keeping
-  the whole op on-device with static shapes.
+  (``base_model.py:127-141``) — a CPU-bound hazard; here the EMA recurrence
+  runs as a single ``lax.scan`` over time whose carry is just [B] scalars
+  per batch row (the [B,F,T] tensor math stays vectorized outside the
+  scan), keeping the whole op on-device with static shapes.
 
 The warm-up schedule of forgetting/hybrid norm is replicated exactly,
 including the odd ``alp = min((t-1)/(t+1), alpha)`` coefficient at frame 0

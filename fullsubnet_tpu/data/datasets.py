@@ -285,6 +285,24 @@ class ValidationDataset(BaseDataset):
     def __len__(self):
         return self.length
 
+    _SPEECH_TYPES = {
+        "with_reverb": "With_reverb",
+        "no_reverb": "No_reverb",
+        "dns_2_non_english": "Non_english",
+        "dns_2_emotion": "Emotion",
+        "dns_2_singing": "Singing",
+    }
+
+    def speech_type_of(self, item: int) -> str:
+        """Speech type of item ``item`` from its path alone (no audio IO) —
+        lets a sharded validation pass enumerate the full type set without
+        every host touching every file."""
+        parent_dir = Path(self.noisy_files_list[item]).parents[1].name
+        try:
+            return self._SPEECH_TYPES[parent_dir]
+        except KeyError:
+            raise NotImplementedError(f"Not supported dir: {parent_dir}") from None
+
     def __getitem__(self, item: int):
         noisy_file_path = self.noisy_files_list[item]
         parent_dir = Path(noisy_file_path).parents[1].name

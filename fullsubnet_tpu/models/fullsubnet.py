@@ -18,6 +18,8 @@ TPU-first:
 sb neighbors=15, fb neighbors=0).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -96,6 +98,7 @@ class FullSubNet:
         noisy_mag: jax.Array,
         dropping_band: bool = True,
         sharding_hint=None,
+        training: bool = False,
     ) -> jax.Array:
         """noisy_mag [B, 1, F, T] -> cRM [B, 2, F', T].
 
@@ -106,6 +109,11 @@ class FullSubNet:
         ``sharding_hint``: optional callable applied to the sub-band input
         [B·F, unit, T] — multi-chip runs use it to spread the
         frequency-batched axis over a (data, subband) mesh.
+
+        ``training``: route the sub-band stage through the fused pipeline
+        with the differentiable Pallas kernel (custom VJP) — use under
+        ``jax.grad``. The fused path then never materializes the
+        [B, F, 2N+1, T] unfold, so big-batch training stays in HBM.
         """
         assert noisy_mag.ndim == 4
         x = jnp.pad(noisy_mag, ((0, 0), (0, 0), (0, 0), (0, self.look_ahead)))
@@ -117,7 +125,9 @@ class FullSubNet:
         fb_output = self.fb_model(params["fb_model"], fb_input)
         fb_output = fb_output.reshape(batch_size, 1, num_freqs, num_frames)
 
-        # Fused big-batch path: unfold + norm + sub-band scan chunk-by-chunk
+        # Fused path: unfold + norm + sub-band scan without materializing
+        # the [B, F, 2N+1, T] tensor. Used for big batches at inference and
+        # (with drop_band grouping) for every training step.
         drop_applies = (
             batch_size > 1 and dropping_band and self.num_groups_in_drop_band > 1
         )
@@ -127,15 +137,25 @@ class FullSubNet:
             * (2 * self.sb_num_neighbors + 1)
             * num_frames
         )
-        if (
-            not drop_applies
-            and self.fb_num_neighbors == 0
+        fusable = (
+            self.fb_num_neighbors == 0
             and not self.sb_model.output_activate_function
             and self.norm in (self._norms_fusable())
-            and unfold_elems > self._FUSED_SB_THRESHOLD
+            and (
+                not drop_applies
+                or batch_size % self.num_groups_in_drop_band == 0
+            )
+        )
+        if fusable and (
+            training
+            or (not drop_applies and unfold_elems > self._FUSED_SB_THRESHOLD)
         ):
             sb_mask = self._fused_subband_stage(
-                params, x, fb_output, sharding_hint
+                params, x, fb_output, sharding_hint,
+                drop_groups=(
+                    self.num_groups_in_drop_band if drop_applies else 1
+                ),
+                training=training,
             )
             return sb_mask[:, :, :, self.look_ahead :]
 
@@ -227,31 +247,95 @@ class FullSubNet:
         mu = run / counts_t[None, None, :]  # [B, F, T]
         return mu[:, :, None, :] + EPSILON
 
+    def _group_selection(self, noisy_pad, fb_flat, mu, mu_is_scalar, groups):
+        """drop_band as group-strided slicing on the fused-path operands.
+
+        Reorders the batch group-major (matching ``drop_band``'s output
+        ordering) and selects each group's interleaved center frequencies
+        ``g, g+G, ...`` (reference ``feature.py:309-345``), so the fused
+        pipeline can run on F//G bins per sample without ever building the
+        full unfold. Returns (noisy_pad_r, fb_sel, mu_sel, unit_starts)
+        where ``unit_starts[g]`` is the padded-bin offset of group g's
+        first center frequency.
+        """
+        b = noisy_pad.shape[0]
+        f = fb_flat.shape[1]
+        fk = f // groups  # drop_band truncates F to a multiple of G
+        sample_groups = [np.arange(g, b, groups) for g in range(groups)]
+        freq_sel = lambda arr, g, axis=1: jax.lax.slice_in_dim(
+            arr, g, g + (fk - 1) * groups + 1, groups, axis=axis
+        )
+        noisy_pad_r = jnp.concatenate(
+            [noisy_pad[sg] for sg in sample_groups], axis=0
+        )
+        fb_sel = jnp.concatenate(
+            [freq_sel(fb_flat[sg], g) for g, sg in enumerate(sample_groups)],
+            axis=0,
+        )
+        if mu_is_scalar:
+            mu_sel = jnp.concatenate([mu[sg] for sg in sample_groups], axis=0)
+        else:
+            mu_sel = jnp.concatenate(
+                [freq_sel(mu[sg], g) for g, sg in enumerate(sample_groups)],
+                axis=0,
+            )
+        return noisy_pad_r, fb_sel, mu_sel, fk
+
     def _pallas_subband(
         self, params, noisy_pad, fb_flat, mu, mu_is_scalar, sharding_hint=None,
-        interpret=False,
+        interpret=False, drop_groups=1, training=False,
     ):
         """Sub-band stage through the Pallas fused dual-LSTM kernel.
 
-        Builds the normalized kernel input feature-major ([T, unit, B·F] —
+        Builds the normalized kernel input feature-major ([T, unit, B·F'] —
         the layout that keeps the large axis minor/unpadded in HBM), then
-        runs both LSTM layers + the output head entirely on-chip.
+        runs both LSTM layers + the output head entirely on-chip. With
+        ``training`` the differentiable (custom-VJP) kernel variant runs
+        instead, so this is also the training hot path.
         """
-        from fullsubnet_tpu.ops.subband_lstm import fused_subband_lstm
+        from fullsubnet_tpu.ops.subband_lstm import (
+            fused_subband_lstm,
+            fused_subband_lstm_train,
+        )
 
         b, fp_len, t = noisy_pad.shape
         f = fb_flat.shape[1]
         n = self.sb_num_neighbors
         unit = 2 * n + 2
 
-        # stack shifted slices (no gather): [unit, B, F, T]
-        slices = [noisy_pad[:, u : u + f, :] for u in range(2 * n + 1)]
+        if drop_groups > 1:
+            noisy_pad, fb_flat, mu, fk = self._group_selection(
+                noisy_pad, fb_flat, mu, mu_is_scalar, drop_groups
+            )
+            # group g's unit u for center k lives at padded bin g + k·G + u
+            slices = [
+                jnp.concatenate(
+                    [
+                        jax.lax.slice_in_dim(
+                            noisy_pad[g * (b // drop_groups) :][
+                                : b // drop_groups
+                            ],
+                            g + u,
+                            g + u + (fk - 1) * drop_groups + 1,
+                            drop_groups,
+                            axis=1,
+                        )
+                        for g in range(drop_groups)
+                    ],
+                    axis=0,
+                )
+                for u in range(2 * n + 1)
+            ]
+            f = fk
+        else:
+            # stack shifted slices (no gather): [unit, B, F, T]
+            slices = [noisy_pad[:, u : u + f, :] for u in range(2 * n + 1)]
         slices.append(fb_flat)
-        sb_in = jnp.stack(slices, axis=0)
-        # mu is [B,1,1,1] (offline) or [B,F,1,T] (cumulative); both squeeze
+        sb_in = jnp.stack(slices, axis=0)  # [unit, B, F', T]
+        # mu is [B,1,1,1] (offline) or [B,F',1,T] (cumulative); both squeeze
         # to a broadcastable [1, B, F', T]
         sb_in = sb_in / mu[None, :, :, 0, :]
-        # -> [T, unit, B·F]
+        # -> [T, unit, B·F']
         sb_in = jnp.transpose(sb_in, (3, 0, 1, 2)).reshape(t, unit, b * f)
         sb_in = sb_in.astype(noisy_pad.dtype)
         if sharding_hint is not None:
@@ -261,24 +345,50 @@ class FullSubNet:
             )
 
         layers = params["sb_model"]["rnn"]
-        out = fused_subband_lstm(
+        kernel = fused_subband_lstm_train if training else fused_subband_lstm
+        call = functools.partial(
+            kernel, time_major_features=True, interpret=interpret
+        )
+        mesh = getattr(sharding_hint, "mesh", None)
+        if mesh is not None and (b * f) % mesh.size == 0:
+            # Multi-chip: shard_map the kernel over the row axis. Each
+            # frequency-batched row is an independent sequence, so the
+            # per-shard kernels compute exactly the unsharded result; the
+            # custom VJP's weight grads are psummed by shard_map's
+            # transpose of the replicated in_specs.
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            row_axes = getattr(sharding_hint, "row_axes", ("data", "subband"))
+            call = shard_map(
+                call,
+                mesh=mesh,
+                in_specs=(P(None, None, row_axes), P(), P(), P()),
+                out_specs=P(None, row_axes, None),
+                check_rep=False,
+            )
+        out = call(
             sb_in,
             layers[0][0],
             layers[1][0],
             params["sb_model"]["fc"],
-            time_major_features=True,
-            interpret=interpret,
-        )  # [T, B·F, 2]
+        )  # [T, B·F', 2]
         out = out.reshape(t, b, f, 2)
-        return jnp.transpose(out, (1, 3, 2, 0))  # [B, 2, F, T]
+        return jnp.transpose(out, (1, 3, 2, 0))  # [B, 2, F', T]
 
-    def _fused_subband_stage(self, params, x, fb_output, sharding_hint=None):
+    def _fused_subband_stage(
+        self, params, x, fb_output, sharding_hint=None, drop_groups=1,
+        training=False,
+    ):
         """Chunk-fused sub-band stage: per time chunk, gather the
         (2N+1)-bin units, concat the fb bin, normalize, and advance the
         sub-band LSTM layers — the full [B, F, 32, T] tensor never exists.
 
         x: [B, 1, F, T] padded magnitudes; fb_output: [B, 1, F, T].
-        Returns [B, 2, F, T].
+        With ``drop_groups`` > 1 the training-time drop_band subsampling
+        happens inside the fusion (group-strided gathers after the
+        full-spectrum normalization statistics, matching the reference's
+        norm-then-drop order). Returns [B, 2, F//drop_groups, T].
         """
         b, _, f, t = x.shape
         n = self.sb_num_neighbors
@@ -296,8 +406,29 @@ class FullSubNet:
             and b * f * (2 * n + 2) * t <= self._PALLAS_SB_MAX_ELEMENTS
         ):
             return self._pallas_subband(
-                params, noisy_pad, fb_flat, mu, mu_is_scalar, sharding_hint
+                params, noisy_pad, fb_flat, mu, mu_is_scalar, sharding_hint,
+                drop_groups=drop_groups, training=training,
             )
+
+        if drop_groups > 1:
+            noisy_pad, fb_flat, mu, f = self._group_selection(
+                noisy_pad, fb_flat, mu, mu_is_scalar, drop_groups
+            )
+            # noisy_pad keeps the full padded spectrum (units read strided
+            # bins); fb/mu are already the per-group selections
+            gather_idx = jnp.asarray(
+                np.stack(
+                    [
+                        (np.arange(f) * drop_groups + g)[:, None]
+                        + np.arange(2 * n + 1)[None, :]
+                        for g in range(drop_groups)
+                    ]
+                )
+            )  # [G, F', 2N+1]
+        else:
+            gather_idx = jnp.asarray(
+                np.arange(f)[:, None] + np.arange(2 * n + 1)[None, :]
+            )[None]  # [1, F, 2N+1]
 
         sb = self.sb_model
         hidden = sb.hidden_size
@@ -317,10 +448,6 @@ class FullSubNet:
                     ((0, 0), (0, 0), (0, 0), (0, t_pad - t)),
                     constant_values=1.0,
                 )
-
-        gather_idx = jnp.asarray(
-            np.arange(f)[:, None] + np.arange(2 * n + 1)[None, :]
-        )  # [F, 2N+1]
         layer_params = [layer[0] for layer in params["sb_model"]["rnn"]]
         fc = params["sb_model"].get("fc")
 
@@ -339,7 +466,7 @@ class FullSubNet:
             return jax.lax.scan(step, carry, h_seq)
 
         # [num_chunks, B, *, chunk] views
-        noisy_cs = noisy_pad.reshape(b, f + 2 * n, num_chunks, chunk)
+        noisy_cs = noisy_pad.reshape(b, noisy_pad.shape[1], num_chunks, chunk)
         fb_cs = fb_flat.reshape(b, f, num_chunks, chunk)
         noisy_cs = jnp.transpose(noisy_cs, (2, 0, 1, 3))
         fb_cs = jnp.transpose(fb_cs, (2, 0, 1, 3))
@@ -353,8 +480,18 @@ class FullSubNet:
             )  # [C, B, F, chunk]
 
         def chunk_body(states, inputs):
-            noisy_c, fb_c, mu_c = inputs  # [B, F+2N, K], [B, F, K], mu
-            units = noisy_c[:, gather_idx, :]  # [B, F, 2N+1, K]
+            noisy_c, fb_c, mu_c = inputs  # [B, F+2N, K], [B, F', K], mu
+            if gather_idx.shape[0] == 1:
+                units = noisy_c[:, gather_idx[0], :]  # [B, F', 2N+1, K]
+            else:
+                bp = b // gather_idx.shape[0]
+                units = jnp.concatenate(
+                    [
+                        noisy_c[g * bp : (g + 1) * bp][:, gather_idx[g], :]
+                        for g in range(gather_idx.shape[0])
+                    ],
+                    axis=0,
+                )
             sb_in = jnp.concatenate([units, fb_c[:, :, None, :]], axis=2)
             if mu_is_scalar:
                 sb_in = sb_in / mu_c[:, None, None, None]

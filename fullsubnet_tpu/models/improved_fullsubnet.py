@@ -88,8 +88,8 @@ class SubbandModel:
         self.fb_num_center_freqs = list(fb_num_center_freqs)
         self.fb_num_neighbor_freqs = list(fb_num_neighbor_freqs)
         self.norm = norm_wrapper(norm_type)
-        # Pallas kernel path for the section LSTMs (inference; the kernel
-        # has no custom VJP, so training must disable it)
+        # Pallas kernel path for the section LSTMs (training uses the
+        # custom-VJP variant, see ops.subband_lstm.fused_subband_lstm_train)
         self.use_pallas = True
         self.sb_models = [
             SequenceModel(
@@ -125,7 +125,10 @@ class SubbandModel:
             return self.freq_cutoffs[-1], num_freqs
         return self.freq_cutoffs[sb_idx - 1], self.freq_cutoffs[sb_idx]
 
-    def __call__(self, params, noisy_input: jax.Array, fb_output: jax.Array):
+    def __call__(
+        self, params, noisy_input: jax.Array, fb_output: jax.Array,
+        training: bool = False,
+    ):
         """noisy_input/fb_output [B, 1, F, T] -> cRM [B, 2, F, T]."""
         b, c, f, t = noisy_input.shape
         assert c == 1, "Only mono audio is supported."
@@ -162,15 +165,23 @@ class SubbandModel:
                 and rows >= 128  # row-tile padding waste dominates below
             ):
                 # Pallas fused dual-LSTM kernel (weights resident in VMEM);
-                # tile sized to the section so lane padding stays small
-                from fullsubnet_tpu.ops.subband_lstm import fused_subband_lstm
+                # tile sized to the section so lane padding stays small.
+                # Under training the custom-VJP variant stashes states for
+                # the time-reversed backward kernels.
+                from fullsubnet_tpu.ops.subband_lstm import (
+                    fused_subband_lstm,
+                    fused_subband_lstm_train,
+                )
 
-                out = fused_subband_lstm(
+                kernel = fused_subband_lstm_train if training else fused_subband_lstm
+                out = kernel(
                     jnp.transpose(flat, (2, 0, 1)),  # [T, B·N, width]
                     sb_params["rnn"][0][0],
                     sb_params["rnn"][1][0],
                     sb_params["fc"],
-                    row_tile=min(512, -(-rows // 128) * 128),
+                    row_tile=min(
+                        (128 if training else 512), -(-rows // 128) * 128
+                    ),
                 )  # [T, B·N, 2c]
                 out = jnp.transpose(out, (1, 2, 0))  # [B·N, 2c, T]
             else:
@@ -245,7 +256,9 @@ class ImprovedFullSubNet:
             "sb_model": self.sb_model.init(ks, dtype, weight_init=weight_init),
         }
 
-    def __call__(self, params: dict, y: jax.Array) -> jax.Array:
+    def __call__(
+        self, params: dict, y: jax.Array, training: bool = False
+    ) -> jax.Array:
         """y [B, T] or [B, 1, T] noisy waveform -> enhanced [B, 1, T]."""
         ndim = y.ndim
         assert ndim in (2, 3), "Input must be 2D (B, T) or 3D tensor (B, 1, T)"
@@ -269,7 +282,9 @@ class ImprovedFullSubNet:
         fb_output = fb_output.reshape(b, 1, f, t)
 
         # Subband sections -> cRM over F-1 bins, pad the last bin with 0
-        cRM = self.sb_model(params["sb_model"], noisy_mag, fb_output)
+        cRM = self.sb_model(
+            params["sb_model"], noisy_mag, fb_output, training=training
+        )
         cRM = cRM.astype(jnp.float32)
         cRM = jnp.pad(cRM, ((0, 0), (0, 0), (0, 1), (0, 0)))
 

@@ -673,7 +673,7 @@ def fused_subband_lstm_train(
     l2: dict,
     fc: dict,
     *,
-    row_tile: int = 256,
+    row_tile: int = 128,
     interpret: bool = False,
     time_major_features: bool = False,
 ) -> jax.Array:

@@ -92,7 +92,17 @@ class Trainer:
         self.use_bf16 = bool(config.get("meta", {}).get("use_amp", False))
 
         # --- mesh + model -------------------------------------------------
-        self.mesh = make_mesh(num_subband=1)
+        # [trainer.mesh] data/subband picks the mesh shape; default = all
+        # devices on the data axis. `subband` > 1 spreads FullSubNet's
+        # frequency-batched sub-band scan across chips (the reference can
+        # only approximate this by *discarding* bands via drop_band).
+        mesh_cfg = trainer_cfg.get("mesh", {})
+        self.mesh = make_mesh(
+            num_data=(
+                int(mesh_cfg["data"]) if mesh_cfg.get("data") else None
+            ),
+            num_subband=int(mesh_cfg.get("subband", 1)),
+        )
         self.num_devices = int(np.prod(self.mesh.devices.shape))
 
         self.model, model_init_kwargs = config_lib.build_model(config)
@@ -132,9 +142,10 @@ class Trainer:
         )
         dl_cfg = config["train_dataset"].get("dataloader", {})
         batch_size = int(dl_cfg.get("batch_size", 32))
-        assert batch_size % self.num_devices == 0, (
+        num_data_shards = int(self.mesh.devices.shape[0])
+        assert batch_size % num_data_shards == 0, (
             f"batch_size={batch_size} must be divisible by the number of "
-            f"devices on the data axis ({self.num_devices})."
+            f"devices on the data axis ({num_data_shards})."
         )
         self.train_loader = DataLoader(
             self.train_dataset,
@@ -169,12 +180,7 @@ class Trainer:
     def _is_waveform_model(self) -> bool:
         from fullsubnet_tpu.models import ImprovedFullSubNet
 
-        if isinstance(self.model, ImprovedFullSubNet):
-            # the Pallas section kernel has no custom VJP; train on the
-            # differentiable scan path
-            self.model.sb_model.use_pallas = False
-            return True
-        return False
+        return isinstance(self.model, ImprovedFullSubNet)
 
     def _build_train_step(self):
         a = self.acoustics
@@ -185,6 +191,26 @@ class Trainer:
         model = self.model
         optimizer = self.optimizer
         use_bf16 = self.use_bf16
+        import inspect
+
+        # models with a `training` kwarg route their sub-band stage through
+        # the fused pipeline + custom-VJP Pallas kernel under jax.grad
+        call_params = inspect.signature(model.__call__).parameters
+        train_kwargs = {"training": True} if "training" in call_params else {}
+        if "sharding_hint" in call_params and self.num_devices > 1:
+            # spread the frequency-batched sub-band rows over the FULL mesh
+            # (data x subband); the Pallas kernel shard_maps over the same
+            # axes (rows are independent sequences, so the split is exact)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sb_sh = NamedSharding(self.mesh, P(("data", "subband"), None, None))
+
+            def sb_hint(x):
+                return jax.lax.with_sharding_constraint(x, sb_sh)
+
+            sb_hint.mesh = self.mesh
+            sb_hint.row_axes = ("data", "subband")
+            train_kwargs["sharding_hint"] = sb_hint
 
         def loss_fn(params, noisy, clean):
             if use_bf16:
@@ -195,7 +221,7 @@ class Trainer:
                     params,
                 )
             if waveform_model:
-                enhanced = model(params, noisy)[:, 0]
+                enhanced = model(params, noisy, **train_kwargs)[:, 0]
                 return loss_fn_inner(enhanced.astype(jnp.float32), clean)
 
             noisy_spec = stft_complex(noisy, n_fft, hop, win)
@@ -214,7 +240,7 @@ class Trainer:
             noisy_mag = jnp.abs(noisy_spec)[:, None]
             if use_bf16:
                 noisy_mag = noisy_mag.astype(jnp.bfloat16)
-            crm = model(params, noisy_mag)  # [B, 2, F', T]
+            crm = model(params, noisy_mag, **train_kwargs)  # [B, 2, F', T]
             crm = jnp.transpose(crm, (0, 2, 3, 1)).astype(jnp.float32)
             return loss_fn_inner(crm, ground_truth_cirm)
 
@@ -367,26 +393,40 @@ class Trainer:
         return loss_total / max(num_batches, 1)
 
     def _build_enhance_fn(self):
-        """Jitted full enhancement (compiled once per utterance length)."""
+        """Jitted full enhancement + validation loss (compiled once per
+        utterance length). The loss matches the reference's validation loss
+        (``fullsubnet/trainer.py:160-169``): criterion(cRM, cIRM) with no
+        drop_band for mask models, criterion(enhanced, clean) for waveform
+        models."""
         a = self.acoustics
         model = self.model
         waveform = self._is_waveform_model()
+        loss_fn_inner = self.loss_function
         from fullsubnet_tpu.models import FullSubNet
 
         kwargs = {"dropping_band": False} if isinstance(model, FullSubNet) else {}
 
-        def fn(params, noisy_j):
+        def fn(params, noisy_j, clean_j):
             if waveform:
-                return model(params, noisy_j)[:, 0]
+                enhanced = model(params, noisy_j)[:, 0]
+                return enhanced, loss_fn_inner(enhanced, clean_j)
             spec = stft_complex(
                 noisy_j, a["n_fft"], a["hop_length"], a["win_length"]
             )
             noisy_mag = jnp.abs(spec)[:, None]
             crm = model(params, noisy_mag, **kwargs)
-            crm = decompress_cIRM(jnp.transpose(crm, (0, 2, 3, 1)))
+            crm = jnp.transpose(crm, (0, 2, 3, 1))
+            clean_spec = stft_complex(
+                clean_j, a["n_fft"], a["hop_length"], a["win_length"]
+            )
+            cirm = build_complex_ideal_ratio_mask(
+                spec.real, spec.imag, clean_spec.real, clean_spec.imag
+            )
+            loss = loss_fn_inner(crm, cirm)
+            crm = decompress_cIRM(crm)
             er = crm[..., 0] * spec.real - crm[..., 1] * spec.imag
             ei = crm[..., 1] * spec.real + crm[..., 0] * spec.imag
-            return istft(
+            enhanced = istft(
                 (er, ei),
                 a["n_fft"],
                 a["hop_length"],
@@ -394,18 +434,22 @@ class Trainer:
                 length=noisy_j.shape[-1],
                 input_type="real_imag",
             )
+            return enhanced, loss
 
         return jax.jit(fn)
 
-    def _enhance_utterance(self, noisy: np.ndarray):
-        """Full enhancement of one utterance, host API (jit-cached per
-        utterance length)."""
+    def _enhance_utterance(self, noisy: np.ndarray, clean: np.ndarray):
+        """Full enhancement + validation loss of one utterance, host API
+        (jit-cached per utterance length)."""
         if not hasattr(self, "_enhance_fn"):
             self._enhance_fn = self._build_enhance_fn()
-        enhanced = self._enhance_fn(
-            self.state["params"], jnp.asarray(noisy)[None]
+        length = min(len(noisy), len(clean))
+        enhanced, loss = self._enhance_fn(
+            self.state["params"],
+            jnp.asarray(noisy[:length])[None],
+            jnp.asarray(clean[:length])[None],
         )
-        return np.asarray(enhanced[0]), 0.0
+        return np.asarray(enhanced[0]), float(loss)
 
     def spec_audio_visualization(self, noisy, enhanced, clean, name, epoch, sr):
         """Audio clips + magma spectrogram triptych to TensorBoard
@@ -450,15 +494,34 @@ class Trainer:
         except Exception:
             pass
 
-    def metrics_visualization(self, rows, epoch: int) -> float:
+    def _psum_across_processes(self, arr: np.ndarray) -> np.ndarray:
+        """Element-wise sum of a host array over all JAX processes (no-op
+        single-process). The cross-host reduction behind sharded
+        validation — the reference instead idles every non-zero rank
+        (``base_trainer.py:380``)."""
+        if jax.process_count() == 1:
+            return arr
+        from jax.experimental import multihost_utils
+
+        gathered = multihost_utils.process_allgather(jnp.asarray(arr))
+        return np.asarray(gathered).sum(axis=0)
+
+    def metrics_visualization(self, rows, epoch: int, all_types=None) -> float:
         """Parallel metric computation + Noisy-vs-Enhanced scalars
         (reference ``base_trainer.py:316-370``). rows: list of
-        (noisy, clean, enhanced, speech_type)."""
+        (noisy, clean, enhanced, speech_type) — the LOCAL shard; per-type
+        metric sums reduce across processes before scoring, so every host
+        returns the same global score. ``all_types``: the full speech-type
+        set (must agree across hosts); defaults to the local rows' types."""
         sr = self.acoustics["sr"]
         use_pesq = pesq_available()
         n_jobs = int(self.vis_cfg.get("num_workers", 10))
 
         from joblib import Parallel, delayed
+
+        keys = ["stoi_n", "stoi_e", "sisdr_n", "sisdr_e"]
+        if use_pesq:
+            keys += ["pesq_n", "pesq_e"]
 
         def one(noisy, clean, enhanced):
             out = {
@@ -481,23 +544,42 @@ class Trainer:
         for (_, _, _, speech_type), res in zip(rows, results):
             per_type.setdefault(speech_type, []).append(res)
 
+        if all_types is None:
+            all_types = sorted(per_type)
+        # [type, metric-sums + count] — one reduction for everything
+        mat = np.array(
+            [
+                [
+                    float(sum(it[k] for it in per_type.get(t, [])))
+                    for k in keys
+                ]
+                + [float(len(per_type.get(t, [])))]
+                for t in all_types
+            ],
+            np.float64,
+        ).reshape(len(all_types), len(keys) + 1)
+        mat = self._psum_across_processes(mat)
+
         scores = {}
-        for speech_type, items in per_type.items():
-            mean = lambda k: float(np.mean([it[k] for it in items]))
-            self._log_scalar(f"Validation/STOI_{speech_type}_Noisy", mean("stoi_n"), epoch)
-            self._log_scalar(f"Validation/STOI_{speech_type}_Enhanced", mean("stoi_e"), epoch)
-            self._log_scalar(f"Validation/SI_SDR_{speech_type}_Noisy", mean("sisdr_n"), epoch)
-            self._log_scalar(f"Validation/SI_SDR_{speech_type}_Enhanced", mean("sisdr_e"), epoch)
+        for speech_type, row in zip(all_types, mat):
+            count = row[-1]
+            if count == 0:
+                continue
+            mean = dict(zip(keys, row[:-1] / count))
+            self._log_scalar(f"Validation/STOI_{speech_type}_Noisy", mean["stoi_n"], epoch)
+            self._log_scalar(f"Validation/STOI_{speech_type}_Enhanced", mean["stoi_e"], epoch)
+            self._log_scalar(f"Validation/SI_SDR_{speech_type}_Noisy", mean["sisdr_n"], epoch)
+            self._log_scalar(f"Validation/SI_SDR_{speech_type}_Enhanced", mean["sisdr_e"], epoch)
             if use_pesq:
                 self._log_scalar(
-                    f"Validation/WB_PESQ_{speech_type}_Enhanced", mean("pesq_e"), epoch
+                    f"Validation/WB_PESQ_{speech_type}_Enhanced", mean["pesq_e"], epoch
                 )
                 # reference model-selection score (base_trainer.py:364-370)
                 scores[speech_type] = (
-                    mean("stoi_e") + transform_pesq_range(mean("pesq_e"))
+                    mean["stoi_e"] + transform_pesq_range(mean["pesq_e"])
                 ) / 2
             else:
-                scores[speech_type] = mean("stoi_e")
+                scores[speech_type] = mean["stoi_e"]
 
         # reference selects on the With_reverb split (fullsubnet/trainer.py:181)
         if "With_reverb" in scores:
@@ -505,26 +587,58 @@ class Trainer:
         return float(np.mean(list(scores.values()))) if scores else 0.0
 
     def _validation_epoch(self, epoch: int) -> float:
+        """Sharded validation: process p enhances utterances p, p+P, ...;
+        per-type losses and metric sums reduce across hosts, so all
+        processes compute (and agree on) the global score. Fixes the
+        reference's rank-0-only validation (``base_trainer.py:380``)."""
         if self.valid_dataset is None:
             return 0.0
         sr = self.acoustics["sr"]
         n_samples_vis = int(self.vis_cfg.get("n_samples", 10))
+        num_procs = jax.process_count()
+        pid = jax.process_index()
+        total = len(self.valid_dataset)
 
         rows = []
-        for i in range(len(self.valid_dataset)):
+        loss_sum: dict[str, float] = {}
+        loss_cnt: dict[str, int] = {}
+        for i in range(pid, total, num_procs):
             noisy, clean, name, speech_type = self.valid_dataset[i]
-            enhanced, _ = self._enhance_utterance(noisy)
+            enhanced, val_loss = self._enhance_utterance(noisy, clean)
             length = min(len(enhanced), len(clean))
             enhanced, clean_c, noisy_c = (
                 enhanced[:length], clean[:length], noisy[:length],
             )
             rows.append((noisy_c, clean_c, enhanced, speech_type))
+            loss_sum[speech_type] = loss_sum.get(speech_type, 0.0) + val_loss
+            loss_cnt[speech_type] = loss_cnt.get(speech_type, 0) + 1
             if i < n_samples_vis:
                 self.spec_audio_visualization(
                     noisy_c, enhanced, clean_c, f"{speech_type}_{name}", epoch, sr
                 )
 
-        return self.metrics_visualization(rows, epoch)
+        if hasattr(self.valid_dataset, "speech_type_of"):
+            # full type set from path metadata — consistent across hosts
+            all_types = sorted(
+                {self.valid_dataset.speech_type_of(i) for i in range(total)}
+            )
+        else:
+            all_types = sorted(loss_cnt)
+
+        # per-type validation loss (reference fullsubnet/trainer.py:160-169)
+        loss_mat = np.array(
+            [
+                [loss_sum.get(t, 0.0), float(loss_cnt.get(t, 0))]
+                for t in all_types
+            ],
+            np.float64,
+        ).reshape(len(all_types), 2)
+        loss_mat = self._psum_across_processes(loss_mat)
+        for speech_type, (s, c) in zip(all_types, loss_mat):
+            if c > 0:
+                self._log_scalar(f"Validation/Loss_{speech_type}", s / c, epoch)
+
+        return self.metrics_visualization(rows, epoch, all_types=all_types)
 
     def train(self):
         self._install_preemption_hook()

@@ -288,3 +288,45 @@ def test_train_step_gradient_sync(train_setup, tmp_path):
     shards = [np.asarray(s.data) for s in leaf.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+
+def test_trainer_subband_mesh_parity(train_setup, tmp_path):
+    """[trainer.mesh] data=4/subband=2: the train step over a (data,
+    subband) mesh — batch sharded on `data`, sub-band rows spread over the
+    full mesh via sharding_hint — computes the same update as the default
+    (8, 1) data-only mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    root, scp = train_setup
+    cfg_text = TINY_TRAIN_TOML.format(
+        save_dir=str(tmp_path / "expsb"),
+        clean_scp=scp["clean"],
+        noise_scp=scp["noise"],
+        rir_scp=scp["rir"],
+    )
+    cfg_path = tmp_path / "train_sb.toml"
+    cfg_path.write_text(cfg_text)
+
+    from fullsubnet_tpu.config import load_config
+    from fullsubnet_tpu.train.trainer import Trainer
+
+    cfg_a = load_config(cfg_path)
+    trainer_a = Trainer(cfg_a, experiment_name="mesh81")
+    assert trainer_a.mesh.devices.shape == (8, 1)
+    loss_a = trainer_a._train_epoch(1)
+
+    cfg_b = load_config(cfg_path)
+    cfg_b["trainer"]["mesh"] = {"data": 4, "subband": 2}
+    trainer_b = Trainer(cfg_b, experiment_name="mesh42")
+    assert trainer_b.mesh.devices.shape == (4, 2)
+    loss_b = trainer_b._train_epoch(1)
+
+    np.testing.assert_allclose(loss_b, loss_a, rtol=1e-4)
+    for pa, pb in zip(
+        jax.tree.leaves(trainer_a.state["params"]),
+        jax.tree.leaves(trainer_b.state["params"]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), atol=5e-5, rtol=1e-4
+        )

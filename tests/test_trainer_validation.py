@@ -169,3 +169,71 @@ def test_validation_score_uses_with_reverb_split(full_setup):
     # degenerate rows -> STOI fallback path must still compute
     score = trainer.metrics_visualization(rows, epoch=1)
     assert np.isfinite(score)
+
+
+def test_sharded_validation_matches_serial(full_setup, monkeypatch):
+    """Simulate a 2-process run: each fake process enhances only its shard
+    (i = pid, pid+2, ...), the reductions sum both shards' contributions,
+    and the resulting score/losses equal the serial single-process run."""
+    import jax
+
+    from fullsubnet_tpu.config import load_config
+    from fullsubnet_tpu.train.trainer import Trainer
+
+    cfg_path, _ = full_setup
+    trainer = Trainer(load_config(cfg_path), experiment_name="shardval")
+
+    serial_score = trainer._validation_epoch(epoch=1)
+
+    # fake 2-process reduction: accumulate both pids' local matrices
+    stash = {}
+
+    def fake_psum(self, arr):
+        key = arr.shape
+        if key not in stash:
+            stash[key] = np.zeros_like(arr)
+        stash[key] = stash[key] + arr
+        return stash[key].copy()
+
+    shard_sizes = []
+    monkeypatch.setattr(Trainer, "_psum_across_processes", fake_psum)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    orig_epoch = Trainer._validation_epoch
+
+    scores = []
+    for pid in [0, 1]:
+        monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
+        # record how many utterances this fake process enhanced
+        calls = []
+        orig_enh = Trainer._enhance_utterance
+
+        def counting_enh(self, noisy, clean, _calls=calls):
+            _calls.append(1)
+            return orig_enh(self, noisy, clean)
+
+        monkeypatch.setattr(Trainer, "_enhance_utterance", counting_enh)
+        scores.append(orig_epoch(trainer, epoch=1))
+        shard_sizes.append(len(calls))
+        monkeypatch.setattr(Trainer, "_enhance_utterance", orig_enh)
+
+    total = len(trainer.valid_dataset)
+    assert sum(shard_sizes) == total  # every utterance enhanced exactly once
+    assert max(shard_sizes) <= -(-total // 2)  # actually sharded
+    # the last fake process saw both shards' sums -> the global score
+    np.testing.assert_allclose(scores[-1], serial_score, rtol=1e-6)
+
+
+def test_validation_loss_logged(full_setup):
+    """Per-speech-type validation loss is computed and logged (reference
+    fullsubnet/trainer.py:160-169)."""
+    from fullsubnet_tpu.config import load_config
+    from fullsubnet_tpu.train.trainer import Trainer
+
+    cfg_path, _ = full_setup
+    trainer = Trainer(load_config(cfg_path), experiment_name="valloss")
+    logged = {}
+    trainer._log_scalar = lambda tag, val, step: logged.__setitem__(tag, val)
+    trainer._validation_epoch(epoch=1)
+    assert "Validation/Loss_With_reverb" in logged
+    assert "Validation/Loss_No_reverb" in logged
+    assert all(np.isfinite(v) for v in logged.values())
