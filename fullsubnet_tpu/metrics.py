@@ -9,9 +9,11 @@ the ITU ``pesq`` C extension; neither is available in this image, so:
   algorithm (Taal et al. 2010: silent-frame removal, 1/3-octave band
   decomposition over 15 bands from 150 Hz, 384 ms segment correlation with
   clipped normalization), numerically compatible with pystoi defaults.
-* ``WB_PESQ``/``NB_PESQ`` — gated: use the ``pesq`` package when present,
-  otherwise raise with a clear message. (ITU-T P.862 is a large licensed
-  codebase; scoring-only, host-side.)
+* ``WB_PESQ``/``NB_PESQ`` — a from-scratch NumPy implementation of the
+  ITU-T P.862 perceptual model with the P.862.1/P.862.2 MOS-LQO mappings
+  (``fullsubnet_tpu.pesq``); the ITU C extension is used instead when
+  installed. Restores the reference's (STOI + norm-PESQ)/2 model-selection
+  score (``base_trainer.py:364-370``).
 """
 
 from __future__ import annotations
@@ -158,37 +160,35 @@ def STOI(ref, est, sr=16000):
 
 
 # --------------------------------------------------------------------------
-# PESQ (gated on the ITU C extension)
+# PESQ — native P.862/P.862.1/P.862.2 (see fullsubnet_tpu.pesq); the ITU C
+# extension is preferred when installed (bit-exact with published scores)
 # --------------------------------------------------------------------------
 
 
 def _pesq(ref, est, sr, mode):
-    try:
+    try:  # pragma: no cover - the C extension is absent in this image
         from pesq import pesq as pesq_fn
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "PESQ requires the 'pesq' package (ITU-T P.862 C extension), "
-            "which is not installed in this environment. SI_SDR and STOI "
-            "are available natively."
-        ) from e
-    return pesq_fn(sr, np.asarray(ref), np.asarray(est), mode)
+
+        return pesq_fn(sr, np.asarray(ref), np.asarray(est), mode)
+    except ImportError:
+        from fullsubnet_tpu.pesq import pesq as pesq_native
+
+        return pesq_native(ref, est, sr=sr, mode=mode)
 
 
 def WB_PESQ(ref, est, sr=16000):
+    """Wideband PESQ MOS-LQO (P.862.2), reference audio_zen/metrics.py:38."""
     return _pesq(ref, est, sr, "wb")
 
 
 def NB_PESQ(ref, est, sr=16000):
+    """Narrowband PESQ MOS-LQO (P.862.1), reference audio_zen/metrics.py:44."""
     return _pesq(ref, est, sr, "nb")
 
 
 def pesq_available() -> bool:
-    try:
-        import pesq  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
+    """PESQ is always available (native fallback implementation)."""
+    return True
 
 
 def transform_pesq_range(pesq_score):

@@ -1,0 +1,139 @@
+"""Native PESQ (ITU-T P.862 family) behavioral tests.
+
+No oracle implementation exists in this environment (the ITU C extension
+is absent and there is no network), so these tests pin the exact structural
+anchors of the standard, the documented invariances, strict monotonicity in
+distortion, and regression values of this implementation.
+"""
+
+import numpy as np
+import pytest
+
+from fullsubnet_tpu.pesq import pesq, pesq_raw
+
+SR = 16000
+
+
+def _pseudo_speech(seconds=6, seed=1, sr=SR):
+    """Broadband modulated pink-ish noise with pauses (speech-like)."""
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sr)
+    spec = np.fft.rfft(rng.standard_normal(n))
+    f = np.fft.rfftfreq(n, 1 / sr)
+    shape = (1.0 / np.maximum(f, 100)) * (
+        np.exp(-(((f - 500) / 2500) ** 2)) + 0.3
+    )
+    x = np.fft.irfft(spec * shape, n)
+    t = np.arange(n) / sr
+    env = np.clip(np.sin(2 * np.pi * 3.1 * t) + 0.3, 0, None) ** 0.7
+    env *= np.sin(2 * np.pi * 0.4 * t) > -0.6
+    x = x * env
+    return x / (np.sqrt(np.mean(x[env > 0.01] ** 2)) + 1e-12) * 0.1
+
+
+def _with_noise(speech, snr_db, seed=7):
+    rng = np.random.default_rng(seed)
+    nz = rng.standard_normal(len(speech))
+    act = np.sqrt(np.mean(speech**2))
+    return speech + nz * act / np.sqrt(np.mean(nz**2)) * 10 ** (-snr_db / 20)
+
+
+@pytest.fixture(scope="module")
+def speech():
+    return _pseudo_speech()
+
+
+def test_identity_anchors(speech):
+    """Identical signals: raw = 4.5 exactly; the P.862.2/P.862.1 logistic
+    maps give WB 4.6439 / NB 4.5486 (the standards' maximum scores)."""
+    assert pesq_raw(speech, speech) == pytest.approx(4.5, abs=1e-9)
+    assert pesq(speech, speech, mode="wb") == pytest.approx(4.6439, abs=1e-3)
+    assert pesq(speech, speech, mode="nb") == pytest.approx(4.5486, abs=1e-3)
+
+
+def test_monotone_in_snr(speech):
+    """Strictly decreasing with noise level, for both modes."""
+    for mode in ("wb", "nb"):
+        scores = [
+            pesq(speech, _with_noise(speech, snr), mode=mode)
+            for snr in (40, 30, 20, 10, 0)
+        ]
+        assert all(a > b for a, b in zip(scores, scores[1:])), scores
+
+
+def test_plausible_operating_points(speech):
+    """WB scores land in the right MOS regions (the native model is
+    calibrated to the published WB-PESQ-vs-SNR curve, tolerance ~0.35)."""
+    assert 3.3 < pesq(speech, _with_noise(speech, 30)) < 4.2
+    assert 2.3 < pesq(speech, _with_noise(speech, 20)) < 3.1
+    assert 1.7 < pesq(speech, _with_noise(speech, 10)) < 2.5
+    assert 1.0 < pesq(speech, _with_noise(speech, 0)) < 2.0
+
+
+def test_level_and_delay_invariance(speech):
+    """P.862 level-aligns both inputs and compensates constant delay."""
+    base = pesq(speech, _with_noise(speech, 15))
+    scaled = pesq(0.5 * speech, 0.25 * _with_noise(speech, 15))
+    assert scaled == pytest.approx(base, abs=0.02)
+
+    delayed = np.concatenate([np.zeros(137), speech])[: len(speech)]
+    assert pesq(speech, delayed) == pytest.approx(4.6439, abs=1e-3)
+
+
+def test_asymmetry(speech):
+    """Additive noise (added distortion) must hurt more than the same
+    power removed by spectral attenuation (the asymmetry property)."""
+    noisy = _with_noise(speech, 10)
+    # low-pass the speech: removes content instead of adding it
+    spec = np.fft.rfft(speech)
+    f = np.fft.rfftfreq(len(speech), 1 / SR)
+    muffled = np.fft.irfft(spec * (f < 2500), len(speech))
+    assert pesq(speech, muffled) > pesq(speech, noisy)
+
+
+def test_range_bounds(speech):
+    """MOS-LQO stays within the mapping's range for garbage input."""
+    rng = np.random.default_rng(3)
+    garbage = rng.standard_normal(len(speech)) * 0.1
+    s = pesq(speech, garbage)
+    assert 1.0 <= s <= 4.644
+
+
+def test_nb_mode_at_8k(speech):
+    from scipy.signal import resample_poly
+
+    s8 = resample_poly(speech, 1, 2)
+    assert pesq_raw(s8, s8, sr=8000, mode="nb") == pytest.approx(4.5, abs=1e-9)
+    n8 = resample_poly(_with_noise(speech, 10), 1, 2)
+    assert pesq(s8, n8, sr=8000, mode="nb") < 3.0
+
+
+def test_short_input_degrades_softly():
+    assert pesq(np.zeros(100), np.zeros(100)) <= 1.1
+
+
+def test_regression_values(speech):
+    """Pinned scores of THIS implementation (catch accidental changes;
+    these are not ITU reference values — see module docstring)."""
+    vals = {
+        snr: pesq(speech, _with_noise(speech, snr)) for snr in (30, 10)
+    }
+    assert vals[30] == pytest.approx(3.691, abs=0.02)
+    assert vals[10] == pytest.approx(2.049, abs=0.02)
+
+
+def test_metrics_integration(speech):
+    """metrics.WB_PESQ/NB_PESQ route to the native implementation and the
+    model-selection score machinery is live again."""
+    from fullsubnet_tpu.metrics import (
+        NB_PESQ,
+        WB_PESQ,
+        pesq_available,
+        transform_pesq_range,
+    )
+
+    assert pesq_available()
+    wb = WB_PESQ(speech, _with_noise(speech, 20))
+    nb = NB_PESQ(speech, _with_noise(speech, 20))
+    assert 1.0 < nb < wb < 4.65
+    assert 0.0 < transform_pesq_range(wb) < 1.05
