@@ -13,7 +13,7 @@ from fullsubnet_tpu.acoustics.feature import unfold_along_time
 from fullsubnet_tpu.config import build_loss, build_model, build_optimizer, load_config
 
 TRAIN_CONFIGS = sorted(glob.glob("recipes/dns_interspeech_2020/*/train*.toml"))
-INFER_CONFIGS = sorted(glob.glob("recipes/dns_interspeech_2020/*/inference.toml"))
+INFER_CONFIGS = sorted(glob.glob("recipes/dns_interspeech_2020/*/inference*.toml"))
 
 
 @pytest.mark.parametrize("cfg_path", TRAIN_CONFIGS)
