@@ -266,3 +266,213 @@ class StreamingISTFT:
             [acc[self.hop :], jnp.zeros((self.hop,), acc.dtype)]
         )
         return new_state, out
+
+
+class StreamingFullBand:
+    """Frame-in/cRM-out streaming engine for the full-band baseline
+    (``models.fullband.FullBandModel``) with ``cumulative_laplace_norm``.
+
+    Carry = (stacked-LSTM state, cumulative-norm running sum, frame
+    counter); emits the cRM for the frame ``look_ahead`` steps earlier,
+    bit-matching the offline forward (the offline pad-then-slice is a
+    delay line). Reference model: recipes/dns_interspeech_2020/
+    fullband_baseline/model.py:8-68.
+    """
+
+    def __init__(self, model, params):
+        from fullsubnet_tpu.acoustics.norm import cumulative_laplace_norm
+
+        assert model.norm is cumulative_laplace_norm, (
+            "streaming requires a cumulative normalization"
+        )
+        self.model = model
+        self.params = params
+        self.F = model.num_freqs
+        self.look_ahead = model.look_ahead
+        self._step = jax.jit(self._step_impl)
+        self._block = jax.jit(self._block_impl)
+
+    def init_state(self):
+        return {
+            "rnn": self.model.fullband_model.init_state(
+                self.params["fullband_model"], 1
+            ),
+            "norm_sum": jnp.zeros((), jnp.float32),
+            "frame_idx": jnp.zeros((), jnp.int32),
+        }
+
+    def _step_impl(self, params, state, frame):
+        """frame [F] -> (state, cRM [2, F]) delayed by look_ahead."""
+        k = state["frame_idx"] + 1
+        norm_sum = state["norm_sum"] + jnp.sum(frame)
+        mu = norm_sum / (k.astype(jnp.float32) * self.F)
+        x = frame / (mu + EPSILON)
+        rnn, out = self.model.fullband_model.step(
+            params["fullband_model"], state["rnn"], x[None]
+        )  # out [1, 2F]
+        new_state = {"rnn": rnn, "norm_sum": norm_sum, "frame_idx": k}
+        return new_state, out[0].reshape(2, self.F)
+
+    def step(self, state, frame):
+        return self._step(self.params, state, frame)
+
+    def _block_impl(self, params, state, frames):
+        return jax.lax.scan(
+            lambda st, fr: self._step_impl(params, st, fr), state, frames
+        )
+
+    def step_block(self, state, frames):
+        return self._block(self.params, state, frames)
+
+    def enhance_spectrogram(self, noisy_mag: jax.Array) -> jax.Array:
+        """[F, T] magnitudes -> [2, F, T] cRM with offline semantics."""
+        frames = jnp.concatenate(
+            [noisy_mag.T, jnp.zeros((self.look_ahead, self.F))], axis=0
+        )
+        _, crms = self.step_block(self.init_state(), frames)
+        return jnp.transpose(crms[self.look_ahead :], (1, 2, 0))
+
+
+class StreamingImprovedFullSubNet:
+    """Spectrum-frame streaming engine for ImprovedFullSubNet
+    (wave-to-wave, zero look-ahead) with ``cumulative_laplace_norm``.
+
+    Per frame: FDRC magnitude -> fullband LSTM (running-mean norm) ->
+    per-section strided units (static index grids into the reflect-padded
+    frequency axis, reference improved .../model.py:315-400) -> per-unit
+    cumulative norms + per-section LSTM states -> cRM -> the reference's
+    ELEMENTWISE mask quirk (real*real, imag*imag; model.py:575-581).
+    Feed complex STFT frames; receive enhanced complex frames with no
+    algorithmic delay beyond the STFT hop.
+    """
+
+    def __init__(self, model, params):
+        from fullsubnet_tpu.acoustics.norm import cumulative_laplace_norm
+
+        assert model.norm is cumulative_laplace_norm, (
+            "streaming requires a cumulative normalization"
+        )
+        assert model.sb_model.norm is cumulative_laplace_norm
+        self.model = model
+        self.params = params
+        self.F = model.num_freqs
+        f = self.F - 1  # last bin dropped for processing
+        sbm = model.sb_model
+
+        self.sections = []
+        for i, _ in enumerate(sbm.sb_models):
+            lower, upper = sbm._section_bounds(i, f)
+            c = sbm.sb_num_center_freqs[i]
+            cf = sbm.fb_num_center_freqs[i]
+            assert c == cf, "aligned sb/fb center counts required"
+            nb_s = sbm.sb_num_neighbor_freqs[i]
+            nb_f = sbm.fb_num_neighbor_freqs[i]
+            n_units = (upper - lower) // c
+            u = np.arange(n_units)[:, None] * c + lower
+            self.sections.append(
+                {
+                    "idx_noisy": u + np.arange(c + 2 * nb_s)[None, :],
+                    "idx_fb": u + np.arange(c + 2 * nb_f)[None, :],
+                    "nb_s": nb_s,
+                    "nb_f": nb_f,
+                    "n_units": n_units,
+                    "centers": c,
+                }
+            )
+        self._step = jax.jit(self._step_impl)
+        self._block = jax.jit(self._block_impl)
+
+    def init_state(self):
+        p = self.params
+        state = {
+            "fb_rnn": self.model.fb_model.init_state(p["fb_model"], 1),
+            "fb_norm_sum": jnp.zeros((), jnp.float32),
+            "frame_idx": jnp.zeros((), jnp.int32),
+        }
+        for i, (sec, m) in enumerate(
+            zip(self.sections, self.model.sb_model.sb_models)
+        ):
+            state[f"sec{i}_rnn"] = m.init_state(
+                p["sb_model"]["sb_models"][i], sec["n_units"]
+            )
+            state[f"sec{i}_norm_sum"] = jnp.zeros(
+                (sec["n_units"],), jnp.float32
+            )
+        return state
+
+    def _step_impl(self, params, state, spec_frame):
+        """spec_frame [F] complex -> (state, enhanced [F] complex)."""
+        model = self.model
+        k = (state["frame_idx"] + 1).astype(jnp.float32)
+        mag = jnp.abs(spec_frame) ** model.fdrc
+        x = mag[: self.F - 1]  # [F-1]
+
+        fb_sum = state["fb_norm_sum"] + jnp.sum(x)
+        fb_mu = fb_sum / (k * (self.F - 1))
+        fb_state, fb_out = model.fb_model.step(
+            params["fb_model"], state["fb_rnn"], (x / (fb_mu + EPSILON))[None]
+        )
+        fb_out = fb_out[0]  # [F-1]
+
+        new_state = {
+            "fb_rnn": fb_state,
+            "fb_norm_sum": fb_sum,
+            "frame_idx": state["frame_idx"] + 1,
+        }
+        outs = []
+        for i, sec in enumerate(self.sections):
+            xp = jnp.pad(x, (sec["nb_s"], sec["nb_s"]), mode="reflect")
+            fp = jnp.pad(fb_out, (sec["nb_f"], sec["nb_f"]), mode="reflect")
+            sb_in = jnp.concatenate(
+                [xp[sec["idx_noisy"]], fp[sec["idx_fb"]]], axis=1
+            )  # [N, width]
+            sums = state[f"sec{i}_norm_sum"] + jnp.sum(sb_in, axis=1)
+            mu = sums / (k * sb_in.shape[1])
+            sb_in = sb_in / (mu[:, None] + EPSILON)
+            rnn, out = self.model.sb_model.sb_models[i].step(
+                params["sb_model"]["sb_models"][i],
+                state[f"sec{i}_rnn"],
+                sb_in,
+            )  # out [N, 2c]
+            new_state[f"sec{i}_rnn"] = rnn
+            new_state[f"sec{i}_norm_sum"] = sums
+            outs.append(
+                jnp.transpose(
+                    out.reshape(sec["n_units"], 2, sec["centers"]), (1, 0, 2)
+                ).reshape(2, -1)
+            )
+        crm = jnp.concatenate(outs, axis=1)  # [2, F-1]
+        crm = jnp.pad(crm, ((0, 0), (0, 1)))  # zero last bin
+        # the reference's elementwise (non-complex) masking, kept for parity
+        enhanced = jax.lax.complex(
+            crm[0] * spec_frame.real, crm[1] * spec_frame.imag
+        )
+        return new_state, enhanced
+
+    def step(self, state, spec_frame):
+        return self._step(self.params, state, spec_frame)
+
+    def _block_impl(self, params, state, frames):
+        return jax.lax.scan(
+            lambda st, fr: self._step_impl(params, st, fr), state, frames
+        )
+
+    def step_block(self, state, frames):
+        return self._block(self.params, state, frames)
+
+    def enhance_wave(self, wave: jax.Array) -> jax.Array:
+        """[T] -> [T] enhanced; streaming semantics, offline-equal output."""
+        from fullsubnet_tpu.acoustics.stft import istft, stft_complex
+
+        m = self.model
+        spec = stft_complex(
+            wave[None], m.n_fft, m.hop_length, m.win_length
+        )[0]  # [F, T']
+        _, enhanced = self.step_block(self.init_state(), spec.T)  # [T', F]
+        return istft(
+            enhanced.T[None],
+            m.n_fft,
+            m.hop_length,
+            m.win_length,
+            length=wave.shape[-1],
+        )[0]

@@ -165,3 +165,92 @@ def test_streaming_enhancer_matches_offline_pipeline():
     a = stream[pad : pad + 3800]
     b = offline[:3800]
     np.testing.assert_allclose(a[200:], b[200:3800], atol=1e-3)
+
+
+def test_streaming_fullband_matches_offline():
+    """StreamingFullBand frame loop == FullBandModel offline forward."""
+    from fullsubnet_tpu.infer.streaming import StreamingFullBand
+    from fullsubnet_tpu.models import FullBandModel
+
+    model = FullBandModel(
+        num_freqs=33, hidden_size=16, num_layers=2,
+        norm_type="cumulative_laplace_norm",
+    )
+    params = model.init(jax.random.PRNGKey(5), weight_init=False)
+    engine = StreamingFullBand(model, params)
+
+    rng = np.random.default_rng(5)
+    noisy_mag = jnp.asarray(np.abs(rng.standard_normal((33, 25))).astype(np.float32))
+    offline = model(params, noisy_mag[None, None])[0]  # [2, F, T]
+    streamed = engine.enhance_spectrogram(noisy_mag)
+    np.testing.assert_allclose(
+        np.asarray(streamed), np.asarray(offline), atol=1e-4, rtol=1e-3
+    )
+
+
+def test_streaming_fullband_is_causal():
+    from fullsubnet_tpu.infer.streaming import StreamingFullBand
+    from fullsubnet_tpu.models import FullBandModel
+
+    model = FullBandModel(
+        num_freqs=17, hidden_size=8, num_layers=2,
+        norm_type="cumulative_laplace_norm",
+    )
+    params = model.init(jax.random.PRNGKey(6), weight_init=False)
+    engine = StreamingFullBand(model, params)
+    rng = np.random.default_rng(6)
+    frames = np.abs(rng.standard_normal((12, 17))).astype(np.float32)
+    frames2 = frames.copy()
+    frames2[8:] *= 5.0
+    _, out1 = engine.step_block(engine.init_state(), jnp.asarray(frames))
+    _, out2 = engine.step_block(engine.init_state(), jnp.asarray(frames2))
+    np.testing.assert_allclose(np.asarray(out1[:8]), np.asarray(out2[:8]), atol=1e-6)
+
+
+def _tiny_improved():
+    from fullsubnet_tpu.models import ImprovedFullSubNet
+
+    model = ImprovedFullSubNet(
+        n_fft=64, hop_length=16, win_length=64, num_freqs=33,
+        freq_cutoffs=(8, 16), sb_num_center_freqs=(1, 2, 4),
+        sb_num_neighbor_freqs=(3, 3, 3), fb_num_center_freqs=(1, 2, 4),
+        fb_num_neighbor_freqs=(3, 3, 3), fb_hidden_size=16, sb_hidden_size=12,
+        norm_type="cumulative_laplace_norm",
+    )
+    params = model.init(jax.random.PRNGKey(9), weight_init=False)
+    return model, params
+
+
+def test_streaming_improved_matches_offline():
+    """StreamingImprovedFullSubNet wave pipeline == offline wave-to-wave
+    forward (zero look-ahead: full-length equality)."""
+    from fullsubnet_tpu.infer.streaming import StreamingImprovedFullSubNet
+
+    model, params = _tiny_improved()
+    rng = np.random.default_rng(8)
+    wave = jnp.asarray((0.2 * rng.standard_normal(2048)).astype(np.float32))
+
+    offline = model(params, wave[None])[0, 0]  # [T]
+    engine = StreamingImprovedFullSubNet(model, params)
+    streamed = engine.enhance_wave(wave)
+    np.testing.assert_allclose(
+        np.asarray(streamed), np.asarray(offline), atol=1e-4, rtol=1e-3
+    )
+
+
+def test_streaming_improved_is_causal():
+    from fullsubnet_tpu.acoustics.stft import stft_complex
+    from fullsubnet_tpu.infer.streaming import StreamingImprovedFullSubNet
+
+    model, params = _tiny_improved()
+    engine = StreamingImprovedFullSubNet(model, params)
+    rng = np.random.default_rng(9)
+    wave = (0.2 * rng.standard_normal(2048)).astype(np.float32)
+    spec = stft_complex(jnp.asarray(wave)[None], 64, 16, 64)[0].T  # [T', F]
+    spec2 = spec.at[60:].multiply(4.0)
+    _, out1 = engine.step_block(engine.init_state(), spec)
+    _, out2 = engine.step_block(engine.init_state(), spec2)
+    np.testing.assert_allclose(
+        np.asarray(out1[:60]), np.asarray(out2[:60]), atol=1e-6
+    )
+    assert not np.allclose(np.asarray(out1[60:]), np.asarray(out2[60:]))
