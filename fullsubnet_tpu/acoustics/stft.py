@@ -104,6 +104,7 @@ def istft(
     window: jax.Array | None = None,
     center: bool = True,
     epsilon: float = 1e-11,
+    frame_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Inverse STFT of [..., F, T'] -> [..., T].
 
@@ -111,6 +112,11 @@ def istft(
     mirroring the reference (``audio_zen/acoustics/feature.py:53-91``).
     Overlap-add with squared-window envelope normalization, matching
     ``torch.istft`` (center trim + ``length`` cut).
+
+    ``frame_mask``: optional [T'] 0/1 (may be traced) — masked frames
+    contribute neither signal nor envelope, so the result over the valid
+    samples is EXACTLY the istft of the unmasked prefix. This is what
+    makes length-bucketed (padded) inference bit-equal to unpadded runs.
     """
     if input_type == "real_imag":
         real, imag = features
@@ -132,6 +138,8 @@ def istft(
     frames = frames * window
 
     num_frames = frames.shape[-2]
+    if frame_mask is not None:
+        frames = frames * frame_mask.astype(frames.dtype)[:, None]
     out_len = n_fft + (num_frames - 1) * hop_length
     starts = jnp.arange(num_frames) * hop_length
     idx = starts[:, None] + jnp.arange(n_fft)[None, :]  # [T', n_fft]
@@ -143,9 +151,10 @@ def istft(
         return jnp.zeros(out_len, fr.dtype).at[idx].add(fr)
 
     out = jax.vmap(ola)(flat)  # [B*, out_len]
-    env = jnp.zeros(out_len, window.dtype).at[idx].add(
-        jnp.broadcast_to(window**2, (num_frames, n_fft))
-    )
+    wsq = jnp.broadcast_to(window**2, (num_frames, n_fft))
+    if frame_mask is not None:
+        wsq = wsq * frame_mask.astype(window.dtype)[:, None]
+    env = jnp.zeros(out_len, window.dtype).at[idx].add(wsq)
     out = out / jnp.maximum(env, epsilon)
     out = out.reshape(batch_shape + (out_len,))
 

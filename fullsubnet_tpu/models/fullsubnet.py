@@ -99,6 +99,7 @@ class FullSubNet:
         dropping_band: bool = True,
         sharding_hint=None,
         training: bool = False,
+        valid_frames: jax.Array | None = None,
     ) -> jax.Array:
         """noisy_mag [B, 1, F, T] -> cRM [B, 2, F', T].
 
@@ -114,16 +115,58 @@ class FullSubNet:
         with the differentiable Pallas kernel (custom VJP) — use under
         ``jax.grad``. The fused path then never materializes the
         [B, F, 2N+1, T] unfold, so big-batch training stays in HBM.
+
+        ``valid_frames``: optional (traced) count of real frames in a
+        length-bucketed (zero-padded) ``noisy_mag``. The offline norm
+        statistics are computed with the TRUE frame count and the
+        full-band output is masked past it, so outputs for the valid
+        frames EXACTLY equal an unpadded run — one compile serves every
+        utterance length in the bucket. The caller must zero the padded
+        input frames and discard outputs past ``valid_frames``. Only
+        offline/cumulative laplace norms are supported (others would need
+        masked second moments).
         """
         assert noisy_mag.ndim == 4
         x = jnp.pad(noisy_mag, ((0, 0), (0, 0), (0, 0), (0, self.look_ahead)))
         batch_size, num_channels, num_freqs, num_frames = x.shape
         assert num_channels == 1, "FullSubNet takes the mag feature as input."
 
+        norm = self.norm
+        frame_mask = None
+        if valid_frames is not None:
+            from fullsubnet_tpu.acoustics.norm import (
+                cumulative_laplace_norm,
+                offline_laplace_norm,
+            )
+
+            assert self.norm in (offline_laplace_norm, cumulative_laplace_norm)
+            # the model's own look-ahead zero-pad counts toward the offline
+            # mean, exactly as in an unpadded run
+            valid_total = (valid_frames + self.look_ahead).astype(jnp.float32)
+            frame_mask = (
+                jnp.arange(num_frames) < valid_frames + self.look_ahead
+            ).astype(x.dtype)
+            if self.norm is offline_laplace_norm:
+                def norm(v):
+                    count = (
+                        np.prod([int(s) for s in v.shape[1:-1]]) * valid_total
+                    )
+                    mu = (
+                        jnp.sum(v, axis=tuple(range(1, v.ndim)), keepdims=True)
+                        / count
+                    )
+                    return v / (mu + 1e-5)
+            # cumulative norm only looks backward: zero-padded tails leave
+            # valid frames untouched — use it as-is
+
         # Full-band stage
-        fb_input = self.norm(x).reshape(batch_size, num_freqs, num_frames)
+        fb_input = norm(x).reshape(batch_size, num_freqs, num_frames)
         fb_output = self.fb_model(params["fb_model"], fb_input)
         fb_output = fb_output.reshape(batch_size, 1, num_freqs, num_frames)
+        if frame_mask is not None:
+            # pad frames would otherwise leak (LSTM biases) into the
+            # offline norm statistics of the sub-band stage
+            fb_output = fb_output * frame_mask
 
         # Fused path: unfold + norm + sub-band scan without materializing
         # the [B, F, 2N+1, T] tensor. Used for big batches at inference and
@@ -138,7 +181,8 @@ class FullSubNet:
             * num_frames
         )
         fusable = (
-            self.fb_num_neighbors == 0
+            valid_frames is None
+            and self.fb_num_neighbors == 0
             and not self.sb_model.output_activate_function
             and self.norm in (self._norms_fusable())
             and (
@@ -170,7 +214,7 @@ class FullSubNet:
         )
 
         sb_input = jnp.concatenate([noisy_unfolded, fb_unfolded], axis=2)
-        sb_input = self.norm(sb_input)
+        sb_input = norm(sb_input)
 
         if batch_size > 1 and dropping_band and self.num_groups_in_drop_band > 1:
             sb_input = drop_band(

@@ -438,12 +438,115 @@ class Trainer:
 
         return jax.jit(fn)
 
+    def _bucketing_supported(self) -> bool:
+        """Length-bucketed validation enhancement is exact only for models
+        that implement ``valid_frames`` (masked norm statistics)."""
+        from fullsubnet_tpu.acoustics.norm import (
+            cumulative_laplace_norm,
+            offline_laplace_norm,
+        )
+        from fullsubnet_tpu.models import FullSubNet
+
+        return isinstance(self.model, FullSubNet) and self.model.norm in (
+            offline_laplace_norm,
+            cumulative_laplace_norm,
+        )
+
+    def _build_bucketed_enhance_fn(self):
+        """Bucketed twin of ``_build_enhance_fn``: inputs are zero-padded
+        to a length bucket and the true sample count rides along as a
+        traced scalar, so ONE compile serves every utterance length in the
+        bucket — and the result over the true samples is EXACTLY the
+        unpadded run's:
+
+        * the offline center-pad's tail reflection is re-created at the
+          true length with a dynamic slice/update,
+        * padded spectrum frames are zeroed before the model and the model
+          computes its norm statistics with the true count
+          (``valid_frames``),
+        * the masked iSTFT excludes padded frames from both signal and
+          envelope, and the masked-MSE loss rescales to the true count.
+        """
+        a = self.acoustics
+        model = self.model
+        loss_fn_inner = self.loss_function
+        n_fft, hop, win = a["n_fft"], a["hop_length"], a["win_length"]
+        pad = n_fft // 2
+
+        def insert_tail_reflection(y, true_len):
+            # torch reflect pad at the end: y_pad[L+i] = y[L-2-i]
+            tail = jax.lax.dynamic_slice(
+                y, (0, true_len - pad - 1), (1, pad)
+            )[:, ::-1]
+            return jax.lax.dynamic_update_slice(y, tail, (0, true_len))
+
+        def fn(params, noisy_j, clean_j, true_len):
+            spec = stft_complex(
+                insert_tail_reflection(noisy_j, true_len), n_fft, hop, win
+            )
+            t_pad = spec.shape[-1]
+            frames_real = 1 + true_len // hop
+            tmask = (jnp.arange(t_pad) < frames_real).astype(jnp.float32)
+            noisy_mag = jnp.abs(spec)[:, None] * tmask
+            crm = model(
+                params, noisy_mag, dropping_band=False,
+                valid_frames=frames_real,
+            )
+            crm = jnp.transpose(crm, (0, 2, 3, 1))
+            clean_spec = stft_complex(
+                insert_tail_reflection(clean_j, true_len), n_fft, hop, win
+            )
+            cirm = build_complex_ideal_ratio_mask(
+                spec.real, spec.imag, clean_spec.real, clean_spec.imag
+            )
+            # masked loss == loss over the real frames only
+            m4 = tmask[None, None, :, None]
+            loss = loss_fn_inner(crm * m4, cirm * m4) * (
+                t_pad / frames_real.astype(jnp.float32)
+            )
+            crm = decompress_cIRM(crm)
+            er = (crm[..., 0] * spec.real - crm[..., 1] * spec.imag) * tmask
+            ei = (crm[..., 1] * spec.real + crm[..., 0] * spec.imag) * tmask
+            enhanced = istft(
+                (er, ei), n_fft, hop, win,
+                length=noisy_j.shape[-1],
+                input_type="real_imag",
+                frame_mask=tmask,
+            )
+            return enhanced, loss
+
+        return jax.jit(fn)
+
+    # validation utterances are padded up to a multiple of this many
+    # seconds (+ one FFT frame of reflection headroom): a handful of
+    # compiles serve any utterance-length distribution
+    _BUCKET_SECONDS = 1.0
+
     def _enhance_utterance(self, noisy: np.ndarray, clean: np.ndarray):
         """Full enhancement + validation loss of one utterance, host API
-        (jit-cached per utterance length)."""
+        (jit-cached per LENGTH BUCKET for models supporting masked norms,
+        per exact length otherwise)."""
+        length = int(min(len(noisy), len(clean)))
+        if self._bucketing_supported():
+            if not hasattr(self, "_enhance_bucket_fn"):
+                self._enhance_bucket_fn = self._build_bucketed_enhance_fn()
+            step = int(self._BUCKET_SECONDS * self.acoustics["sr"])
+            n_fft = self.acoustics["n_fft"]
+            bucket = -(-(length + n_fft) // step) * step
+            noisy_b = np.zeros(bucket, np.float32)
+            clean_b = np.zeros(bucket, np.float32)
+            noisy_b[:length] = noisy[:length]
+            clean_b[:length] = clean[:length]
+            enhanced, loss = self._enhance_bucket_fn(
+                self.state["params"],
+                jnp.asarray(noisy_b)[None],
+                jnp.asarray(clean_b)[None],
+                jnp.asarray(length, jnp.int32),
+            )
+            return np.asarray(enhanced[0][:length]), float(loss)
+
         if not hasattr(self, "_enhance_fn"):
             self._enhance_fn = self._build_enhance_fn()
-        length = min(len(noisy), len(clean))
         enhanced, loss = self._enhance_fn(
             self.state["params"],
             jnp.asarray(noisy[:length])[None],

@@ -237,3 +237,57 @@ def test_validation_loss_logged(full_setup):
     assert "Validation/Loss_With_reverb" in logged
     assert "Validation/Loss_No_reverb" in logged
     assert all(np.isfinite(v) for v in logged.values())
+
+
+@pytest.mark.parametrize(
+    "norm", ["offline_laplace_norm", "cumulative_laplace_norm"]
+)
+def test_bucketed_enhancement_exact(full_setup, norm):
+    """Length-bucketed validation enhancement (one compile per bucket) is
+    EXACTLY the unpadded per-length run: masked norm statistics, re-created
+    tail reflection, masked iSTFT, rescaled masked loss."""
+    from fullsubnet_tpu.config import load_config
+    from fullsubnet_tpu.train.trainer import Trainer
+
+    cfg_path, tmp_path = full_setup
+    cfg = load_config(cfg_path)
+    cfg["model"]["args"]["norm_type"] = norm
+    trainer = Trainer(cfg, experiment_name=f"bucket_{norm}")
+    assert trainer._bucketing_supported()
+
+    rng = np.random.default_rng(11)
+    for length in (16000, 15373, 9000):  # exact-bucket, ragged, short
+        noisy = (0.1 * rng.standard_normal(length)).astype(np.float32)
+        clean = (0.1 * rng.standard_normal(length)).astype(np.float32)
+
+        enhanced_b, loss_b = trainer._enhance_utterance(noisy, clean)
+
+        # ground truth: the per-length (unbucketed) path
+        fn = trainer._build_enhance_fn()
+        import jax.numpy as jnp
+
+        enhanced_u, loss_u = fn(
+            trainer.state["params"], jnp.asarray(noisy)[None],
+            jnp.asarray(clean)[None],
+        )
+        enhanced_u = np.asarray(enhanced_u[0])
+
+        assert enhanced_b.shape == enhanced_u.shape == (length,)
+        np.testing.assert_allclose(enhanced_b, enhanced_u, atol=2e-5)
+        np.testing.assert_allclose(loss_b, float(loss_u), rtol=1e-4)
+
+
+def test_bucketed_enhancement_single_compile(full_setup):
+    """Different lengths inside one bucket must not trigger recompiles."""
+    from fullsubnet_tpu.config import load_config
+    from fullsubnet_tpu.train.trainer import Trainer
+
+    cfg_path, _ = full_setup
+    trainer = Trainer(load_config(cfg_path), experiment_name="bucketcc")
+    rng = np.random.default_rng(12)
+    for length in (14500, 14800, 15100):  # all pad to the same bucket
+        noisy = (0.1 * rng.standard_normal(length)).astype(np.float32)
+        clean = (0.1 * rng.standard_normal(length)).astype(np.float32)
+        trainer._enhance_utterance(noisy, clean)
+    # one bucket -> one cache entry
+    assert trainer._enhance_bucket_fn._cache_size() == 1
