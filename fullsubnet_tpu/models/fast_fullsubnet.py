@@ -120,7 +120,9 @@ class FastFullSubNet:
 
     # -- forward --------------------------------------------------------
 
-    def __call__(self, params: dict, mix_mag: jax.Array) -> jax.Array:
+    def __call__(
+        self, params: dict, mix_mag: jax.Array, training: bool = False
+    ) -> jax.Array:
         """mix_mag [B, 1, F, T] -> cRM [B, 2, F, T]."""
         assert mix_mag.ndim == 4
         x = jnp.pad(mix_mag, ((0, 0), (0, 0), (0, 0), (0, self.look_ahead)))
@@ -132,8 +134,8 @@ class FastFullSubNet:
 
         # F_l2m
         enc = self.norm(mix_mel).reshape(batch_size, -1, num_frames)
-        enc = self.encoder[0](params["encoder"][0], enc)
-        enc = self.encoder[1](params["encoder"][1], enc)
+        enc = self.encoder[0](params["encoder"][0], enc, training=training)
+        enc = self.encoder[1](params["encoder"][1], enc, training=training)
         enc_output = enc.reshape(batch_size, num_channels, -1, num_frames)
 
         # Unfold noisy mel + encoder output into sub-band units
@@ -153,7 +155,9 @@ class FastFullSubNet:
         bn_shrunk = bn_shrunk.reshape(
             batch_size * self.num_mels, num_sb_unit_freqs, -1
         )
-        bn_out = self.bottleneck(params["bottleneck"], bn_shrunk)  # [B*M, 1, T']
+        bn_out = self.bottleneck(
+            params["bottleneck"], bn_shrunk, training=training
+        )  # [B*M, 1, T']
         bn_out = bn_out.reshape(batch_size, self.num_mels, 1, -1)
         bn_out = jnp.transpose(bn_out, (0, 2, 1, 3))  # [B, 1, F_mel, T']
         bn_out = self.real_time_upsampling(bn_out, target_len=num_frames)
@@ -161,8 +165,8 @@ class FastFullSubNet:
         # F_m2l
         dec_input = jnp.concatenate([enc_output, bn_out], axis=2)
         dec_input = dec_input.reshape(batch_size, -1, num_frames)
-        dec = self.decoder_lstm[0](params["decoder_lstm"][0], dec_input)
-        dec = self.decoder_lstm[1](params["decoder_lstm"][1], dec)
+        dec = self.decoder_lstm[0](params["decoder_lstm"][0], dec_input, training=training)
+        dec = self.decoder_lstm[1](params["decoder_lstm"][1], dec, training=training)
         dec_output = dec.reshape(batch_size, 2, num_freqs, num_frames)
 
         return dec_output[:, :, :, self.look_ahead :]

@@ -45,7 +45,9 @@ class FullBandModel:
             )
         }
 
-    def __call__(self, params: dict, noisy_mag: jax.Array) -> jax.Array:
+    def __call__(
+        self, params: dict, noisy_mag: jax.Array, training: bool = False
+    ) -> jax.Array:
         """noisy_mag [B, 1, F, T] -> cRM [B, 2, F, T]."""
         assert noisy_mag.ndim == 4
         x = jnp.pad(noisy_mag, ((0, 0), (0, 0), (0, 0), (0, self.look_ahead)))
@@ -53,6 +55,6 @@ class FullBandModel:
         assert c == 1, "FullBandModel takes the mag feature as input."
 
         x = self.norm(x).reshape(b, c * f, t)
-        out = self.fullband_model(params["fullband_model"], x)
+        out = self.fullband_model(params["fullband_model"], x, training=training)
         out = out.reshape(b, 2, f, t)
         return out[:, :, :, self.look_ahead :]

@@ -161,7 +161,7 @@ class FullSubNet:
 
         # Full-band stage
         fb_input = norm(x).reshape(batch_size, num_freqs, num_frames)
-        fb_output = self.fb_model(params["fb_model"], fb_input)
+        fb_output = self.fb_model(params["fb_model"], fb_input, training=training)
         fb_output = fb_output.reshape(batch_size, 1, num_freqs, num_frames)
         if frame_mask is not None:
             # pad frames would otherwise leak (LSTM biases) into the
@@ -230,7 +230,9 @@ class FullSubNet:
             sb_input = sharding_hint(sb_input)
 
         # One shared sub-band LSTM batched over all frequencies.
-        sb_mask = self.sb_model(params["sb_model"], sb_input)  # [B*F, 2, T]
+        sb_mask = self.sb_model(
+            params["sb_model"], sb_input, training=training
+        )  # [B*F, 2, T]
         sb_mask = sb_mask.reshape(batch_size, num_freqs, 2, num_frames)
         sb_mask = jnp.transpose(sb_mask, (0, 2, 1, 3))  # [B, 2, F, T]
 

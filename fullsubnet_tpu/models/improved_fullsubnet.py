@@ -185,7 +185,7 @@ class SubbandModel:
                 )  # [T, B·N, 2c]
                 out = jnp.transpose(out, (1, 2, 0))  # [B·N, 2c, T]
             else:
-                out = sb_model(sb_params, flat)
+                out = sb_model(sb_params, flat, training=training)
             # -> [B, N, 2, c, T] -> [B, 2, N·c, T]
             out = out.reshape(b, n_units, 2, -1, t)
             out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(b, 2, -1, t)
@@ -278,7 +278,7 @@ class ImprovedFullSubNet:
             noisy_mag = noisy_mag.astype(self.compute_dtype)
         b, c, f, t = noisy_mag.shape
         fb_input = self.norm(noisy_mag).reshape(b, f, t)
-        fb_output = self.fb_model(params["fb_model"], fb_input)
+        fb_output = self.fb_model(params["fb_model"], fb_input, training=training)
         fb_output = fb_output.reshape(b, 1, f, t)
 
         # Subband sections -> cRM over F-1 bins, pad the last bin with 0

@@ -50,7 +50,8 @@ class SubBandBaseline:
         return {"sb_model": self.sb_model.init(key, dtype, orthogonal_init=weight_init)}
 
     def __call__(
-        self, params: dict, x: jax.Array, dropping_band: bool = True
+        self, params: dict, x: jax.Array, dropping_band: bool = True,
+        training: bool = False,
     ) -> jax.Array:
         """Two input forms:
 
@@ -61,7 +62,7 @@ class SubBandBaseline:
         """
         if x.ndim == 3:  # pre-unfolded units [F, F_s, T], single utterance
             units = self.norm(x[None])[0]  # same stats as training (B=1)
-            return self.sb_model(params["sb_model"], units)  # [F, 2, T]
+            return self.sb_model(params["sb_model"], units, training=training)  # [F, 2, T]
 
         assert x.ndim == 4 and x.shape[1] == 1
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, self.look_ahead)))
@@ -78,6 +79,6 @@ class SubBandBaseline:
             units = jnp.transpose(units, (0, 2, 1, 3))
 
         flat = units.reshape(b * f, 2 * self.num_neighbors + 1, t)
-        mask = self.sb_model(params["sb_model"], flat)  # [B·F, 2, T]
+        mask = self.sb_model(params["sb_model"], flat, training=training)  # [B·F, 2, T]
         mask = jnp.transpose(mask.reshape(b, f, 2, t), (0, 2, 1, 3))
         return mask[:, :, :, self.look_ahead :]

@@ -1,0 +1,59 @@
+"""SequenceModel's Pallas route (fused dual-cell kernel) == scan path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fullsubnet_tpu.nn.sequence_model import SequenceModel
+
+
+def _setup(cell="LSTM", act="ReLU"):
+    sm = SequenceModel(
+        input_size=20, output_size=12, hidden_size=16, num_layers=2,
+        bidirectional=False, sequence_model=cell,
+        output_activate_function=act,
+    )
+    params = sm.init(jax.random.PRNGKey(0), orthogonal_init=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 20, 17))  # [B, F, T]
+    return sm, params, x
+
+
+def test_pallas_route_matches_scan_lstm():
+    sm, params, x = _setup("LSTM", "ReLU")
+    ref = sm(params, x)  # scan (CPU)
+    out = sm._pallas_forward(params, x, training=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_route_matches_scan_gru():
+    sm, params, x = _setup("GRU", None)
+    ref = sm(params, x)
+    out = sm._pallas_forward(params, x, training=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_route_training_grads_match_scan():
+    sm, params, x = _setup("LSTM", "ReLU")
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (8, 12, 17))
+
+    def loss_scan(p):
+        return jnp.mean(jnp.square(sm(p, x) - tgt))
+
+    def loss_pallas(p):
+        o = sm._pallas_forward(p, x, training=True, interpret=True)
+        return jnp.mean(jnp.square(o - tgt))
+
+    lr, gr = jax.value_and_grad(loss_scan)(params)
+    lp, gp = jax.value_and_grad(loss_pallas)(params)
+    np.testing.assert_allclose(float(lp), float(lr), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-3)
+
+
+def test_eligibility_gates():
+    sm, params, x = _setup()
+    # CPU backend -> never eligible (these tests run on the CPU mesh)
+    assert not sm._pallas_eligible(128, 100)
+    # small batches / prelu / 1-layer / bidirectional are gated off
+    sm2 = SequenceModel(20, 12, 16, 2, False, "LSTM", "PReLU")
+    assert sm2._act == "prelu"
