@@ -91,6 +91,10 @@ class FullSubNet:
     # so cap it by element count.
     use_pallas_subband = True
     _PALLAS_SB_MAX_ELEMENTS = 2**31  # ~4 GB bf16
+    # Training stashes 4 (LSTM) / 2 (GRU) [T, B*F', H] state tensors for
+    # the backward kernels; above this budget fall back to the remat'd
+    # chunked scan (stores only chunk-boundary states).
+    _PALLAS_TRAIN_STASH_BUDGET = 6 * 2**30  # bytes
 
     def __call__(
         self,
@@ -445,11 +449,17 @@ class FullSubNet:
         mu = self._sb_norm_mu(noisy_pad, fb_flat)  # [B,1,1,1] or [B,F,1,T]
         mu_is_scalar = mu.shape[1] == 1
 
+        hidden = self.sb_model.hidden_size
+        f_eff = f // drop_groups if drop_groups > 1 else f
+        dt_size = jnp.dtype(x.dtype).itemsize
+        n_stash = 4  # LSTM; GRU stashes 2 — use the conservative bound
+        stash_bytes = n_stash * t * b * f_eff * hidden * dt_size
         if (
             self.use_pallas_subband
             and len(params["sb_model"]["rnn"]) == 2
             and jax.default_backend() != "cpu"
             and b * f * (2 * n + 2) * t <= self._PALLAS_SB_MAX_ELEMENTS
+            and (not training or stash_bytes <= self._PALLAS_TRAIN_STASH_BUDGET)
         ):
             return self._pallas_subband(
                 params, noisy_pad, fb_flat, mu, mu_is_scalar, sharding_hint,
@@ -478,7 +488,14 @@ class FullSubNet:
 
         sb = self.sb_model
         hidden = sb.hidden_size
-        chunk = max(8, 2**25 // (b * f * hidden // 8 + 1))
+        if training:
+            # training memory = chunk-boundary states (T/chunk) + one
+            # chunk's per-step states (chunk, via the inner per-step
+            # remat) -> balance both at sqrt(T)
+            chunk = int(round(t**0.5 / 8.0) * 8)
+            chunk = max(8, min(128, chunk))
+        else:
+            chunk = max(8, 2**25 // (b * f * hidden // 8 + 1))
         chunk = min(chunk, t)
         num_chunks = -(-t // chunk)
         t_pad = num_chunks * chunk
@@ -509,7 +526,11 @@ class FullSubNet:
                 h = jax.nn.sigmoid(o) * jnp.tanh(c)
                 return (h, c), h
 
-            return jax.lax.scan(step, carry, h_seq)
+            # per-step remat: the backward keeps only (h, c) per step and
+            # recomputes the 4H gate tensor — the same trade the Pallas
+            # backward kernel makes
+            body = jax.checkpoint(step) if training else step
+            return jax.lax.scan(body, carry, h_seq)
 
         # [num_chunks, B, *, chunk] views
         noisy_cs = noisy_pad.reshape(b, noisy_pad.shape[1], num_chunks, chunk)
@@ -525,7 +546,11 @@ class FullSubNet:
                 mu[:, :, 0].reshape(b, f, num_chunks, chunk), (2, 0, 1, 3)
             )  # [C, B, F, chunk]
 
+        @jax.checkpoint
         def chunk_body(states, inputs):
+            # rematerialized: training stores only chunk-boundary LSTM
+            # states and recomputes in-chunk activations in the backward —
+            # this is what lifts the big-batch training HBM ceiling
             noisy_c, fb_c, mu_c = inputs  # [B, F+2N, K], [B, F', K], mu
             if gather_idx.shape[0] == 1:
                 units = noisy_c[:, gather_idx[0], :]  # [B, F', 2N+1, K]

@@ -104,7 +104,7 @@ class SequenceModel:
     _PALLAS_MIN_ROWS = 64
     _PALLAS_MAX_ELEMENTS = 2**31
 
-    def _pallas_eligible(self, b: int, t: int) -> bool:
+    def _pallas_eligible(self, b: int, t: int, training: bool = False) -> bool:
         return (
             not self.bidirectional
             and self.num_layers == 2
@@ -113,6 +113,11 @@ class SequenceModel:
             and b >= self._PALLAS_MIN_ROWS
             and b * t * (self.input_size + self.output_size)
             <= self._PALLAS_MAX_ELEMENTS
+            # the layer-2 backward kernel holds 2 f32 [H+8, G*H] gradient
+            # accumulators + the weights in VMEM; above H=448 that fixed
+            # footprint (~13 MB) + per-row transients exceeds the 16 MB
+            # budget, so wide stacks train on the scan path
+            and (not training or self.hidden_size <= 448)
             and jax.default_backend() != "cpu"
         )
 
@@ -148,7 +153,7 @@ class SequenceModel:
         """
         assert x.ndim == 3, f"The shape of input is {x.shape}."
         b, _, t = x.shape
-        if self._pallas_eligible(b, t):
+        if self._pallas_eligible(b, t, training):
             return self._pallas_forward(params, x, training)
         x = jnp.swapaxes(x, 1, 2)  # [B, T, F]
 
