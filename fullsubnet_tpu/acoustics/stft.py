@@ -39,11 +39,35 @@ def _prepare_window(n_fft: int, win_length: int, window, dtype):
 
 
 def _frame(y: jax.Array, n_fft: int, hop_length: int) -> jax.Array:
-    """Slice [..., T] into overlapping frames [..., num_frames, n_fft]."""
-    num_frames = 1 + (y.shape[-1] - n_fft) // hop_length
-    starts = jnp.arange(num_frames) * hop_length
-    idx = starts[:, None] + jnp.arange(n_fft)[None, :]  # [T', n_fft]
-    return y[..., idx]
+    """Slice [..., T] into overlapping frames [..., num_frames, n_fft].
+
+    When n_fft is a hop multiple (every shipped config), the overlap
+    decomposes into k = n_fft/hop interleaved NON-overlapping frame sets,
+    each a free reshape of a shifted slice — one dense transpose instead
+    of a gather (the gather costs ~70 ms at B=128 x 30 s on TPU).
+    """
+    t = y.shape[-1]
+    num_frames = 1 + (t - n_fft) // hop_length
+    k = n_fft // hop_length
+    if n_fft % hop_length != 0:
+        starts = jnp.arange(num_frames) * hop_length
+        idx = starts[:, None] + jnp.arange(n_fft)[None, :]  # [T', n_fft]
+        return y[..., idx]
+
+    n_max = -(-num_frames // k)  # frames per set, padded to the max set
+    sets = []
+    for j in range(k):
+        nj = (num_frames - j + k - 1) // k
+        start = j * hop_length
+        seg = y[..., start : start + nj * n_fft]
+        fr = seg.reshape(seg.shape[:-1] + (nj, n_fft))
+        if nj < n_max:
+            pad = [(0, 0)] * (fr.ndim - 2) + [(0, n_max - nj), (0, 0)]
+            fr = jnp.pad(fr, pad)
+        sets.append(fr)
+    frames = jnp.stack(sets, axis=-2)  # [..., n_max, k, n_fft]
+    frames = frames.reshape(frames.shape[:-3] + (n_max * k, n_fft))
+    return frames[..., :num_frames, :]
 
 
 def stft_complex(
@@ -141,20 +165,40 @@ def istft(
     if frame_mask is not None:
         frames = frames * frame_mask.astype(frames.dtype)[:, None]
     out_len = n_fft + (num_frames - 1) * hop_length
-    starts = jnp.arange(num_frames) * hop_length
-    idx = starts[:, None] + jnp.arange(n_fft)[None, :]  # [T', n_fft]
 
     batch_shape = frames.shape[:-2]
     flat = frames.reshape((-1, num_frames, n_fft))
-
-    def ola(fr):
-        return jnp.zeros(out_len, fr.dtype).at[idx].add(fr)
-
-    out = jax.vmap(ola)(flat)  # [B*, out_len]
     wsq = jnp.broadcast_to(window**2, (num_frames, n_fft))
     if frame_mask is not None:
         wsq = wsq * frame_mask.astype(window.dtype)[:, None]
-    env = jnp.zeros(out_len, window.dtype).at[idx].add(wsq)
+
+    if n_fft % hop_length == 0:
+        # strided OLA: k = n_fft/hop interleaved sets of NON-overlapping
+        # frames, each a free reshape added at a static offset — replaces
+        # the serialized scatter-add (~85 ms at B=128 x 30 s on TPU)
+        def ola_batched(fr):  # fr [B*, T', n_fft] (or [T', n_fft] for env)
+            lead = fr.shape[:-2]
+            k = n_fft // hop_length
+            out = jnp.zeros(lead + (out_len,), fr.dtype)
+            for j in range(0, k):
+                fr_j = fr[..., j::k, :]
+                nj = fr_j.shape[-2]
+                seg = fr_j.reshape(lead + (nj * n_fft,))
+                start = j * hop_length
+                out = out.at[..., start : start + nj * n_fft].add(seg)
+            return out
+
+        out = ola_batched(flat)
+        env = ola_batched(wsq)
+    else:
+        starts = jnp.arange(num_frames) * hop_length
+        idx = starts[:, None] + jnp.arange(n_fft)[None, :]  # [T', n_fft]
+
+        def ola(fr):
+            return jnp.zeros(out_len, fr.dtype).at[idx].add(fr)
+
+        out = jax.vmap(ola)(flat)  # [B*, out_len]
+        env = jnp.zeros(out_len, window.dtype).at[idx].add(wsq)
     out = out / jnp.maximum(env, epsilon)
     out = out.reshape(batch_shape + (out_len,))
 
