@@ -99,6 +99,12 @@ def bench_train(args):
     from fullsubnet_tpu.models import FullSubNet
 
     model = FullSubNet()
+    if args.train_unfused:
+        # legacy reference-shaped path: no fused pipeline, no Pallas routes
+        model._FUSED_SB_THRESHOLD = 2**62
+        from fullsubnet_tpu.nn.sequence_model import SequenceModel
+
+        SequenceModel._PALLAS_MIN_ROWS = 2**62
     params = model.init(jax.random.PRNGKey(0))
     optimizer = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(1e-3))
     opt_state = optimizer.init(params)

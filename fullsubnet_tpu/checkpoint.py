@@ -192,10 +192,18 @@ class CheckpointManager:
         missing but a tmp exists, the tmp IS the new artifact — adopt the
         newest one. Leftover ``.old-*`` and surplus tmps are garbage.
         """
+        # only OUR completed tmp dirs match `.tmp-<name>-<8 hex>`; anything
+        # else under `.tmp-*` is an Orbax in-flight write (it appends its
+        # own `.orbax-checkpoint-tmp...` suffix until finalize-rename) that
+        # a kill left INCOMPLETE — sweep those, never adopt them
+        tmp_re = re.compile(r"^\.tmp-(.+)-[0-9a-f]{8}$")
         by_name: dict[str, list[Path]] = {}
         for t in self.directory.glob(".tmp-*"):
-            name = t.name[len(".tmp-") :].rsplit("-", 1)[0]
-            by_name.setdefault(name, []).append(t)
+            m = tmp_re.match(t.name)
+            if m is None or ".orbax-checkpoint-tmp" in t.name:
+                _rmtree(t)
+                continue
+            by_name.setdefault(m.group(1), []).append(t)
         for name, tmps in by_name.items():
             final = self.directory / name
             tmps.sort(key=lambda p: p.stat().st_mtime)

@@ -308,19 +308,7 @@ class ValidationDataset(BaseDataset):
         parent_dir = Path(noisy_file_path).parents[1].name
         noisy_filename, _ = basename(noisy_file_path)
         reverb_remark = ""
-
-        if parent_dir == "with_reverb":
-            speech_type = "With_reverb"
-        elif parent_dir == "no_reverb":
-            speech_type = "No_reverb"
-        elif parent_dir == "dns_2_non_english":
-            speech_type = "Non_english"
-        elif parent_dir == "dns_2_emotion":
-            speech_type = "Emotion"
-        elif parent_dir == "dns_2_singing":
-            speech_type = "Singing"
-        else:
-            raise NotImplementedError(f"Not supported dir: {parent_dir}")
+        speech_type = self.speech_type_of(item)
 
         file_id = noisy_filename.split("_")[-1]
         if parent_dir in ("dns_2_emotion", "dns_2_singing"):

@@ -166,14 +166,19 @@ def STOI(ref, est, sr=16000):
 
 
 def _pesq(ref, est, sr, mode):
+    if sr not in (8000, 16000):
+        # P.862 is defined for 8/16 kHz only (the ITU C extension rejects
+        # anything else); resample like practitioners do for 48 kHz evals
+        ref = _resample(np.asarray(ref, np.float64).reshape(-1), sr, 16000)
+        est = _resample(np.asarray(est, np.float64).reshape(-1), sr, 16000)
+        sr = 16000
     try:  # pragma: no cover - the C extension is absent in this image
         from pesq import pesq as pesq_fn
-
-        return pesq_fn(sr, np.asarray(ref), np.asarray(est), mode)
     except ImportError:
         from fullsubnet_tpu.pesq import pesq as pesq_native
 
         return pesq_native(ref, est, sr=sr, mode=mode)
+    return pesq_fn(sr, np.asarray(ref), np.asarray(est), mode)
 
 
 def WB_PESQ(ref, est, sr=16000):

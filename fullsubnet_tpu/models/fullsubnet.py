@@ -513,21 +513,35 @@ class FullSubNet:
                 )
         layer_params = [layer[0] for layer in params["sb_model"]["rnn"]]
         fc = params["sb_model"].get("fc")
+        is_lstm = self.sb_model.sequence_model == "LSTM"
 
         def layer_scan(p, carry, h_seq):
-            w = jnp.concatenate([p["w_ih"], p["w_hh"]], axis=1)
-            bias = p["b_ih"] + p["b_hh"]
+            if is_lstm:
+                w = jnp.concatenate([p["w_ih"], p["w_hh"]], axis=1)
+                bias = p["b_ih"] + p["b_hh"]
 
-            def step(cr, x_t):
-                h, c = cr
-                gates = jnp.concatenate([x_t, h], axis=-1) @ w.T + bias
-                i, fg, g, o = jnp.split(gates, 4, axis=-1)
-                c = jax.nn.sigmoid(fg) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-                h = jax.nn.sigmoid(o) * jnp.tanh(c)
-                return (h, c), h
+                def step(cr, x_t):
+                    h, c = cr
+                    gates = jnp.concatenate([x_t, h], axis=-1) @ w.T + bias
+                    i, fg, g, o = jnp.split(gates, 4, axis=-1)
+                    c = jax.nn.sigmoid(fg) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+                    h = jax.nn.sigmoid(o) * jnp.tanh(c)
+                    return (h, c), h
+            else:
+                from fullsubnet_tpu.nn import rnn as _rnn
 
-            # per-step remat: the backward keeps only (h, c) per step and
-            # recomputes the 4H gate tensor — the same trade the Pallas
+                hidden_g = p["w_hh"].shape[1]
+
+                def step(h, x_t):
+                    x_proj = x_t @ p["w_ih"].T + p["b_ih"]
+                    parts = (
+                        x_proj[..., : 2 * hidden_g],
+                        x_proj[..., 2 * hidden_g :],
+                    )
+                    return _rnn.gru_step(p, h, parts)
+
+            # per-step remat: the backward keeps only the states per step
+            # and recomputes the gate tensor — the same trade the Pallas
             # backward kernel makes
             body = jax.checkpoint(step) if training else step
             return jax.lax.scan(body, carry, h_seq)
@@ -589,7 +603,7 @@ class FullSubNet:
             return new_states, h_seq  # [K, B·F, 2]
 
         h0 = jnp.zeros((b * f, hidden), x.dtype)
-        states0 = [(h0, h0) for _ in layer_params]
+        states0 = [((h0, h0) if is_lstm else h0) for _ in layer_params]
         _, ys = jax.lax.scan(chunk_body, states0, (noisy_cs, fb_cs, mu_cs))
         # ys: [num_chunks, chunk, B·F, 2] -> [B, 2, F, T]
         ys = ys.reshape(t_pad, b, f, 2)[:t]

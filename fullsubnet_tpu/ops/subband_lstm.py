@@ -144,33 +144,8 @@ def _prep_weights(l1, l2, fc, compute_dtype, cell):
     return w1, b1, w2, b2, wfc, bfc
 
 
-def fused_subband_lstm(
-    x: jax.Array,
-    l1: dict,
-    l2: dict,
-    fc: dict,
-    *,
-    row_tile: int = 512,
-    interpret: bool = False,
-    time_major_features: bool = False,
-) -> jax.Array:
-    """Run the fused 2-layer LSTM + Linear over x.
-
-    Args:
-        x: [T, N, F_in] (or [T, F_in, N] if ``time_major_features``) input;
-            N = B·F frequency-batched rows.
-        l1, l2: layer dicts {w_ih [4H, in], w_hh [4H, H], b_ih, b_hh}
-            (torch layout, as produced by ``nn.rnn.lstm_init`` / the
-            checkpoint converter).
-        fc: {weight [OUT, H], bias [OUT]}.
-        row_tile: rows per grid tile (N is padded up to a multiple).
-        interpret: run in the Pallas interpreter (CPU testing).
-
-    Returns:
-        [T, N, OUT] float32.
-    """
-    if not time_major_features:
-        x = jnp.swapaxes(x, 1, 2)  # -> [T, F_in, N]
+def _infer_impl(x, l1, l2, fc, row_tile, interpret):
+    """The fast (no-stash) kernel invocation. x: [T, F_in, N]."""
     t, f_in, n = x.shape
     hidden, cell = _cell_of(l1)
     out_dim = fc["weight"].shape[0]
@@ -547,8 +522,15 @@ def _pallas_layer_bwd(
 
 
 @functools.lru_cache(maxsize=None)
-def _train_vjp_fn(row_tile: int, interpret: bool):
-    """custom_vjp-wrapped fused scan for x in [T, F_in, N] layout."""
+def _train_vjp_fn(primal_row_tile: int, row_tile: int, interpret: bool):
+    """custom_vjp-wrapped fused scan for x in [T, F_in, N] layout.
+
+    The PRIMAL (evaluated when not differentiating) runs the fast no-stash
+    kernel at ``primal_row_tile``; under ``jax.grad`` the fwd/bwd pair uses
+    the stash kernels at ``row_tile`` (smaller: the backward kernels' VMEM
+    budget). Values are identical either way (padding is trimmed), which
+    is what custom_vjp requires.
+    """
 
     def _fwd_impl(x, l1, l2, fc):
         t, f_in, n = x.shape
@@ -661,10 +643,48 @@ def _train_vjp_fn(row_tile: int, interpret: bool):
 
     @jax.custom_vjp
     def f(x, l1, l2, fc):
-        return _fwd_impl(x, l1, l2, fc)[0]
+        return _infer_impl(x, l1, l2, fc, primal_row_tile, interpret)
 
     f.defvjp(_fwd_impl, _bwd_impl)
     return f
+
+
+def fused_subband_lstm(
+    x: jax.Array,
+    l1: dict,
+    l2: dict,
+    fc: dict,
+    *,
+    row_tile: int = 512,
+    interpret: bool = False,
+    time_major_features: bool = False,
+) -> jax.Array:
+    """Run the fused 2-layer LSTM/GRU + Linear over x.
+
+    Args:
+        x: [T, N, F_in] (or [T, F_in, N] if ``time_major_features``) input;
+            N = B·F frequency-batched rows.
+        l1, l2: layer dicts {w_ih [4H, in], w_hh [4H, H], b_ih, b_hh}
+            (torch layout, as produced by ``nn.rnn.lstm_init`` / the
+            checkpoint converter).
+        fc: {weight [OUT, H], bias [OUT]}.
+        row_tile: rows per grid tile (N is padded up to a multiple).
+        interpret: run in the Pallas interpreter (CPU testing).
+
+    Returns:
+        [T, N, OUT] float32.
+
+    Differentiable: under ``jax.grad`` the custom VJP runs the stash
+    forward + per-layer backward kernels (at a VMEM-safe row tile); when
+    not differentiating, the fast no-stash kernel runs. Prefer
+    :func:`fused_subband_lstm_train` in training code paths to pick the
+    training row tile explicitly.
+    """
+    if not time_major_features:
+        x = jnp.swapaxes(x, 1, 2)  # -> [T, F_in, N]
+    return _train_vjp_fn(row_tile, min(row_tile, 128), interpret)(
+        x, l1, l2, fc
+    )
 
 
 def fused_subband_lstm_train(
@@ -677,14 +697,9 @@ def fused_subband_lstm_train(
     interpret: bool = False,
     time_major_features: bool = False,
 ) -> jax.Array:
-    """Differentiable twin of :func:`fused_subband_lstm`.
-
-    Same forward semantics (returns [T, N, OUT] float32) but with a custom
-    VJP: the forward stashes per-step states, the backward runs the
-    time-reversed per-layer Pallas kernels above. Use this under
-    ``jax.grad``; use :func:`fused_subband_lstm` for inference (no stash
-    traffic).
-    """
+    """Training-tuned twin of :func:`fused_subband_lstm` (same custom VJP,
+    stash/backward row tile = ``row_tile`` for the fwd pass as well, so
+    the residual-producing forward is compiled once)."""
     if not time_major_features:
         x = jnp.swapaxes(x, 1, 2)  # -> [T, F_in, N]
-    return _train_vjp_fn(row_tile, interpret)(x, l1, l2, fc)
+    return _train_vjp_fn(row_tile, row_tile, interpret)(x, l1, l2, fc)

@@ -18,8 +18,8 @@ Twin of ``audio_zen/trainer/base_trainer.py`` + the per-recipe trainers
   ``base_trainer.py:380``): every process enhances its shard and metrics
   reduce across hosts.
 * Model selection score = (STOI + norm-PESQ)/2 (``base_trainer.py:364-370``)
-  on the With_reverb split (``fullsubnet/trainer.py:181``); when the PESQ C
-  extension is unavailable the score degrades to STOI (documented).
+  on the With_reverb split (``fullsubnet/trainer.py:181``), with PESQ from
+  the native P.862 implementation (``fullsubnet_tpu.pesq``).
 """
 
 from __future__ import annotations
@@ -675,6 +675,9 @@ class Trainer:
             self._log_scalar(f"Validation/SI_SDR_{speech_type}_Enhanced", mean["sisdr_e"], epoch)
             if use_pesq:
                 self._log_scalar(
+                    f"Validation/WB_PESQ_{speech_type}_Noisy", mean["pesq_n"], epoch
+                )
+                self._log_scalar(
                     f"Validation/WB_PESQ_{speech_type}_Enhanced", mean["pesq_e"], epoch
                 )
                 # reference model-selection score (base_trainer.py:364-370)
@@ -726,6 +729,12 @@ class Trainer:
                 {self.valid_dataset.speech_type_of(i) for i in range(total)}
             )
         else:
+            # local types only: fine single-process, but with sharding the
+            # hosts could disagree on the matrix shape/order
+            assert num_procs == 1, (
+                "multi-host sharded validation needs the dataset to expose "
+                "speech_type_of(i) so every host agrees on the type set"
+            )
             all_types = sorted(loss_cnt)
 
         # per-type validation loss (reference fullsubnet/trainer.py:160-169)

@@ -88,3 +88,21 @@ def test_kill_during_write_keeps_old_state(tmp_path, monkeypatch):
 
     recovered = CheckpointManager(tmp_path)
     assert _epoch_of(recovered) == 1
+
+
+def test_recover_sweeps_orbax_partial_tmp(tmp_path):
+    """A kill DURING the orbax write leaves '.tmp-<name>-<tag>.orbax-
+    checkpoint-tmp-*' (incomplete by construction): recovery must sweep
+    it, never adopt it, and keep the previous 'latest'."""
+    mgr = CheckpointManager(tmp_path)
+    mgr.save(_state(1.0), epoch=1)
+    partial = tmp_path / ".tmp-latest-deadbeef.orbax-checkpoint-tmp-123456"
+    partial.mkdir()
+    (partial / "garbage").write_text("incomplete")
+
+    recovered = CheckpointManager(tmp_path)
+    assert _epoch_of(recovered) == 1
+    assert not list(tmp_path.glob(".tmp-*"))
+    # nothing incomplete got promoted to a visible artifact
+    names = {p.name for p in tmp_path.iterdir()}
+    assert names == {"latest", "epoch_0001"}

@@ -175,3 +175,31 @@ def test_pallas_drop_band_training_matches_unfused():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-3
         )
+
+
+def test_fused_drop_band_training_gru():
+    """GRU-configured FullSubNet trains through the fused path too (the
+    chunked fallback used to hardcode LSTM gate math)."""
+    model = FullSubNet(
+        num_freqs=17, sb_num_neighbors=2, fb_model_hidden_size=8,
+        sb_model_hidden_size=8, num_groups_in_drop_band=2,
+        sequence_model="GRU",
+    )
+    params = model.init(jax.random.PRNGKey(7), weight_init=False)
+    x = jnp.asarray(
+        np.abs(np.random.default_rng(7).standard_normal((4, 1, 17, 21))).astype(
+            np.float32
+        )
+    )
+
+    def loss(p, training):
+        crm = model(p, x, dropping_band=True, training=training)
+        return jnp.mean(jnp.square(crm))
+
+    lr, gr = jax.value_and_grad(loss)(params, False)
+    lf, gf = jax.value_and_grad(loss)(params, True)
+    np.testing.assert_allclose(float(lf), float(lr), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-3
+        )

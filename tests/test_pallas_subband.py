@@ -183,3 +183,23 @@ def test_train_kernel_grad_parity_gru():
 def test_train_kernel_grad_parity_padded():
     """N not divisible by row_tile, T not divisible by 8."""
     _check_grad_parity("lstm", T=11, N=13, F_in=8, H=16, row_tile=8)
+
+
+def test_inference_entry_is_differentiable():
+    """jax.grad through fused_subband_lstm itself (not the _train twin)
+    must work — the custom VJP is attached to both entries, so there is
+    no non-differentiable kernel path left."""
+    from fullsubnet_tpu.ops.subband_lstm import fused_subband_lstm
+
+    p, fc, x, tgt = _grad_setup("lstm", T=9, N=12, F_in=8, H=16)
+
+    def loss(params):
+        pp, pfc = params
+        out = fused_subband_lstm(
+            x, pp[0][0], pp[1][0], pfc, row_tile=8, interpret=True
+        )
+        return jnp.mean(jnp.square(out - tgt))
+
+    val, grads = jax.value_and_grad(loss)((p, fc))
+    assert np.isfinite(float(val))
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads))

@@ -137,3 +137,18 @@ def test_metrics_integration(speech):
     nb = NB_PESQ(speech, _with_noise(speech, 20))
     assert 1.0 < nb < wb < 4.65
     assert 0.0 < transform_pesq_range(wb) < 1.05
+
+
+def test_metrics_pesq_resamples_unsupported_rates(speech):
+    """WB_PESQ at 48 kHz (improved 48k recipe) resamples to 16 kHz instead
+    of crashing the validation epoch."""
+    from scipy.signal import resample_poly
+
+    from fullsubnet_tpu.metrics import WB_PESQ
+
+    s48 = resample_poly(speech, 3, 1)
+    n48 = resample_poly(_with_noise(speech, 10), 3, 1)
+    score48 = WB_PESQ(s48, n48, sr=48000)
+    score16 = WB_PESQ(speech, _with_noise(speech, 10), sr=16000)
+    assert abs(score48 - score16) < 0.25
+    assert 1.0 <= score48 <= 4.65
