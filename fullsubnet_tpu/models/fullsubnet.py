@@ -181,12 +181,11 @@ class FullSubNet:
         unfold_elems = (
             batch_size
             * num_freqs
-            * (2 * self.sb_num_neighbors + 1)
+            * (2 * self.sb_num_neighbors + 2 * self.fb_num_neighbors + 2)
             * num_frames
         )
         fusable = (
             valid_frames is None
-            and self.fb_num_neighbors == 0
             and not self.sb_model.output_activate_function
             and self.norm in (self._norms_fusable())
             and (
@@ -254,86 +253,121 @@ class FullSubNet:
 
         return (offline_laplace_norm, cumulative_laplace_norm)
 
-    def _sb_norm_mu(self, noisy_pad, fb_flat):
+    def _sb_norm_mu(self, noisy_pad, fb_pad, f):
         """Normalization denominator of the concatenated sub-band input,
         computed WITHOUT materializing the unfold.
 
-        noisy_pad: [B, F+2N, T] reflect-padded magnitudes;
-        fb_flat:   [B, F, T] full-band output.
+        noisy_pad: [B, F+2N_sb, T] reflect-padded magnitudes;
+        fb_pad:    [B, F+2N_fb, T] reflect-padded full-band output
+                   (= fb_flat when fb_num_neighbors == 0).
 
-        offline_laplace_norm over [B, F, 32, T] is a per-batch scalar mean;
-        the unfold's sum equals a counts-weighted sum over padded bins
-        (bin fp appears in ``count[fp]`` windows). cumulative_laplace_norm
-        (input viewed as [B·F, 32, T]) is a per-(batch, f) running mean of
-        the 32-unit sums — a frequency box filter + time cumsum.
-        Returns mu broadcastable against [B, F, unit, T].
+        offline_laplace_norm over [B, F, unit, T] is a per-batch scalar
+        mean; each source's unfold-sum equals a counts-weighted sum over
+        its padded bins (bin fp appears in ``count[fp]`` windows).
+        cumulative_laplace_norm (input viewed as [B·F, unit, T]) is a
+        per-(batch, f) running mean of the unit sums — a frequency box
+        filter per source + time cumsum. Returns mu broadcastable against
+        [B, F, unit, T].
         """
         from fullsubnet_tpu.acoustics.norm import offline_laplace_norm
 
-        b, fp_len, t = noisy_pad.shape
-        f = fb_flat.shape[1]
-        n = self.sb_num_neighbors
-        unit = 2 * n + 2  # 2N+1 noisy neighbors + 1 fb bin
+        b, _, t = noisy_pad.shape
+        n_sb, n_fb = self.sb_num_neighbors, self.fb_num_neighbors
+        unit = (2 * n_sb + 1) + (2 * n_fb + 1)
 
         if self.norm is offline_laplace_norm:
-            counts = np.zeros(fp_len, np.float32)
-            for u in range(2 * n + 1):
-                counts[u : u + f] += 1.0
-            total = jnp.einsum(
-                "bpt,p->b", noisy_pad, jnp.asarray(counts, noisy_pad.dtype)
+            def weighted_total(arr, n):
+                counts = np.zeros(arr.shape[1], np.float32)
+                for u in range(2 * n + 1):
+                    counts[u : u + f] += 1.0
+                return jnp.einsum(
+                    "bpt,p->b", arr, jnp.asarray(counts, arr.dtype)
+                )
+
+            total = weighted_total(noisy_pad, n_sb) + weighted_total(
+                fb_pad, n_fb
             )
-            total = total + jnp.sum(fb_flat, axis=(1, 2))
             mu = total / (f * unit * t)  # [B]
             return mu[:, None, None, None] + 1e-5
 
         # cumulative_laplace_norm: unit_sum[b,f,t] then running mean
-        csum = jnp.cumsum(noisy_pad, axis=1)
-        zeros = jnp.zeros_like(csum[:, :1])
-        csum = jnp.concatenate([zeros, csum], axis=1)  # [B, FP+1, T]
-        box = csum[:, 2 * n + 1 :, :] - csum[:, : f, :]  # [B, F, T]
-        unit_sum = box + fb_flat
+        def box(arr, n):
+            csum = jnp.cumsum(arr, axis=1)
+            csum = jnp.concatenate(
+                [jnp.zeros_like(csum[:, :1]), csum], axis=1
+            )  # [B, FP+1, T]
+            return csum[:, 2 * n + 1 :, :] - csum[:, : f, :]  # [B, F, T]
+
+        unit_sum = box(noisy_pad, n_sb) + box(fb_pad, n_fb)
         run = jnp.cumsum(unit_sum, axis=-1)  # [B, F, T]
         counts_t = jnp.arange(unit, unit * t + 1, unit, dtype=noisy_pad.dtype)
         mu = run / counts_t[None, None, :]  # [B, F, T]
         return mu[:, :, None, :] + EPSILON
 
-    def _group_selection(self, noisy_pad, fb_flat, mu, mu_is_scalar, groups):
+    def _group_selection(self, noisy_pad, fb_pad, mu, mu_is_scalar, groups, f):
         """drop_band as group-strided slicing on the fused-path operands.
 
         Reorders the batch group-major (matching ``drop_band``'s output
-        ordering) and selects each group's interleaved center frequencies
-        ``g, g+G, ...`` (reference ``feature.py:309-345``), so the fused
-        pipeline can run on F//G bins per sample without ever building the
-        full unfold. Returns (noisy_pad_r, fb_sel, mu_sel, unit_starts)
-        where ``unit_starts[g]`` is the padded-bin offset of group g's
-        first center frequency.
+        ordering); the per-group interleaved center-frequency selection
+        (``g, g+G, ...``, reference ``feature.py:309-345``) happens later
+        as strided slices of the (still fully padded) sources. Returns
+        (noisy_pad_r, fb_pad_r, mu_sel, fk).
         """
         b = noisy_pad.shape[0]
-        f = fb_flat.shape[1]
         fk = f // groups  # drop_band truncates F to a multiple of G
         sample_groups = [np.arange(g, b, groups) for g in range(groups)]
-        freq_sel = lambda arr, g, axis=1: jax.lax.slice_in_dim(
-            arr, g, g + (fk - 1) * groups + 1, groups, axis=axis
+        regroup = lambda arr: jnp.concatenate(
+            [arr[sg] for sg in sample_groups], axis=0
         )
-        noisy_pad_r = jnp.concatenate(
-            [noisy_pad[sg] for sg in sample_groups], axis=0
-        )
-        fb_sel = jnp.concatenate(
-            [freq_sel(fb_flat[sg], g) for g, sg in enumerate(sample_groups)],
-            axis=0,
-        )
+        noisy_pad_r = regroup(noisy_pad)
+        fb_pad_r = regroup(fb_pad)
         if mu_is_scalar:
-            mu_sel = jnp.concatenate([mu[sg] for sg in sample_groups], axis=0)
+            mu_sel = regroup(mu)
         else:
+            freq_sel = lambda arr, g: jax.lax.slice_in_dim(
+                arr, g, g + (fk - 1) * groups + 1, groups, axis=1
+            )
             mu_sel = jnp.concatenate(
                 [freq_sel(mu[sg], g) for g, sg in enumerate(sample_groups)],
                 axis=0,
             )
-        return noisy_pad_r, fb_sel, mu_sel, fk
+        return noisy_pad_r, fb_pad_r, mu_sel, fk
+
+    @staticmethod
+    def _unit_slices(arr_pad, num_neighbors, f, drop_groups, b):
+        """Per-unit-position slices of a reflect-padded source.
+
+        Without drop grouping: the 2N+1 shifted [B, F, T] views. With it:
+        group g's unit position u for center k reads padded bin g + k·G + u
+        — a strided slice per (group, u), concatenated group-major on the
+        batch axis (matching ``_group_selection``'s reorder).
+        """
+        if drop_groups == 1:
+            return [
+                arr_pad[:, u : u + f, :]
+                for u in range(2 * num_neighbors + 1)
+            ]
+        bp = b // drop_groups
+        return [
+            jnp.concatenate(
+                [
+                    jax.lax.slice_in_dim(
+                        arr_pad[g * bp : (g + 1) * bp],
+                        g + u,
+                        g + u + (f - 1) * drop_groups + 1,
+                        drop_groups,
+                        axis=1,
+                    )
+                    for g in range(drop_groups)
+                ],
+                axis=0,
+            )
+            for u in range(2 * num_neighbors + 1)
+        ]
 
     def _pallas_subband(
-        self, params, noisy_pad, fb_flat, mu, mu_is_scalar, sharding_hint=None,
-        interpret=False, drop_groups=1, training=False,
+        self, params, noisy_pad, fb_pad, f, mu, mu_is_scalar,
+        sharding_hint=None, interpret=False, drop_groups=1, training=False,
     ):
         """Sub-band stage through the Pallas fused dual-LSTM kernel.
 
@@ -348,39 +382,18 @@ class FullSubNet:
             fused_subband_lstm_train,
         )
 
-        b, fp_len, t = noisy_pad.shape
-        f = fb_flat.shape[1]
-        n = self.sb_num_neighbors
-        unit = 2 * n + 2
+        b = noisy_pad.shape[0]
+        t = noisy_pad.shape[2]
+        n_sb, n_fb = self.sb_num_neighbors, self.fb_num_neighbors
+        unit = (2 * n_sb + 1) + (2 * n_fb + 1)
 
         if drop_groups > 1:
-            noisy_pad, fb_flat, mu, fk = self._group_selection(
-                noisy_pad, fb_flat, mu, mu_is_scalar, drop_groups
+            noisy_pad, fb_pad, mu, f = self._group_selection(
+                noisy_pad, fb_pad, mu, mu_is_scalar, drop_groups, f
             )
-            # group g's unit u for center k lives at padded bin g + k·G + u
-            slices = [
-                jnp.concatenate(
-                    [
-                        jax.lax.slice_in_dim(
-                            noisy_pad[g * (b // drop_groups) :][
-                                : b // drop_groups
-                            ],
-                            g + u,
-                            g + u + (fk - 1) * drop_groups + 1,
-                            drop_groups,
-                            axis=1,
-                        )
-                        for g in range(drop_groups)
-                    ],
-                    axis=0,
-                )
-                for u in range(2 * n + 1)
-            ]
-            f = fk
-        else:
-            # stack shifted slices (no gather): [unit, B, F, T]
-            slices = [noisy_pad[:, u : u + f, :] for u in range(2 * n + 1)]
-        slices.append(fb_flat)
+        # stack shifted slices (no gather): [unit, B, F', T]
+        slices = self._unit_slices(noisy_pad, n_sb, f, drop_groups, b)
+        slices += self._unit_slices(fb_pad, n_fb, f, drop_groups, b)
         sb_in = jnp.stack(slices, axis=0)  # [unit, B, F', T]
         # mu is [B,1,1,1] (offline) or [B,F',1,T] (cumulative); both squeeze
         # to a broadcastable [1, B, F', T]
@@ -441,12 +454,17 @@ class FullSubNet:
         norm-then-drop order). Returns [B, 2, F//drop_groups, T].
         """
         b, _, f, t = x.shape
-        n = self.sb_num_neighbors
+        n_sb, n_fb = self.sb_num_neighbors, self.fb_num_neighbors
+        unit = (2 * n_sb + 1) + (2 * n_fb + 1)
         noisy_pad = jnp.pad(
-            x[:, 0], ((0, 0), (n, n), (0, 0)), mode="reflect"
-        )  # [B, F+2N, T]
-        fb_flat = fb_output[:, 0]  # [B, F, T]
-        mu = self._sb_norm_mu(noisy_pad, fb_flat)  # [B,1,1,1] or [B,F,1,T]
+            x[:, 0], ((0, 0), (n_sb, n_sb), (0, 0)), mode="reflect"
+        )  # [B, F+2N_sb, T]
+        fb_pad = fb_output[:, 0]  # [B, F, T]
+        if n_fb > 0:
+            fb_pad = jnp.pad(
+                fb_pad, ((0, 0), (n_fb, n_fb), (0, 0)), mode="reflect"
+            )
+        mu = self._sb_norm_mu(noisy_pad, fb_pad, f)  # [B,1,1,1] or [B,F,1,T]
         mu_is_scalar = mu.shape[1] == 1
 
         hidden = self.sb_model.hidden_size
@@ -458,21 +476,21 @@ class FullSubNet:
             self.use_pallas_subband
             and len(params["sb_model"]["rnn"]) == 2
             and jax.default_backend() != "cpu"
-            and b * f * (2 * n + 2) * t <= self._PALLAS_SB_MAX_ELEMENTS
+            and b * f * unit * t <= self._PALLAS_SB_MAX_ELEMENTS
             and (not training or stash_bytes <= self._PALLAS_TRAIN_STASH_BUDGET)
         ):
             return self._pallas_subband(
-                params, noisy_pad, fb_flat, mu, mu_is_scalar, sharding_hint,
+                params, noisy_pad, fb_pad, f, mu, mu_is_scalar, sharding_hint,
                 drop_groups=drop_groups, training=training,
             )
 
         if drop_groups > 1:
-            noisy_pad, fb_flat, mu, f = self._group_selection(
-                noisy_pad, fb_flat, mu, mu_is_scalar, drop_groups
+            noisy_pad, fb_pad, mu, f = self._group_selection(
+                noisy_pad, fb_pad, mu, mu_is_scalar, drop_groups, f
             )
-            # noisy_pad keeps the full padded spectrum (units read strided
-            # bins); fb/mu are already the per-group selections
-            gather_idx = jnp.asarray(
+            # both sources keep their full padded spectra (units read
+            # strided bins); mu is already the per-group selection
+            mk_idx = lambda n: jnp.asarray(
                 np.stack(
                     [
                         (np.arange(f) * drop_groups + g)[:, None]
@@ -482,9 +500,11 @@ class FullSubNet:
                 )
             )  # [G, F', 2N+1]
         else:
-            gather_idx = jnp.asarray(
+            mk_idx = lambda n: jnp.asarray(
                 np.arange(f)[:, None] + np.arange(2 * n + 1)[None, :]
             )[None]  # [1, F, 2N+1]
+        gather_sb = mk_idx(n_sb)
+        gather_fb = mk_idx(n_fb)
 
         sb = self.sb_model
         hidden = sb.hidden_size
@@ -503,7 +523,7 @@ class FullSubNet:
         if t_pad != t:
             pad_t = ((0, 0), (0, 0), (0, t_pad - t))
             noisy_pad = jnp.pad(noisy_pad, pad_t)
-            fb_flat = jnp.pad(fb_flat, pad_t)
+            fb_pad = jnp.pad(fb_pad, pad_t)
             if not mu_is_scalar:
                 # padded steps' outputs are trimmed; any positive mu works
                 mu = jnp.pad(
@@ -548,7 +568,7 @@ class FullSubNet:
 
         # [num_chunks, B, *, chunk] views
         noisy_cs = noisy_pad.reshape(b, noisy_pad.shape[1], num_chunks, chunk)
-        fb_cs = fb_flat.reshape(b, f, num_chunks, chunk)
+        fb_cs = fb_pad.reshape(b, fb_pad.shape[1], num_chunks, chunk)
         noisy_cs = jnp.transpose(noisy_cs, (2, 0, 1, 3))
         fb_cs = jnp.transpose(fb_cs, (2, 0, 1, 3))
         if mu_is_scalar:
@@ -565,19 +585,24 @@ class FullSubNet:
             # rematerialized: training stores only chunk-boundary LSTM
             # states and recomputes in-chunk activations in the backward —
             # this is what lifts the big-batch training HBM ceiling
-            noisy_c, fb_c, mu_c = inputs  # [B, F+2N, K], [B, F', K], mu
-            if gather_idx.shape[0] == 1:
-                units = noisy_c[:, gather_idx[0], :]  # [B, F', 2N+1, K]
-            else:
-                bp = b // gather_idx.shape[0]
-                units = jnp.concatenate(
+            noisy_c, fb_c, mu_c = inputs  # [B, F+2Ns, K], [B, F+2Nf, K], mu
+
+            def gather_units(arr_c, gi):
+                if gi.shape[0] == 1:
+                    return arr_c[:, gi[0], :]  # [B, F', 2N+1, K]
+                bp = b // gi.shape[0]
+                return jnp.concatenate(
                     [
-                        noisy_c[g * bp : (g + 1) * bp][:, gather_idx[g], :]
-                        for g in range(gather_idx.shape[0])
+                        arr_c[g * bp : (g + 1) * bp][:, gi[g], :]
+                        for g in range(gi.shape[0])
                     ],
                     axis=0,
                 )
-            sb_in = jnp.concatenate([units, fb_c[:, :, None, :]], axis=2)
+
+            sb_in = jnp.concatenate(
+                [gather_units(noisy_c, gather_sb), gather_units(fb_c, gather_fb)],
+                axis=2,
+            )
             if mu_is_scalar:
                 sb_in = sb_in / mu_c[:, None, None, None]
             else:

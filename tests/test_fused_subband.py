@@ -155,9 +155,9 @@ def test_pallas_drop_band_training_matches_unfused():
         fb_in = model.norm(xx).reshape(4, 17, -1)
         fb_out = model.fb_model(p["fb_model"], fb_in).reshape(4, 1, 17, -1)
         noisy_pad = jnp.pad(xx[:, 0], ((0, 0), (2, 2), (0, 0)), mode="reflect")
-        mu = model._sb_norm_mu(noisy_pad, fb_out[:, 0])
+        mu = model._sb_norm_mu(noisy_pad, fb_out[:, 0], 17)
         out = model._pallas_subband(
-            p, noisy_pad, fb_out[:, 0], mu, mu.shape[1] == 1,
+            p, noisy_pad, fb_out[:, 0], 17, mu, mu.shape[1] == 1,
             interpret=True, drop_groups=2, training=True,
         )
         return out[..., model.look_ahead :]
@@ -195,6 +195,56 @@ def test_fused_drop_band_training_gru():
     def loss(p, training):
         crm = model(p, x, dropping_band=True, training=training)
         return jnp.mean(jnp.square(crm))
+
+    lr, gr = jax.value_and_grad(loss)(params, False)
+    lf, gf = jax.value_and_grad(loss)(params, True)
+    np.testing.assert_allclose(float(lf), float(lr), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-3
+        )
+
+
+@pytest.mark.parametrize(
+    "norm", ["offline_laplace_norm", "cumulative_laplace_norm"]
+)
+def test_fused_path_fb_neighbors(norm):
+    """fb_num_neighbors > 0: the fused pipeline slices BOTH sources'
+    neighborhoods (the reference unfolds the full-band output too,
+    base_model.py:13-46) — forward parity vs the unfused path, with and
+    without drop_band, plus gradients."""
+    model = FullSubNet(
+        num_freqs=17, sb_num_neighbors=2, fb_num_neighbors=1,
+        fb_model_hidden_size=8, sb_model_hidden_size=8, norm_type=norm,
+        num_groups_in_drop_band=2,
+    )
+    params = model.init(jax.random.PRNGKey(11), weight_init=False)
+    x = jnp.asarray(
+        np.abs(np.random.default_rng(11).standard_normal((4, 1, 17, 21))).astype(
+            np.float32
+        )
+    )
+
+    # inference (no drop): force the fused path via the threshold
+    ref = model(params, x, dropping_band=False)
+    old = FullSubNet._FUSED_SB_THRESHOLD
+    try:
+        FullSubNet._FUSED_SB_THRESHOLD = 1
+        fused = model(params, x, dropping_band=False)
+    finally:
+        FullSubNet._FUSED_SB_THRESHOLD = old
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), atol=2e-5, rtol=1e-4
+    )
+
+    # training (drop_band) forward + grads
+    tgt = jnp.asarray(
+        np.random.default_rng(12).standard_normal((4, 2, 8, 21)).astype(np.float32)
+    )
+
+    def loss(p, training):
+        crm = model(p, x, dropping_band=True, training=training)
+        return jnp.mean(jnp.square(crm - tgt))
 
     lr, gr = jax.value_and_grad(loss)(params, False)
     lf, gf = jax.value_and_grad(loss)(params, True)

@@ -70,9 +70,9 @@ def test_model_pallas_branch_matches_forward():
         fb_in = model.norm(xx).reshape(2, 33, -1)
         fb_out = model.fb_model(params["fb_model"], fb_in).reshape(2, 1, 33, -1)
         noisy_pad = jnp.pad(xx[:, 0], ((0, 0), (3, 3), (0, 0)), mode="reflect")
-        mu = model._sb_norm_mu(noisy_pad, fb_out[:, 0])
+        mu = model._sb_norm_mu(noisy_pad, fb_out[:, 0], 33)
         out = model._pallas_subband(
-            params, noisy_pad, fb_out[:, 0], mu, mu.shape[1] == 1,
+            params, noisy_pad, fb_out[:, 0], 33, mu, mu.shape[1] == 1,
             interpret=True,
         )[..., model.look_ahead :]
         np.testing.assert_allclose(
@@ -112,9 +112,9 @@ def test_model_pallas_branch_gru():
     fb_in = model.norm(xx).reshape(2, 33, -1)
     fb_out = model.fb_model(params["fb_model"], fb_in).reshape(2, 1, 33, -1)
     noisy_pad = jnp.pad(xx[:, 0], ((0, 0), (3, 3), (0, 0)), mode="reflect")
-    mu = model._sb_norm_mu(noisy_pad, fb_out[:, 0])
+    mu = model._sb_norm_mu(noisy_pad, fb_out[:, 0], 33)
     out = model._pallas_subband(
-        params, noisy_pad, fb_out[:, 0], mu, mu.shape[1] == 1, interpret=True
+        params, noisy_pad, fb_out[:, 0], 33, mu, mu.shape[1] == 1, interpret=True
     )[..., model.look_ahead :]
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4

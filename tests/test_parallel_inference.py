@@ -100,10 +100,10 @@ def test_shard_mapped_pallas_kernel_matches_unsharded():
     fb_in = model.norm(xx).reshape(2, 32, -1)
     fb_out = model.fb_model(params["fb_model"], fb_in).reshape(2, 1, 32, -1)
     noisy_pad = jnp.pad(xx[:, 0], ((0, 0), (3, 3), (0, 0)), mode="reflect")
-    mu = model._sb_norm_mu(noisy_pad, fb_out[:, 0])
+    mu = model._sb_norm_mu(noisy_pad, fb_out[:, 0], 32)
 
     out = model._pallas_subband(
-        params, noisy_pad, fb_out[:, 0], mu, mu.shape[1] == 1,
+        params, noisy_pad, fb_out[:, 0], 32, mu, mu.shape[1] == 1,
         sharding_hint=hint, interpret=True,
     )[..., model.look_ahead :]
     np.testing.assert_allclose(
@@ -119,7 +119,8 @@ def test_shard_mapped_pallas_kernel_matches_unsharded():
         fb_i = model.norm(xx).reshape(2, 32, -1)
         fb_o = model.fb_model(p["fb_model"], fb_i).reshape(2, 1, 32, -1)
         o = model._pallas_subband(
-            p, noisy_pad, fb_o[:, 0], model._sb_norm_mu(noisy_pad, fb_o[:, 0]),
+            p, noisy_pad, fb_o[:, 0], 32,
+            model._sb_norm_mu(noisy_pad, fb_o[:, 0], 32),
             False, sharding_hint=hint, interpret=True, training=True,
         )[..., model.look_ahead :]
         return jnp.mean(jnp.square(o - tgt))
