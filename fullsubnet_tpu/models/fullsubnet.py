@@ -92,8 +92,10 @@ class FullSubNet:
     use_pallas_subband = True
     _PALLAS_SB_MAX_ELEMENTS = 2**31  # ~4 GB bf16
     # Training stashes 4 (LSTM) / 2 (GRU) [T, B*F', H] state tensors for
-    # the backward kernels; above this budget fall back to the remat'd
-    # chunked scan (stores only chunk-boundary states).
+    # the backward kernels; above this budget the kernel's custom VJP
+    # switches itself to the time-chunked stash (boundary states + per-
+    # chunk remat), so the Pallas path stays the training path at any
+    # batch size.
     _PALLAS_TRAIN_STASH_BUDGET = 6 * 2**30  # bytes
 
     def __call__(
@@ -410,7 +412,8 @@ class FullSubNet:
         layers = params["sb_model"]["rnn"]
         kernel = fused_subband_lstm_train if training else fused_subband_lstm
         call = functools.partial(
-            kernel, time_major_features=True, interpret=interpret
+            kernel, time_major_features=True, interpret=interpret,
+            stash_budget=self._PALLAS_TRAIN_STASH_BUDGET,
         )
         mesh = getattr(sharding_hint, "mesh", None)
         if mesh is not None and (b * f) % mesh.size == 0:
@@ -467,17 +470,29 @@ class FullSubNet:
         mu = self._sb_norm_mu(noisy_pad, fb_pad, f)  # [B,1,1,1] or [B,F,1,T]
         mu_is_scalar = mu.shape[1] == 1
 
-        hidden = self.sb_model.hidden_size
+        # the kernel input materializes AFTER drop_band subsampling, so the
+        # element cap is on F' = F / drop_groups, not the full spectrum
         f_eff = f // drop_groups if drop_groups > 1 else f
-        dt_size = jnp.dtype(x.dtype).itemsize
-        n_stash = 4  # LSTM; GRU stashes 2 — use the conservative bound
-        stash_bytes = n_stash * t * b * f_eff * hidden * dt_size
+        if training:
+            from fullsubnet_tpu.ops.subband_lstm import train_stash_bytes
+
+            # the kernel VJP auto-chunks its stash; only shapes whose
+            # CHUNKED footprint still busts the budget (extreme T x B·F)
+            # fall back to the remat'd scan below
+            stash_ok = train_stash_bytes(
+                t, b * f_eff, self.sb_model.hidden_size,
+                self.sb_model.sequence_model.lower(),
+                jnp.dtype(x.dtype).itemsize,
+                stash_budget=self._PALLAS_TRAIN_STASH_BUDGET,
+            ) <= self._PALLAS_TRAIN_STASH_BUDGET
+        else:
+            stash_ok = True
         if (
             self.use_pallas_subband
             and len(params["sb_model"]["rnn"]) == 2
             and jax.default_backend() != "cpu"
-            and b * f * unit * t <= self._PALLAS_SB_MAX_ELEMENTS
-            and (not training or stash_bytes <= self._PALLAS_TRAIN_STASH_BUDGET)
+            and b * f_eff * unit * t <= self._PALLAS_SB_MAX_ELEMENTS
+            and stash_ok
         ):
             return self._pallas_subband(
                 params, noisy_pad, fb_pad, f, mu, mu_is_scalar, sharding_hint,

@@ -113,11 +113,9 @@ class SequenceModel:
             and b >= self._PALLAS_MIN_ROWS
             and b * t * (self.input_size + self.output_size)
             <= self._PALLAS_MAX_ELEMENTS
-            # the layer-2 backward kernel holds 2 f32 [H+8, G*H] gradient
-            # accumulators + the weights in VMEM; above H=448 that fixed
-            # footprint (~13 MB) + per-row transients exceeds the 16 MB
-            # budget, so wide stacks train on the scan path
-            and (not training or self.hidden_size <= 448)
+            # wide stacks (H > 448) train through the kernel's split-dW
+            # backward (streamed gate cotangents + XLA dW GEMMs), which
+            # keeps the per-layer VMEM footprint under the 16 MB budget
             and jax.default_backend() != "cpu"
         )
 

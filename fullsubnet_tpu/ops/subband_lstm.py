@@ -222,6 +222,158 @@ def _infer_impl(x, l1, l2, fc, row_tile, interpret):
 # Splitting the backward per layer keeps VMEM under budget: each kernel
 # holds one layer's weights + one [in+8, G·H] f32 accumulator (~7-12 MB at
 # row_tile=256) instead of both layers' (~20 MB > 16 MB/core).
+#
+# Two capacity escapes keep this the training path at ANY shape:
+#
+# * TIME-CHUNKED STASH (``chunk`` > 0): when the full [T, N, H] stash
+#   would not fit the HBM budget, the forward stashes only CHUNK-BOUNDARY
+#   states (the per-step stash out-block index map becomes ``tt // chunk``
+#   — block revisiting means only the last write per chunk reaches HBM)
+#   and the backward re-runs the stash forward one chunk at a time from
+#   its boundary state (remat at chunk granularity), then runs the layer
+#   backward kernels over that chunk with (dh, dc) carries threaded
+#   between chunks. Peak stash = (T/chunk + chunk) x [N, H] states
+#   instead of T. All kernels take chunk-initial states / incoming
+#   cotangent carries and emit final carries, so the unchunked path is
+#   just the chunked path with one chunk that starts at zeros.
+# * SPLIT-dW BACKWARD (``split_dw``): for wide layers (H > 448) the two
+#   [in+8, G·H] f32 VMEM accumulators alone exceed the 16 MB budget. The
+#   split variant streams the per-step gate cotangents to HBM instead and
+#   computes dW / db as big XLA einsums afterwards — MXU-friendly and
+#   VMEM-light. Streaming [T, N, G·H] is only reasonable when N is small,
+#   which is exactly the wide-H case (the 512-hidden full-band stages run
+#   N = B rows, not B·F).
+
+
+_DEFAULT_STASH_BUDGET = 6 * 2**30  # bytes of HBM for backward state stashes
+_SPLIT_DW_MAX_HIDDEN = 448  # above this, fused dW accumulators bust VMEM
+
+
+def _kernel_train_fwd(
+    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, wfc_ref, bfc_ref,
+    *rest, hidden: int, cell: str,
+):
+    """`_kernel` + per-step state stashes + chunk-initial states.
+
+    rest (LSTM) = h1_0, c1_0, h2_0, c2_0   (inputs, [TILE, H] blocks)
+                  out, h1s, c1s, h2s, c2s  (outputs)
+                  h1, c1, h2, c2           (scratch)
+    rest (GRU)  = h1_0, h2_0, out, h1s, h2s, h1, c1, h2, c2
+
+    With a boundary-chunked stash out spec (index map ``tt // chunk``)
+    the per-step stash writes land in a revisited VMEM block and only the
+    LAST step of each chunk reaches HBM — i.e. the state ENTERING the
+    next chunk.
+    """
+    if cell == "lstm":
+        h1_0, c1_0, h2_0, c2_0 = rest[:4]
+        out_ref = rest[4]
+        h1s_ref, c1s_ref, h2s_ref, c2s_ref = rest[5:9]
+        h1, c1, h2, c2 = rest[9:]
+    else:
+        h1_0, h2_0 = rest[:2]
+        out_ref = rest[2]
+        h1s_ref, h2s_ref = rest[3:5]
+        c1s_ref = c2s_ref = None
+        h1, c1, h2, c2 = rest[5:]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        h1[:] = h1_0[:].astype(jnp.float32)
+        h2[:] = h2_0[:].astype(jnp.float32)
+        if cell == "lstm":
+            c1[:] = c1_0[:].astype(jnp.float32)
+            c2[:] = c2_0[:].astype(jnp.float32)
+        else:
+            c1[:] = jnp.zeros_like(c1)
+            c2[:] = jnp.zeros_like(c2)
+
+    step = _lstm_step if cell == "lstm" else _gru_step
+    x_t = x_ref[0].T
+    h1_t = step(x_t, h1, c1, w1_ref, b1_ref, hidden)
+    h2_t = step(h1_t.astype(x_t.dtype), h2, c2, w2_ref, b2_ref, hidden)
+    out = (
+        jnp.dot(
+            h2_t.astype(wfc_ref.dtype), wfc_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        + bfc_ref[0]
+    )
+    slot = pl.program_id(1) % 8
+    out_ref[:, pl.ds(slot, 1), :] = out.T[:, None, :].astype(out_ref.dtype)
+    h1s_ref[0] = h1_t.astype(h1s_ref.dtype)
+    h2s_ref[0] = h2_t.astype(h2s_ref.dtype)
+    if cell == "lstm":
+        c1s_ref[0] = c1[:].astype(c1s_ref.dtype)
+        c2s_ref[0] = c2[:].astype(c2s_ref.dtype)
+
+
+def _stash_fwd_call(
+    xp, l1, l2, fc, h0s, *, row_tile, interpret, boundary_chunk=0
+):
+    """Run the stash forward over xp [t_pad, F_in, n_pad] from initial
+    states ``h0s`` ([n_pad, H] arrays: (h1,c1,h2,c2) for LSTM, (h1,h2)
+    for GRU). Returns (out [OUT, t_pad, n_pad] f32, stashes).
+
+    ``boundary_chunk`` == 0 stashes every step ([t_pad, n_pad, H]);
+    otherwise only chunk-end states ([t_pad/chunk, n_pad, H]).
+    """
+    t_pad, f_in, n_pad = xp.shape
+    hidden, cell = _cell_of(l1)
+    out_dim = fc["weight"].shape[0]
+    cdt = xp.dtype
+    w1, b1, w2, b2, wfc, bfc = _prep_weights(l1, l2, fc, cdt, cell)
+    num_tiles = n_pad // row_tile
+    n_stash = 4 if cell == "lstm" else 2
+
+    if boundary_chunk:
+        stash_spec = pl.BlockSpec(
+            (1, row_tile, hidden),
+            lambda r, tt: (tt // boundary_chunk, r, 0),
+            memory_space=pltpu.VMEM,
+        )
+        stash_t = t_pad // boundary_chunk
+    else:
+        stash_spec = pl.BlockSpec(
+            (1, row_tile, hidden), lambda r, tt: (tt, r, 0),
+            memory_space=pltpu.VMEM,
+        )
+        stash_t = t_pad
+    const = lambda a: pl.BlockSpec(
+        a.shape, lambda r, tt, _s=a.shape: tuple(0 for _ in _s),
+        memory_space=pltpu.VMEM,
+    )
+    h0_spec = pl.BlockSpec(
+        (row_tile, hidden), lambda r, tt: (r, 0), memory_space=pltpu.VMEM
+    )
+    results = pl.pallas_call(
+        functools.partial(_kernel_train_fwd, hidden=hidden, cell=cell),
+        grid=(num_tiles, t_pad),
+        in_specs=[
+            pl.BlockSpec(
+                (1, f_in, row_tile), lambda r, tt: (tt, 0, r),
+                memory_space=pltpu.VMEM,
+            ),
+            const(w1), const(b1), const(w2), const(b2),
+            const(wfc), const(bfc),
+        ] + [h0_spec] * n_stash,
+        out_specs=[
+            pl.BlockSpec(
+                (out_dim, 8, row_tile), lambda r, tt: (0, tt // 8, r),
+                memory_space=pltpu.VMEM,
+            ),
+        ] + [stash_spec] * n_stash,
+        out_shape=[
+            jax.ShapeDtypeStruct((out_dim, t_pad, n_pad), jnp.float32),
+        ] + [
+            jax.ShapeDtypeStruct((stash_t, n_pad, hidden), cdt)
+        ] * n_stash,
+        scratch_shapes=[
+            pltpu.VMEM((row_tile, hidden), jnp.float32) for _ in range(4)
+        ],
+        interpret=interpret,
+    )(xp, w1, b1, w2, b2, wfc, bfc, *h0s)
+    return results[0], tuple(results[1:])
 
 
 def _lstm_layer_bwd_kernel(
@@ -230,33 +382,48 @@ def _lstm_layer_bwd_kernel(
     hprev_ref,  # [1, TILE, H]  stashed h_{t-1}
     cprev_ref,  # [1, TILE, H]  stashed c_{t-1}
     ccur_ref,   # [1, TILE, H]  stashed c_t
+    h0_ref,     # [TILE, H]  chunk-initial h (used at the chunk's first step)
+    c0_ref,     # [TILE, H]
+    dhin_ref,   # [TILE, H] f32  incoming carry dL/dh_{chunk_end}
+    dcin_ref,   # [TILE, H] f32
     w_ref,      # [F_in + H, 4H]
     b_ref,      # [1, 4H] fused b_ih + b_hh
     dx_ref,     # [1, F_in, TILE] or [1, TILE, F_in]
-    dwih_ref,   # [1, F_in + 8, 4H] f32 accumulator (row F_in = db_ih)
-    dwhh_ref,   # [1, H + 8, 4H] f32 accumulator (row H = db_hh)
-    dh_c, dc_c,  # scratch [TILE, H] f32 carries
-    *,
+    *rest,
     hidden: int,
     t_total: int,
     x_feature_major: bool,
+    split_dw: bool,
 ):
+    if split_dw:
+        # stream the gate cotangents; dW/db become XLA einsums outside
+        dg_ref, dhout_ref, dcout_ref, dh_c, dc_c = rest
+        dwih_ref = dwhh_ref = None
+    else:
+        dwih_ref, dwhh_ref, dhout_ref, dcout_ref, dh_c, dc_c = rest
+
     tt = pl.program_id(1)
     is_t0 = tt == t_total - 1  # time runs t = T-1-tt
 
     @pl.when(tt == 0)
     def _init():
-        dh_c[:] = jnp.zeros_like(dh_c)
-        dc_c[:] = jnp.zeros_like(dc_c)
-        dwih_ref[:] = jnp.zeros_like(dwih_ref)
-        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+        dh_c[:] = dhin_ref[:]
+        dc_c[:] = dcin_ref[:]
+        if not split_dw:
+            dwih_ref[:] = jnp.zeros_like(dwih_ref)
+            dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
 
     x_t = x_ref[0].T if x_feature_major else x_ref[0]  # [TILE, F_in]
     cdt = x_t.dtype
     f_in = x_t.shape[-1]
-    # h_{-1} = c_{-1} = 0: the t-1 index map clamps at 0, mask it out
-    h_prev = jnp.where(is_t0, 0.0, hprev_ref[0].astype(jnp.float32))
-    c_prev = jnp.where(is_t0, 0.0, cprev_ref[0].astype(jnp.float32))
+    # at the chunk's first step the t-1 index map clamps at 0: mask it out
+    # and use the chunk-initial state instead (zeros at the sequence start)
+    h_prev = jnp.where(
+        is_t0, h0_ref[:].astype(jnp.float32), hprev_ref[0].astype(jnp.float32)
+    )
+    c_prev = jnp.where(
+        is_t0, c0_ref[:].astype(jnp.float32), cprev_ref[0].astype(jnp.float32)
+    )
     c_cur = ccur_ref[0].astype(jnp.float32)
 
     # recompute the gate tensor (not stashed)
@@ -296,49 +463,66 @@ def _lstm_layer_bwd_kernel(
     else:
         dx_ref[0] = dx_t.astype(dx_ref.dtype)
 
-    # dW += [x | 1 | 0...]^T dgates ; dWhh += [h_prev | 1 | 0...]^T dgates
-    ones = jnp.ones((x_t.shape[0], 1), cdt)
-    zeros7 = jnp.zeros((x_t.shape[0], 7), cdt)
-    x_aug = jnp.concatenate([x_t, ones, zeros7], axis=-1)
-    h_aug = jnp.concatenate([h_prev.astype(cdt), ones, zeros7], axis=-1)
-    dwih_ref[0] += jax.lax.dot_general(
-        x_aug, dgc, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dwhh_ref[0] += jax.lax.dot_general(
-        h_aug, dgc, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if split_dw:
+        dg_ref[0] = dgc
+    else:
+        # dW += [x | 1 | 0...]^T dgates ; dWhh += [h_prev | 1 | 0...]^T dgates
+        ones = jnp.ones((x_t.shape[0], 1), cdt)
+        zeros7 = jnp.zeros((x_t.shape[0], 7), cdt)
+        x_aug = jnp.concatenate([x_t, ones, zeros7], axis=-1)
+        h_aug = jnp.concatenate([h_prev.astype(cdt), ones, zeros7], axis=-1)
+        dwih_ref[0] += jax.lax.dot_general(
+            x_aug, dgc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwhh_ref[0] += jax.lax.dot_general(
+            h_aug, dgc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(is_t0)
+    def _emit_carry():
+        dhout_ref[:] = dh_c[:]
+        dcout_ref[:] = dc_c[:]
 
 
 def _gru_layer_bwd_kernel(
     dh_ref,     # [1, TILE, H]
     x_ref,      # [1, F_in, TILE] or [1, TILE, F_in]
     hprev_ref,  # [1, TILE, H]
+    h0_ref,     # [TILE, H]
+    dhin_ref,   # [TILE, H] f32
     w_ref,      # [F_in + H, 3H]
     b_ref,      # [2, 3H] rows (b_ih, b_hh)
     dx_ref,
-    dwih_ref,   # [1, F_in + 8, 3H] f32 (row F_in = db_ih)
-    dwhh_ref,   # [1, H + 8, 3H] f32 (row H = db_hh)
-    dh_c,       # scratch [TILE, H] f32
-    *,
+    *rest,
     hidden: int,
     t_total: int,
     x_feature_major: bool,
+    split_dw: bool,
 ):
+    if split_dw:
+        dxw_ref, dhw_ref, dhout_ref, dh_c = rest
+        dwih_ref = dwhh_ref = None
+    else:
+        dwih_ref, dwhh_ref, dhout_ref, dh_c = rest
+
     tt = pl.program_id(1)
     is_t0 = tt == t_total - 1
 
     @pl.when(tt == 0)
     def _init():
-        dh_c[:] = jnp.zeros_like(dh_c)
-        dwih_ref[:] = jnp.zeros_like(dwih_ref)
-        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+        dh_c[:] = dhin_ref[:]
+        if not split_dw:
+            dwih_ref[:] = jnp.zeros_like(dwih_ref)
+            dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
 
     x_t = x_ref[0].T if x_feature_major else x_ref[0]
     cdt = x_t.dtype
     f_in = x_t.shape[-1]
-    h_prev = jnp.where(is_t0, 0.0, hprev_ref[0].astype(jnp.float32))
+    h_prev = jnp.where(
+        is_t0, h0_ref[:].astype(jnp.float32), hprev_ref[0].astype(jnp.float32)
+    )
 
     xw = (
         jnp.dot(x_t, w_ref[:f_in], preferred_element_type=jnp.float32)
@@ -380,58 +564,26 @@ def _gru_layer_bwd_kernel(
     else:
         dx_ref[0] = dx_t.astype(dx_ref.dtype)
 
-    ones = jnp.ones((x_t.shape[0], 1), cdt)
-    zeros7 = jnp.zeros((x_t.shape[0], 7), cdt)
-    x_aug = jnp.concatenate([x_t, ones, zeros7], axis=-1)
-    h_aug = jnp.concatenate([h_prev.astype(cdt), ones, zeros7], axis=-1)
-    dwih_ref[0] += jax.lax.dot_general(
-        x_aug, dxw_c, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dwhh_ref[0] += jax.lax.dot_general(
-        h_aug, dhw_c, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-
-def _kernel_train_fwd(
-    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, wfc_ref, bfc_ref,
-    out_ref, *rest, hidden: int, cell: str,
-):
-    """`_kernel` + per-step state stashes for the backward pass."""
-    if cell == "lstm":
-        h1s_ref, c1s_ref, h2s_ref, c2s_ref = rest[:4]
-        h1, c1, h2, c2 = rest[4:]
+    if split_dw:
+        dxw_ref[0] = dxw_c
+        dhw_ref[0] = dhw_c
     else:
-        h1s_ref, h2s_ref = rest[:2]
-        c1s_ref = c2s_ref = None
-        h1, c1, h2, c2 = rest[2:]
-
-    @pl.when(pl.program_id(1) == 0)
-    def _init():
-        h1[:] = jnp.zeros_like(h1)
-        c1[:] = jnp.zeros_like(c1)
-        h2[:] = jnp.zeros_like(h2)
-        c2[:] = jnp.zeros_like(c2)
-
-    step = _lstm_step if cell == "lstm" else _gru_step
-    x_t = x_ref[0].T
-    h1_t = step(x_t, h1, c1, w1_ref, b1_ref, hidden)
-    h2_t = step(h1_t.astype(x_t.dtype), h2, c2, w2_ref, b2_ref, hidden)
-    out = (
-        jnp.dot(
-            h2_t.astype(wfc_ref.dtype), wfc_ref[:],
+        ones = jnp.ones((x_t.shape[0], 1), cdt)
+        zeros7 = jnp.zeros((x_t.shape[0], 7), cdt)
+        x_aug = jnp.concatenate([x_t, ones, zeros7], axis=-1)
+        h_aug = jnp.concatenate([h_prev.astype(cdt), ones, zeros7], axis=-1)
+        dwih_ref[0] += jax.lax.dot_general(
+            x_aug, dxw_c, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        + bfc_ref[0]
-    )
-    slot = pl.program_id(1) % 8
-    out_ref[:, pl.ds(slot, 1), :] = out.T[:, None, :].astype(out_ref.dtype)
-    h1s_ref[0] = h1_t.astype(h1s_ref.dtype)
-    h2s_ref[0] = h2_t.astype(h2s_ref.dtype)
-    if cell == "lstm":
-        c1s_ref[0] = c1[:].astype(c1s_ref.dtype)
-        c2s_ref[0] = c2[:].astype(c2s_ref.dtype)
+        dwhh_ref[0] += jax.lax.dot_general(
+            h_aug, dhw_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(is_t0)
+    def _emit_carry():
+        dhout_ref[:] = dh_c[:]
 
 
 def _pallas_layer_bwd(
@@ -442,15 +594,24 @@ def _pallas_layer_bwd(
     w,       # [F_in + H, G·H]
     b,       # [1|2, G·H]
     *,
+    h0,       # [N_pad, H]  chunk-initial h (compute dtype)
+    c0,       # [N_pad, H] or None (GRU)
+    dh_init,  # [N_pad, H] f32  incoming cotangent carry
+    dc_init,  # [N_pad, H] f32 or None (GRU)
     hidden: int,
     cell: str,
     row_tile: int,
     interpret: bool,
     x_feature_major: bool,
+    split_dw: bool,
 ):
-    """One layer's backward scan. Returns (dx_seq, dwih_aug, dwhh_aug)
-    where the aug matrices are [F_in+8, G·H] / [H+8, G·H] with the bias
-    gradient in row F_in / H."""
+    """One layer's backward scan over one chunk (or the whole sequence).
+
+    Returns (dx_seq, dwih [F_in, G·H] f32, dwhh [H, G·H] f32,
+    db_ih [G·H] f32, db_hh [G·H] f32, dh0 [N_pad, H] f32,
+    dc0 [N_pad, H] f32 | None) where dh0/dc0 are the cotangents of the
+    chunk-initial states (the carries into the previous chunk).
+    """
     t, n_pad, _ = dh_seq.shape
     num_tiles = n_pad // row_tile
     f_in = x_seq.shape[1] if x_feature_major else x_seq.shape[2]
@@ -476,6 +637,9 @@ def _pallas_layer_bwd(
     const = lambda shape: pl.BlockSpec(
         shape, lambda r, tt: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
+    row_const = pl.BlockSpec(
+        (row_tile, hidden), lambda r, tt: (r, 0), memory_space=pltpu.VMEM
+    )
 
     in_specs = [state_spec(cur), x_spec, state_spec(prev)]
     operands = [dh_seq, x_seq, h_stash]
@@ -483,33 +647,55 @@ def _pallas_layer_bwd(
     if cell == "lstm":
         in_specs += [state_spec(prev), state_spec(cur)]
         operands += [c_stash, c_stash]
+        in_specs += [row_const, row_const, row_const, row_const]
+        operands += [h0, c0, dh_init, dc_init]
         scratch.append(pltpu.VMEM((row_tile, hidden), jnp.float32))
         kernel = _lstm_layer_bwd_kernel
+        n_carry = 2
     else:
+        in_specs += [row_const, row_const]
+        operands += [h0, dh_init]
         kernel = _gru_layer_bwd_kernel
+        n_carry = 1
     in_specs += [const(w.shape), const(b.shape)]
     operands += [w, b]
 
-    out_specs = [
-        x_spec,
-        pl.BlockSpec(
-            (1, f_in + 8, gh), lambda r, tt: (r, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (1, hidden + 8, gh), lambda r, tt: (r, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-    ]
-    out_shapes = [
-        jax.ShapeDtypeStruct(dx_shape, cdt),
-        jax.ShapeDtypeStruct((num_tiles, f_in + 8, gh), jnp.float32),
-        jax.ShapeDtypeStruct((num_tiles, hidden + 8, gh), jnp.float32),
-    ]
+    carry_out_spec = pl.BlockSpec(
+        (row_tile, hidden), lambda r, tt: (r, 0), memory_space=pltpu.VMEM
+    )
+    carry_out_shape = jax.ShapeDtypeStruct((n_pad, hidden), jnp.float32)
+    out_specs = [x_spec]
+    out_shapes = [jax.ShapeDtypeStruct(dx_shape, cdt)]
+    if split_dw:
+        dg_spec = pl.BlockSpec(
+            (1, row_tile, gh), cur, memory_space=pltpu.VMEM
+        )
+        dg_shape = jax.ShapeDtypeStruct((t, n_pad, gh), cdt)
+        n_dg = 1 if cell == "lstm" else 2  # GRU streams dxw AND dhw
+        out_specs += [dg_spec] * n_dg
+        out_shapes += [dg_shape] * n_dg
+    else:
+        out_specs += [
+            pl.BlockSpec(
+                (1, f_in + 8, gh), lambda r, tt: (r, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, hidden + 8, gh), lambda r, tt: (r, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct((num_tiles, f_in + 8, gh), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, hidden + 8, gh), jnp.float32),
+        ]
+    out_specs += [carry_out_spec] * n_carry
+    out_shapes += [carry_out_shape] * n_carry
 
-    dx, dwih, dwhh = pl.pallas_call(
+    results = pl.pallas_call(
         functools.partial(
-            kernel, hidden=hidden, t_total=t, x_feature_major=x_feature_major
+            kernel, hidden=hidden, t_total=t, x_feature_major=x_feature_major,
+            split_dw=split_dw,
         ),
         grid=(num_tiles, t),
         in_specs=in_specs,
@@ -518,11 +704,71 @@ def _pallas_layer_bwd(
         scratch_shapes=scratch,
         interpret=interpret,
     )(*operands)
-    return dx, jnp.sum(dwih, axis=0), jnp.sum(dwhh, axis=0)
+
+    dx = results[0]
+    if split_dw:
+        if cell == "lstm":
+            dg = results[1]
+            dxw = dhw = dg
+            rest = results[2:]
+        else:
+            dxw, dhw = results[1:3]
+            rest = results[3:]
+        # dW via big XLA GEMMs over the streamed cotangents. Padded rows
+        # contribute zero (their dh inputs are zero, so dgates == 0).
+        if x_feature_major:
+            dwih = jnp.einsum(
+                "tfn,tng->fg", x_seq[:t], dxw,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            dwih = jnp.einsum(
+                "tnf,tng->fg", x_seq[:t], dxw,
+                preferred_element_type=jnp.float32,
+            )
+        db_ih = jnp.sum(dxw.astype(jnp.float32), axis=(0, 1))
+        # h_prev sequence = [h0, h_stash[0..t-2]]; avoid the concat copy by
+        # splitting the contraction at the chunk boundary
+        dwhh = jnp.einsum(
+            "tnh,tng->hg", h_stash[: t - 1], dhw[1:],
+            preferred_element_type=jnp.float32,
+        ) + jnp.einsum(
+            "nh,ng->hg", h0.astype(cdt), dhw[0],
+            preferred_element_type=jnp.float32,
+        )
+        db_hh = (
+            db_ih
+            if cell == "lstm"
+            else jnp.sum(dhw.astype(jnp.float32), axis=(0, 1))
+        )
+    else:
+        dwih_aug = jnp.sum(results[1], axis=0)
+        dwhh_aug = jnp.sum(results[2], axis=0)
+        rest = results[3:]
+        dwih, db_ih = dwih_aug[:f_in], dwih_aug[f_in]
+        dwhh, db_hh = dwhh_aug[:hidden], dwhh_aug[hidden]
+    dh0 = rest[0]
+    dc0 = rest[1] if n_carry == 2 else None
+    return dx, dwih, dwhh, db_ih, db_hh, dh0, dc0
+
+
+def _layer_grads(layer, dwih, dwhh, db_ih, db_hh):
+    return {
+        "w_ih": dwih.T.astype(layer["w_ih"].dtype),
+        "w_hh": dwhh.T.astype(layer["w_hh"].dtype),
+        "b_ih": db_ih.astype(layer["b_ih"].dtype),
+        "b_hh": db_hh.astype(layer["b_hh"].dtype),
+    }
 
 
 @functools.lru_cache(maxsize=None)
-def _train_vjp_fn(primal_row_tile: int, row_tile: int, interpret: bool):
+def _train_vjp_fn(
+    primal_row_tile: int,
+    row_tile: int,
+    interpret: bool,
+    chunk: int = 0,
+    split_dw: bool = False,
+):
     """custom_vjp-wrapped fused scan for x in [T, F_in, N] layout.
 
     The PRIMAL (evaluated when not differentiating) runs the fast no-stash
@@ -530,62 +776,38 @@ def _train_vjp_fn(primal_row_tile: int, row_tile: int, interpret: bool):
     the stash kernels at ``row_tile`` (smaller: the backward kernels' VMEM
     budget). Values are identical either way (padding is trimmed), which
     is what custom_vjp requires.
+
+    ``chunk`` > 0 selects the time-chunked remat scheme (see the section
+    comment above); ``split_dw`` streams gate cotangents instead of
+    accumulating dW in VMEM (wide layers).
     """
+
+    def _pad_shapes(t, n):
+        n_pad = -(-n // row_tile) * row_tile
+        align = chunk if chunk else 8
+        t_pad = -(-t // align) * align
+        return t_pad, n_pad
 
     def _fwd_impl(x, l1, l2, fc):
         t, f_in, n = x.shape
         hidden, cell = _cell_of(l1)
-        out_dim = fc["weight"].shape[0]
         cdt = x.dtype
-        w1, b1, w2, b2, wfc, bfc = _prep_weights(l1, l2, fc, cdt, cell)
-
-        n_pad = -(-n // row_tile) * row_tile
-        t_pad = -(-t // 8) * 8
+        t_pad, n_pad = _pad_shapes(t, n)
         xp = x
         if n_pad != n or t_pad != t:
             xp = jnp.pad(x, ((0, t_pad - t), (0, 0), (0, n_pad - n)))
-        num_tiles = n_pad // row_tile
-
         n_stash = 4 if cell == "lstm" else 2
-        stash_spec = pl.BlockSpec(
-            (1, row_tile, hidden), lambda r, tt: (tt, r, 0),
-            memory_space=pltpu.VMEM,
+        zeros0 = jnp.zeros((n_pad, hidden), cdt)
+        out, stashes = _stash_fwd_call(
+            xp, l1, l2, fc, (zeros0,) * n_stash,
+            row_tile=row_tile, interpret=interpret,
+            boundary_chunk=chunk,
         )
-        const = lambda a: pl.BlockSpec(
-            a.shape, lambda r, tt, _s=a.shape: tuple(0 for _ in _s),
-            memory_space=pltpu.VMEM,
-        )
-        results = pl.pallas_call(
-            functools.partial(_kernel_train_fwd, hidden=hidden, cell=cell),
-            grid=(num_tiles, t_pad),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, f_in, row_tile), lambda r, tt: (tt, 0, r),
-                    memory_space=pltpu.VMEM,
-                ),
-                const(w1), const(b1), const(w2), const(b2),
-                const(wfc), const(bfc),
-            ],
-            out_specs=[
-                pl.BlockSpec(
-                    (out_dim, 8, row_tile), lambda r, tt: (0, tt // 8, r),
-                    memory_space=pltpu.VMEM,
-                ),
-            ] + [stash_spec] * n_stash,
-            out_shape=[
-                jax.ShapeDtypeStruct((out_dim, t_pad, n_pad), jnp.float32),
-            ] + [
-                jax.ShapeDtypeStruct((t_pad, n_pad, hidden), cdt)
-            ] * n_stash,
-            scratch_shapes=[
-                pltpu.VMEM((row_tile, hidden), jnp.float32) for _ in range(4)
-            ],
-            interpret=interpret,
-        )(xp, w1, b1, w2, b2, wfc, bfc)
-        out = jnp.transpose(results[0][:, :t, :n], (1, 2, 0))  # [T, N, OUT]
-        return out, (xp, tuple(results[1:]), l1, l2, fc)
+        out = jnp.transpose(out[:, :t, :n], (1, 2, 0))  # [T, N, OUT]
+        return out, (xp, stashes, l1, l2, fc)
 
-    def _bwd_impl(res, g):
+    def _bwd_direct(res, g):
+        """Unchunked backward: the full per-step stash is in HBM."""
         xp, stashes, l1, l2, fc = res
         t, n, _ = g.shape
         hidden, cell = _cell_of(l1)
@@ -612,28 +834,26 @@ def _train_vjp_fn(primal_row_tile: int, row_tile: int, interpret: bool):
         if n_pad != n:
             dh2 = jnp.pad(dh2, ((0, 0), (0, n_pad - n), (0, 0)))
 
-        dh1, dwih2, dwhh2 = _pallas_layer_bwd(
+        zero_h = jnp.zeros((n_pad, hidden), cdt)
+        zero_f = jnp.zeros((n_pad, hidden), jnp.float32)
+        is_lstm = cell == "lstm"
+        dh1, dwih2, dwhh2, dbih2, dbhh2, _, _ = _pallas_layer_bwd(
             dh2, h1s, h2s, c2s, w2, b2,
+            h0=zero_h, c0=zero_h if is_lstm else None,
+            dh_init=zero_f, dc_init=zero_f if is_lstm else None,
             hidden=hidden, cell=cell, row_tile=row_tile,
-            interpret=interpret, x_feature_major=False,
+            interpret=interpret, x_feature_major=False, split_dw=split_dw,
         )
-        dx, dwih1, dwhh1 = _pallas_layer_bwd(
+        dx, dwih1, dwhh1, dbih1, dbhh1, _, _ = _pallas_layer_bwd(
             dh1, xp, h1s, c1s, w1, b1,
+            h0=zero_h, c0=zero_h if is_lstm else None,
+            dh_init=zero_f, dc_init=zero_f if is_lstm else None,
             hidden=hidden, cell=cell, row_tile=row_tile,
-            interpret=interpret, x_feature_major=True,
+            interpret=interpret, x_feature_major=True, split_dw=split_dw,
         )
 
-        f_in = xp.shape[1]
-        def grads_of(layer, dwih, dwhh, in_dim):
-            return {
-                "w_ih": dwih[:in_dim].T.astype(layer["w_ih"].dtype),
-                "w_hh": dwhh[:hidden].T.astype(layer["w_hh"].dtype),
-                "b_ih": dwih[in_dim].astype(layer["b_ih"].dtype),
-                "b_hh": dwhh[hidden].astype(layer["b_hh"].dtype),
-            }
-
-        dl1 = grads_of(l1, dwih1, dwhh1, f_in)
-        dl2 = grads_of(l2, dwih2, dwhh2, hidden)
+        dl1 = _layer_grads(l1, dwih1, dwhh1, dbih1, dbhh1)
+        dl2 = _layer_grads(l2, dwih2, dwhh2, dbih2, dbhh2)
         dfc = {
             "weight": dfc_w.astype(fc["weight"].dtype),
             "bias": dfc_b.astype(fc["bias"].dtype),
@@ -641,12 +861,183 @@ def _train_vjp_fn(primal_row_tile: int, row_tile: int, interpret: bool):
         dx = dx[:, :, :n].astype(cdt)  # [T, F_in, N]
         return dx, dl1, dl2, dfc
 
+    def _bwd_chunked(res, g):
+        """Chunk-remat backward: re-run the stash forward per chunk from
+        its boundary state, walk chunks last-to-first with (dh, dc)
+        carries, accumulate dW across chunks. One lax.scan body keeps the
+        compiled program size independent of the chunk count."""
+        xp, boundaries, l1, l2, fc = res
+        t, n, out_dim = g.shape
+        t_pad, f_in, n_pad = xp.shape
+        hidden, cell = _cell_of(l1)
+        cdt = xp.dtype
+        w1, b1, w2, b2, wfc, _bfc = _prep_weights(l1, l2, fc, cdt, cell)
+        is_lstm = cell == "lstm"
+        num_chunks = t_pad // chunk
+
+        gp = g.astype(cdt)
+        if t_pad != t or n_pad != n:
+            gp = jnp.pad(gp, ((0, t_pad - t), (0, n_pad - n), (0, 0)))
+        x_cs = xp.reshape(num_chunks, chunk, f_in, n_pad)
+        g_cs = gp.reshape(num_chunks, chunk, n_pad, out_dim)
+        # boundaries[j] = state ENTERING chunk j+1; chunk 0 starts at zeros
+        zero_h = jnp.zeros((1, n_pad, hidden), cdt)
+        bprev = tuple(
+            jnp.concatenate([zero_h, s[:-1]], axis=0) for s in boundaries
+        )
+
+        gh1, gh2 = w1.shape[1], w2.shape[1]
+        zero_f = jnp.zeros((n_pad, hidden), jnp.float32)
+        acc0 = {
+            "dwih1": jnp.zeros((f_in, gh1), jnp.float32),
+            "dwhh1": jnp.zeros((hidden, gh1), jnp.float32),
+            "dbih1": jnp.zeros((gh1,), jnp.float32),
+            "dbhh1": jnp.zeros((gh1,), jnp.float32),
+            "dwih2": jnp.zeros((hidden, gh2), jnp.float32),
+            "dwhh2": jnp.zeros((hidden, gh2), jnp.float32),
+            "dbih2": jnp.zeros((gh2,), jnp.float32),
+            "dbhh2": jnp.zeros((gh2,), jnp.float32),
+            "dfc_w": jnp.zeros((out_dim, hidden), jnp.float32),
+            "dfc_b": jnp.zeros((out_dim,), jnp.float32),
+        }
+        carry0 = {
+            "dh1": zero_f, "dh2": zero_f,
+            **({"dc1": zero_f, "dc2": zero_f} if is_lstm else {}),
+        }
+
+        def body(carry, xs):
+            cr, acc = carry
+            if is_lstm:
+                x_c, g_c, h1_0, c1_0, h2_0, c2_0 = xs
+                h0s = (h1_0, c1_0, h2_0, c2_0)
+            else:
+                x_c, g_c, h1_0, h2_0 = xs
+                h0s = (h1_0, h2_0)
+                c1_0 = c2_0 = None
+            _, stash_c = _stash_fwd_call(
+                x_c, l1, l2, fc, h0s,
+                row_tile=row_tile, interpret=interpret, boundary_chunk=0,
+            )
+            if is_lstm:
+                h1s, c1s, h2s, c2s = stash_c
+            else:
+                h1s, h2s = stash_c
+                c1s = c2s = None
+
+            dfc_w = acc["dfc_w"] + jnp.einsum(
+                "kno,knh->oh", g_c, h2s, preferred_element_type=jnp.float32
+            )
+            dfc_b = acc["dfc_b"] + jnp.sum(
+                g_c.astype(jnp.float32), axis=(0, 1)
+            )
+            dh2 = jnp.einsum(
+                "kno,ho->knh", g_c, wfc, preferred_element_type=jnp.float32
+            ).astype(cdt)
+
+            dh1, dwih2, dwhh2, dbih2, dbhh2, dh2_0, dc2_0 = _pallas_layer_bwd(
+                dh2, h1s, h2s, c2s, w2, b2,
+                h0=h2_0, c0=c2_0,
+                dh_init=cr["dh2"], dc_init=cr.get("dc2"),
+                hidden=hidden, cell=cell, row_tile=row_tile,
+                interpret=interpret, x_feature_major=False, split_dw=split_dw,
+            )
+            dx_c, dwih1, dwhh1, dbih1, dbhh1, dh1_0, dc1_0 = _pallas_layer_bwd(
+                dh1, x_c, h1s, c1s, w1, b1,
+                h0=h1_0, c0=c1_0,
+                dh_init=cr["dh1"], dc_init=cr.get("dc1"),
+                hidden=hidden, cell=cell, row_tile=row_tile,
+                interpret=interpret, x_feature_major=True, split_dw=split_dw,
+            )
+
+            new_acc = {
+                "dwih1": acc["dwih1"] + dwih1,
+                "dwhh1": acc["dwhh1"] + dwhh1,
+                "dbih1": acc["dbih1"] + dbih1,
+                "dbhh1": acc["dbhh1"] + dbhh1,
+                "dwih2": acc["dwih2"] + dwih2,
+                "dwhh2": acc["dwhh2"] + dwhh2,
+                "dbih2": acc["dbih2"] + dbih2,
+                "dbhh2": acc["dbhh2"] + dbhh2,
+                "dfc_w": dfc_w, "dfc_b": dfc_b,
+            }
+            new_cr = {
+                "dh1": dh1_0, "dh2": dh2_0,
+                **({"dc1": dc1_0, "dc2": dc2_0} if is_lstm else {}),
+            }
+            return (new_cr, new_acc), dx_c
+
+        xs = (x_cs, g_cs) + bprev
+        (_, acc), dx_cs = jax.lax.scan(
+            body, (carry0, acc0), xs, reverse=True
+        )
+
+        dl1 = _layer_grads(
+            l1, acc["dwih1"], acc["dwhh1"], acc["dbih1"], acc["dbhh1"]
+        )
+        dl2 = _layer_grads(
+            l2, acc["dwih2"], acc["dwhh2"], acc["dbih2"], acc["dbhh2"]
+        )
+        dfc = {
+            "weight": acc["dfc_w"].astype(fc["weight"].dtype),
+            "bias": acc["dfc_b"].astype(fc["bias"].dtype),
+        }
+        dx = dx_cs.reshape(t_pad, f_in, n_pad)[:t, :, :n].astype(cdt)
+        return dx, dl1, dl2, dfc
+
+    _bwd_impl = _bwd_chunked if chunk else _bwd_direct
+
     @jax.custom_vjp
     def f(x, l1, l2, fc):
         return _infer_impl(x, l1, l2, fc, primal_row_tile, interpret)
 
     f.defvjp(_fwd_impl, _bwd_impl)
     return f
+
+
+def _pick_chunk(t, n_pad, hidden, cell, itemsize, stash_budget):
+    """Pick the stash time-chunk from static shapes. 0 = the full
+    per-step stash fits ``stash_budget`` bytes of HBM (one fwd, no
+    remat). Otherwise the smallest total footprint is at
+    chunk = sqrt(T); grow the chunk toward the budget to cut the
+    lax.scan trip count."""
+    n_stash = 4 if cell == "lstm" else 2
+    per_step = n_stash * n_pad * hidden * itemsize
+    t8 = -(-t // 8) * 8
+    if t8 * per_step <= stash_budget:
+        return 0
+    # boundary blocks (ceil(t/K)) + in-chunk stash (K) steps of state
+    k = max(8, int(round((t8**0.5) / 8.0)) * 8)
+    best = k
+    while k + 8 <= t8:
+        k += 8
+        if (-(-t8 // k) + k) * per_step > stash_budget:
+            break
+        best = k
+    return min(best, t8)
+
+
+def train_stash_bytes(
+    t: int,
+    n: int,
+    hidden: int,
+    cell: str = "lstm",
+    itemsize: int = 2,
+    row_tile: int = 128,
+    stash_budget: int = _DEFAULT_STASH_BUDGET,
+) -> int:
+    """HBM bytes the training VJP will stash at these shapes AFTER
+    auto-chunking (callers can gate kernel routing on this — e.g. fall
+    back to a remat'd scan when even the sqrt(T)-chunked footprint busts
+    their memory budget)."""
+    n_pad = -(-n // row_tile) * row_tile
+    n_stash = 4 if cell == "lstm" else 2
+    per_step = n_stash * n_pad * hidden * itemsize
+    t8 = -(-t // 8) * 8
+    k = _pick_chunk(t, n_pad, hidden, cell, itemsize, stash_budget)
+    if k == 0:
+        return t8 * per_step
+    t_pad = -(-t // k) * k
+    return (t_pad // k + k) * per_step
 
 
 def fused_subband_lstm(
@@ -658,6 +1049,9 @@ def fused_subband_lstm(
     row_tile: int = 512,
     interpret: bool = False,
     time_major_features: bool = False,
+    stash_budget: int = _DEFAULT_STASH_BUDGET,
+    time_chunk: int | None = None,
+    split_dw: bool | None = None,
 ) -> jax.Array:
     """Run the fused 2-layer LSTM/GRU + Linear over x.
 
@@ -670,6 +1064,10 @@ def fused_subband_lstm(
         fc: {weight [OUT, H], bias [OUT]}.
         row_tile: rows per grid tile (N is padded up to a multiple).
         interpret: run in the Pallas interpreter (CPU testing).
+        stash_budget: HBM bytes allowed for the backward state stash;
+            above it the VJP switches to the time-chunked remat scheme.
+        time_chunk: force a chunk length (multiple of 8; 0 = full stash).
+        split_dw: force the streamed-dW backward (default: auto, H > 448).
 
     Returns:
         [T, N, OUT] float32.
@@ -682,7 +1080,18 @@ def fused_subband_lstm(
     """
     if not time_major_features:
         x = jnp.swapaxes(x, 1, 2)  # -> [T, F_in, N]
-    return _train_vjp_fn(row_tile, min(row_tile, 128), interpret)(
+    bwd_tile = min(row_tile, 128)
+    hidden, cell = _cell_of(l1)
+    if split_dw is None:
+        split_dw = hidden > _SPLIT_DW_MAX_HIDDEN
+    if time_chunk is None:
+        n_pad = -(-x.shape[2] // bwd_tile) * bwd_tile
+        time_chunk = _pick_chunk(
+            x.shape[0], n_pad, hidden, cell,
+            jnp.dtype(x.dtype).itemsize, stash_budget,
+        )
+    assert time_chunk % 8 == 0, "time_chunk must be a multiple of 8"
+    return _train_vjp_fn(row_tile, bwd_tile, interpret, time_chunk, split_dw)(
         x, l1, l2, fc
     )
 
@@ -696,10 +1105,25 @@ def fused_subband_lstm_train(
     row_tile: int = 128,
     interpret: bool = False,
     time_major_features: bool = False,
+    stash_budget: int = _DEFAULT_STASH_BUDGET,
+    time_chunk: int | None = None,
+    split_dw: bool | None = None,
 ) -> jax.Array:
     """Training-tuned twin of :func:`fused_subband_lstm` (same custom VJP,
     stash/backward row tile = ``row_tile`` for the fwd pass as well, so
     the residual-producing forward is compiled once)."""
     if not time_major_features:
         x = jnp.swapaxes(x, 1, 2)  # -> [T, F_in, N]
-    return _train_vjp_fn(row_tile, row_tile, interpret)(x, l1, l2, fc)
+    hidden, cell = _cell_of(l1)
+    if split_dw is None:
+        split_dw = hidden > _SPLIT_DW_MAX_HIDDEN
+    if time_chunk is None:
+        n_pad = -(-x.shape[2] // row_tile) * row_tile
+        time_chunk = _pick_chunk(
+            x.shape[0], n_pad, hidden, cell,
+            jnp.dtype(x.dtype).itemsize, stash_budget,
+        )
+    assert time_chunk % 8 == 0, "time_chunk must be a multiple of 8"
+    return _train_vjp_fn(row_tile, row_tile, interpret, time_chunk, split_dw)(
+        x, l1, l2, fc
+    )

@@ -146,7 +146,7 @@ def _assert_tree_close(a, b, atol, rtol):
         )
 
 
-def _check_grad_parity(cell, T, N, F_in, H, row_tile):
+def _check_grad_parity(cell, T, N, F_in, H, row_tile, **kernel_kwargs):
     from fullsubnet_tpu.nn.rnn import gru_forward
     from fullsubnet_tpu.nn.rnn import lstm_forward as lf
     from fullsubnet_tpu.ops.subband_lstm import fused_subband_lstm_train
@@ -162,7 +162,8 @@ def _check_grad_parity(cell, T, N, F_in, H, row_tile):
     def loss_fused(params, x):
         pp, pfc = params
         out = fused_subband_lstm_train(
-            x, pp[0][0], pp[1][0], pfc, row_tile=row_tile, interpret=True
+            x, pp[0][0], pp[1][0], pfc, row_tile=row_tile, interpret=True,
+            **kernel_kwargs,
         )
         return jnp.mean(jnp.square(out - tgt))
 
@@ -183,6 +184,98 @@ def test_train_kernel_grad_parity_gru():
 def test_train_kernel_grad_parity_padded():
     """N not divisible by row_tile, T not divisible by 8."""
     _check_grad_parity("lstm", T=11, N=13, F_in=8, H=16, row_tile=8)
+
+
+# --- time-chunked stash (remat at chunk granularity) ----------------------
+
+
+def test_train_kernel_grad_parity_chunked_lstm():
+    """T spans several chunks; T not a multiple of the chunk."""
+    _check_grad_parity(
+        "lstm", T=29, N=16, F_in=8, H=16, row_tile=8, time_chunk=8
+    )
+
+
+def test_train_kernel_grad_parity_chunked_gru():
+    _check_grad_parity(
+        "gru", T=29, N=16, F_in=8, H=16, row_tile=8, time_chunk=8
+    )
+
+
+def test_train_kernel_grad_parity_chunked_padded_rows():
+    """Chunked remat with N not divisible by row_tile."""
+    _check_grad_parity(
+        "lstm", T=17, N=13, F_in=8, H=16, row_tile=8, time_chunk=8
+    )
+
+
+def test_train_kernel_auto_chunk_from_budget():
+    """A tiny stash budget forces the chunked path automatically."""
+    _check_grad_parity(
+        "lstm", T=29, N=16, F_in=8, H=16, row_tile=8, stash_budget=4096
+    )
+
+
+def test_pick_chunk_bounds():
+    from fullsubnet_tpu.ops.subband_lstm import _pick_chunk
+
+    budget = 6 * 2**30
+    # fits: stay monolithic
+    assert _pick_chunk(192, 128, 384, "lstm", 2, budget) == 0
+    # does not fit, budget achievable: a multiple of 8 that respects it
+    k = _pick_chunk(1880, 16384, 384, "lstm", 2, budget)
+    per_step = 4 * 16384 * 384 * 2
+    t8 = -(-1880 // 8) * 8
+    assert k % 8 == 0 and 8 <= k <= t8
+    assert (-(-t8 // k) + k) * per_step <= budget
+    # budget unachievable even at the sqrt(T) minimum: returns that minimum
+    k = _pick_chunk(1880, 32768, 384, "lstm", 2, budget)
+    assert k == max(8, int(round((t8**0.5) / 8.0)) * 8)
+
+
+# --- split-dW backward (wide hidden sizes) ---------------------------------
+
+
+def test_train_kernel_grad_parity_split_dw_lstm():
+    _check_grad_parity(
+        "lstm", T=13, N=16, F_in=32, H=48, row_tile=8, split_dw=True
+    )
+
+
+def test_train_kernel_grad_parity_split_dw_gru():
+    _check_grad_parity(
+        "gru", T=13, N=16, F_in=32, H=48, row_tile=8, split_dw=True
+    )
+
+
+def test_train_kernel_grad_parity_split_dw_chunked():
+    """Both escapes at once: wide-H streaming dW + chunk-remat stash."""
+    _check_grad_parity(
+        "lstm", T=21, N=13, F_in=8, H=16, row_tile=8,
+        split_dw=True, time_chunk=8,
+    )
+
+
+def test_wide_hidden_defaults_to_split_dw():
+    """H > 448 flips split_dw on automatically (tiny shapes, interpret)."""
+    from fullsubnet_tpu.ops import subband_lstm as sl
+
+    captured = {}
+    orig = sl._train_vjp_fn
+
+    def spy(primal_row_tile, row_tile, interpret, chunk=0, split_dw=False):
+        captured["split_dw"] = split_dw
+        return orig(primal_row_tile, row_tile, interpret, chunk, split_dw)
+
+    sl._train_vjp_fn = spy
+    try:
+        p, fc, x, _ = _grad_setup("lstm", T=9, N=8, F_in=16, H=512)
+        sl.fused_subband_lstm_train(
+            x, p[0][0], p[1][0], fc, row_tile=8, interpret=True
+        )
+    finally:
+        sl._train_vjp_fn = orig
+    assert captured["split_dw"] is True
 
 
 def test_inference_entry_is_differentiable():

@@ -50,6 +50,37 @@ def test_pallas_route_training_grads_match_scan():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-3)
 
 
+def test_pallas_route_training_grads_wide_hidden():
+    """H > 448 (the 512-hidden full-band stages) trains through the
+    kernel's split-dW backward; gradients still match the scan path."""
+    sm = SequenceModel(
+        input_size=20, output_size=12, hidden_size=512, num_layers=2,
+        bidirectional=False, sequence_model="LSTM",
+        output_activate_function="ReLU",
+    )
+    assert sm._pallas_eligible(128, 9, training=True) or (
+        jax.default_backend() == "cpu"
+    )
+    params = sm.init(jax.random.PRNGKey(0), orthogonal_init=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 20, 9))
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (8, 12, 9))
+
+    def loss_scan(p):
+        return jnp.mean(jnp.square(sm(p, x) - tgt))
+
+    def loss_pallas(p):
+        o = sm._pallas_forward(p, x, training=True, interpret=True)
+        return jnp.mean(jnp.square(o - tgt))
+
+    lr, gr = jax.value_and_grad(loss_scan)(params)
+    lp, gp = jax.value_and_grad(loss_pallas)(params)
+    np.testing.assert_allclose(float(lp), float(lr), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3
+        )
+
+
 def test_eligibility_gates():
     sm, params, x = _setup()
     # CPU backend -> never eligible (these tests run on the CPU mesh)
