@@ -90,15 +90,27 @@ def build_pipeline(model_name: str, dtype):
 
 def bench_train(args):
     """Full training step (STFT -> cIRM target -> fwd -> bwd -> Adam) on
-    the reference recipe shapes: 3.072 s crops, drop_band groups=2."""
+    the reference recipe shapes: 3.072 s crops (override with
+    --crop-seconds), drop_band groups=2 where the model uses it. --model
+    selects the family (improved_fullsubnet trains wave-to-wave)."""
     import optax
 
     from fullsubnet_tpu.acoustics.feature import drop_band
     from fullsubnet_tpu.acoustics.mask import build_complex_ideal_ratio_mask
     from fullsubnet_tpu.acoustics.stft import stft_complex
-    from fullsubnet_tpu.models import FullSubNet
+    from fullsubnet_tpu.models import MODEL_REGISTRY
 
-    model = FullSubNet()
+    use_bf16_policy = args.dtype == "bf16"
+    defaults = {
+        "fullband_baseline": dict(num_freqs=257, hidden_size=512),
+        # wave-to-wave model: owns its STFT, so the low-precision policy
+        # is a constructor arg rather than an input cast
+        "improved_fullsubnet": dict(
+            compute_dtype=jnp.bfloat16 if use_bf16_policy else jnp.float32
+        ),
+    }
+    model = MODEL_REGISTRY[args.model](**defaults.get(args.model, {}))
+    waveform_model = args.model.startswith("improved_fullsubnet")
     if args.train_unfused:
         # legacy reference-shaped path: no fused pipeline, no Pallas routes
         model._FUSED_SB_THRESHOLD = 2**62
@@ -109,7 +121,7 @@ def bench_train(args):
     optimizer = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(1e-3))
     opt_state = optimizer.init(params)
     use_bf16 = args.dtype == "bf16"
-    groups = model.num_groups_in_drop_band
+    groups = int(getattr(model, "num_groups_in_drop_band", 0) or 0)
 
     def loss_fn(p, noisy, clean):
         if use_bf16:
@@ -117,12 +129,17 @@ def bench_train(args):
                 lambda a: a.astype(jnp.bfloat16)
                 if a.dtype == jnp.float32 else a, p,
             )
+        if waveform_model:
+            enhanced = model(p, noisy, training=True)[:, 0]
+            return jnp.mean(jnp.square(enhanced.astype(jnp.float32) - clean))
         ns = stft_complex(noisy, 512, 256, 512)
         cs = stft_complex(clean, 512, 256, 512)
         cirm = build_complex_ideal_ratio_mask(ns.real, ns.imag, cs.real, cs.imag)
-        cirm = jnp.transpose(
-            drop_band(jnp.transpose(cirm, (0, 3, 1, 2)), groups), (0, 2, 3, 1)
-        )
+        if groups > 1:
+            cirm = jnp.transpose(
+                drop_band(jnp.transpose(cirm, (0, 3, 1, 2)), groups),
+                (0, 2, 3, 1),
+            )
         mag = jnp.abs(ns)[:, None]
         if use_bf16:
             mag = mag.astype(jnp.bfloat16)
@@ -137,7 +154,7 @@ def bench_train(args):
         updates, o = optimizer.update(grads, o, p)
         return optax.apply_updates(p, updates), o, loss
 
-    seconds = 3.072
+    seconds = args.crop_seconds
     num_samples = int(args.sr * seconds)
     rng = np.random.default_rng(0)
     noisy = jnp.asarray(rng.standard_normal((args.batch, num_samples)).astype(np.float32) * 0.1)
@@ -157,7 +174,7 @@ def bench_train(args):
     print(
         json.dumps(
             {
-                "metric": f"train_step_fullsubnet_{args.dtype}_b{args.batch}",
+                "metric": f"train_step_{args.model}_{args.dtype}_b{args.batch}",
                 "value": round(args.batch * seconds / sec_per_step, 2),
                 "unit": "audio_sec_trained_per_sec_per_chip",
                 "vs_baseline": round(1.0 / sec_per_step, 4),
@@ -223,6 +240,10 @@ def main():
     p.add_argument(
         "--train-unfused", action="store_true",
         help="with --train: use the legacy unfused (freq_unfold) path",
+    )
+    p.add_argument(
+        "--crop-seconds", type=float, default=3.072,
+        help="with --train: training crop length in seconds",
     )
     args = p.parse_args()
 

@@ -95,8 +95,12 @@ class FullSubNet:
     # the backward kernels; above this budget the kernel's custom VJP
     # switches itself to the time-chunked stash (boundary states + per-
     # chunk remat), so the Pallas path stays the training path at any
-    # batch size.
-    _PALLAS_TRAIN_STASH_BUDGET = 6 * 2**30  # bytes
+    # batch size. The flagship has ONE sub-band stage, so that single
+    # stash may own most of HBM: 10.5 GB keeps B=128 x 3.072 s monolithic
+    # (1072 audio-s/s vs 727 chunked on v5e). Models with several kernel
+    # stages (e.g. Improved FullSubNet's sections, whose stashes are all
+    # live until the backward) use the kernel's 6 GB default instead.
+    _PALLAS_TRAIN_STASH_BUDGET = int(10.5 * 2**30)  # bytes
 
     def __call__(
         self,

@@ -236,17 +236,35 @@ def _infer_impl(x, l1, l2, fc, row_tile, interpret):
 #   instead of T. All kernels take chunk-initial states / incoming
 #   cotangent carries and emit final carries, so the unchunked path is
 #   just the chunked path with one chunk that starts at zeros.
-# * SPLIT-dW BACKWARD (``split_dw``): for wide layers (H > 448) the two
-#   [in+8, G·H] f32 VMEM accumulators alone exceed the 16 MB budget. The
-#   split variant streams the per-step gate cotangents to HBM instead and
-#   computes dW / db as big XLA einsums afterwards — MXU-friendly and
-#   VMEM-light. Streaming [T, N, G·H] is only reasonable when N is small,
-#   which is exactly the wide-H case (the 512-hidden full-band stages run
-#   N = B rows, not B·F).
+# * SPLIT-dW BACKWARD (``split_dw``): when a layer's two [in+8, G·H] f32
+#   VMEM accumulators + weights + streamed blocks would exceed the 16 MB
+#   budget (wide H > ~448, or f32 compute at H=384 — see
+#   ``_auto_split_dw``), the split variant streams the per-step gate
+#   cotangents to HBM instead and computes dW / db as big XLA einsums
+#   afterwards — MXU-friendly and VMEM-light. Streaming [T, N, G·H] is
+#   only reasonable when N is modest, which these cases are (the
+#   512-hidden full-band stages run N = B rows, not B·F).
 
 
 _DEFAULT_STASH_BUDGET = 6 * 2**30  # bytes of HBM for backward state stashes
-_SPLIT_DW_MAX_HIDDEN = 448  # above this, fused dW accumulators bust VMEM
+# VMEM the fused-accumulate backward may claim before the layer switches
+# to the split-dW variant (16 MB/core minus headroom for Mosaic's own
+# stack/transients — 12 MB measured safe; e.g. the H=384 f32 layer-2
+# backward sits at ~17 MB fused and OOMs, ~14 MB split)
+_FUSED_DW_VMEM_LIMIT = 12 * 2**20
+
+
+def _auto_split_dw(f_in, hidden, gh, row_tile, itemsize, cell):
+    """Estimate the fused-accumulate backward kernel's VMEM footprint for
+    one layer and return True when the split-dW (streamed gate cotangent)
+    variant must run instead."""
+    w = (f_in + hidden) * gh * itemsize
+    acc = (f_in + hidden + 16) * gh * 4  # two f32 aug accumulators
+    n_h = 4 if cell == "lstm" else 2  # dh + hprev (+ cprev, ccur)
+    blocks = 2 * row_tile * (n_h * hidden + 2 * f_in) * itemsize  # dbuf'd
+    carries = (6 if cell == "lstm" else 3) * row_tile * hidden * 4
+    scratch = (2 if cell == "lstm" else 1) * row_tile * hidden * 4
+    return w + acc + blocks + carries + scratch > _FUSED_DW_VMEM_LIMIT
 
 
 def _kernel_train_fwd(
@@ -603,20 +621,26 @@ def _pallas_layer_bwd(
     row_tile: int,
     interpret: bool,
     x_feature_major: bool,
-    split_dw: bool,
+    split_dw: bool | None,
 ):
     """One layer's backward scan over one chunk (or the whole sequence).
 
-    Returns (dx_seq, dwih [F_in, G·H] f32, dwhh [H, G·H] f32,
-    db_ih [G·H] f32, db_hh [G·H] f32, dh0 [N_pad, H] f32,
-    dc0 [N_pad, H] f32 | None) where dh0/dc0 are the cotangents of the
-    chunk-initial states (the carries into the previous chunk).
+    ``split_dw`` None resolves per layer from the VMEM estimate
+    (:func:`_auto_split_dw`). Returns (dx_seq, dwih [F_in, G·H] f32,
+    dwhh [H, G·H] f32, db_ih [G·H] f32, db_hh [G·H] f32,
+    dh0 [N_pad, H] f32, dc0 [N_pad, H] f32 | None) where dh0/dc0 are the
+    cotangents of the chunk-initial states (the carries into the
+    previous chunk).
     """
     t, n_pad, _ = dh_seq.shape
     num_tiles = n_pad // row_tile
     f_in = x_seq.shape[1] if x_feature_major else x_seq.shape[2]
     gh = w.shape[1]
     cdt = dh_seq.dtype
+    if split_dw is None:
+        split_dw = _auto_split_dw(
+            f_in, hidden, gh, row_tile, jnp.dtype(cdt).itemsize, cell
+        )
 
     state_spec = lambda tmap: pl.BlockSpec(
         (1, row_tile, hidden), tmap, memory_space=pltpu.VMEM
@@ -767,7 +791,7 @@ def _train_vjp_fn(
     row_tile: int,
     interpret: bool,
     chunk: int = 0,
-    split_dw: bool = False,
+    split_dw: bool | None = None,
 ):
     """custom_vjp-wrapped fused scan for x in [T, F_in, N] layout.
 
@@ -779,7 +803,7 @@ def _train_vjp_fn(
 
     ``chunk`` > 0 selects the time-chunked remat scheme (see the section
     comment above); ``split_dw`` streams gate cotangents instead of
-    accumulating dW in VMEM (wide layers).
+    accumulating dW in VMEM (None = per-layer VMEM estimate).
     """
 
     def _pad_shapes(t, n):
@@ -998,8 +1022,11 @@ def _pick_chunk(t, n_pad, hidden, cell, itemsize, stash_budget):
     """Pick the stash time-chunk from static shapes. 0 = the full
     per-step stash fits ``stash_budget`` bytes of HBM (one fwd, no
     remat). Otherwise the smallest total footprint is at
-    chunk = sqrt(T); grow the chunk toward the budget to cut the
-    lax.scan trip count."""
+    chunk = sqrt(T); grow the chunk toward 0.6x the budget to cut the
+    lax.scan trip count — the backward materializes per-chunk cotangent
+    sequences on top of the stash, so a chunk sized to the full budget
+    OOMs exactly at the shapes chunking exists for (0.6x measured safe
+    on v5e at B=256 x 3.072 s)."""
     n_stash = 4 if cell == "lstm" else 2
     per_step = n_stash * n_pad * hidden * itemsize
     t8 = -(-t // 8) * 8
@@ -1008,9 +1035,10 @@ def _pick_chunk(t, n_pad, hidden, cell, itemsize, stash_budget):
     # boundary blocks (ceil(t/K)) + in-chunk stash (K) steps of state
     k = max(8, int(round((t8**0.5) / 8.0)) * 8)
     best = k
+    grow_cap = int(stash_budget * 0.6)
     while k + 8 <= t8:
         k += 8
-        if (-(-t8 // k) + k) * per_step > stash_budget:
+        if (-(-t8 // k) + k) * per_step > grow_cap:
             break
         best = k
     return min(best, t8)
@@ -1067,7 +1095,9 @@ def fused_subband_lstm(
         stash_budget: HBM bytes allowed for the backward state stash;
             above it the VJP switches to the time-chunked remat scheme.
         time_chunk: force a chunk length (multiple of 8; 0 = full stash).
-        split_dw: force the streamed-dW backward (default: auto, H > 448).
+        split_dw: force the streamed-dW backward on (True) or off
+            (False); default None picks per layer from a VMEM estimate
+            (wide/f32 layers whose fused accumulators would bust 16 MB).
 
     Returns:
         [T, N, OUT] float32.
@@ -1082,8 +1112,6 @@ def fused_subband_lstm(
         x = jnp.swapaxes(x, 1, 2)  # -> [T, F_in, N]
     bwd_tile = min(row_tile, 128)
     hidden, cell = _cell_of(l1)
-    if split_dw is None:
-        split_dw = hidden > _SPLIT_DW_MAX_HIDDEN
     if time_chunk is None:
         n_pad = -(-x.shape[2] // bwd_tile) * bwd_tile
         time_chunk = _pick_chunk(
@@ -1115,8 +1143,6 @@ def fused_subband_lstm_train(
     if not time_major_features:
         x = jnp.swapaxes(x, 1, 2)  # -> [T, F_in, N]
     hidden, cell = _cell_of(l1)
-    if split_dw is None:
-        split_dw = hidden > _SPLIT_DW_MAX_HIDDEN
     if time_chunk is None:
         n_pad = -(-x.shape[2] // row_tile) * row_tile
         time_chunk = _pick_chunk(

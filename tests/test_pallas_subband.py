@@ -256,26 +256,63 @@ def test_train_kernel_grad_parity_split_dw_chunked():
     )
 
 
-def test_wide_hidden_defaults_to_split_dw():
-    """H > 448 flips split_dw on automatically (tiny shapes, interpret)."""
-    from fullsubnet_tpu.ops import subband_lstm as sl
+def test_model_fused_training_chunked_grads():
+    """FullSubNet's fused drop_band training pipeline with a stash budget
+    small enough to force the time-chunked VJP: gradients == the standard
+    (unfused, scan) forward path."""
+    model = FullSubNet(
+        num_freqs=32, sb_num_neighbors=3, fb_model_hidden_size=16,
+        sb_model_hidden_size=12, norm_type="cumulative_laplace_norm",
+    )
+    model._PALLAS_TRAIN_STASH_BUDGET = 4096  # force chunking in the kernel
+    params = model.init(jax.random.PRNGKey(0), weight_init=False)
+    x = jnp.asarray(
+        np.abs(
+            np.random.default_rng(3).standard_normal((2, 1, 32, 21))
+        ).astype(np.float32)
+    )
+    xx = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, model.look_ahead)))
+    noisy_pad = jnp.pad(xx[:, 0], ((0, 0), (3, 3), (0, 0)), mode="reflect")
+    tgt = jnp.asarray(
+        np.random.default_rng(4)
+        .standard_normal((2, 2, 32, 21))
+        .astype(np.float32)
+    )
 
-    captured = {}
-    orig = sl._train_vjp_fn
+    def loss_pallas(p):
+        fb_in = model.norm(xx).reshape(2, 32, -1)
+        fb_out = model.fb_model(p["fb_model"], fb_in).reshape(2, 1, 32, -1)
+        mu = model._sb_norm_mu(noisy_pad, fb_out[:, 0], 32)
+        o = model._pallas_subband(
+            p, noisy_pad, fb_out[:, 0], 32, mu, mu.shape[1] == 1,
+            interpret=True, training=True,
+        )[..., model.look_ahead :]
+        return jnp.mean(jnp.square(o - tgt))
 
-    def spy(primal_row_tile, row_tile, interpret, chunk=0, split_dw=False):
-        captured["split_dw"] = split_dw
-        return orig(primal_row_tile, row_tile, interpret, chunk, split_dw)
-
-    sl._train_vjp_fn = spy
-    try:
-        p, fc, x, _ = _grad_setup("lstm", T=9, N=8, F_in=16, H=512)
-        sl.fused_subband_lstm_train(
-            x, p[0][0], p[1][0], fc, row_tile=8, interpret=True
+    def loss_ref(p):
+        return jnp.mean(
+            jnp.square(model(p, x, dropping_band=False) - tgt)
         )
-    finally:
-        sl._train_vjp_fn = orig
-    assert captured["split_dw"] is True
+
+    lr, gr = jax.value_and_grad(loss_ref)(params)
+    lp, gp = jax.value_and_grad(loss_pallas)(params)
+    np.testing.assert_allclose(float(lp), float(lr), rtol=1e-5)
+    _assert_tree_close(gp, gr, atol=2e-5, rtol=1e-3)
+
+
+def test_auto_split_dw_vmem_estimate():
+    """The per-layer VMEM estimate flips split_dw on exactly for the
+    configurations whose fused accumulators bust the 16 MB budget."""
+    from fullsubnet_tpu.ops.subband_lstm import _auto_split_dw
+
+    # flagship sub-band layers, bf16 at row_tile 128: fused fits
+    assert not _auto_split_dw(32, 384, 4 * 384, 128, 2, "lstm")
+    assert not _auto_split_dw(384, 384, 4 * 384, 128, 2, "lstm")
+    # same layer in f32 (e.g. a model without a bf16 policy): must split
+    # (measured: ~17 MB fused -> Mosaic scoped-vmem OOM)
+    assert _auto_split_dw(384, 384, 4 * 384, 128, 4, "lstm")
+    # wide 512-hidden full-band stage, even in bf16: must split
+    assert _auto_split_dw(512, 512, 4 * 512, 128, 2, "lstm")
 
 
 def test_inference_entry_is_differentiable():

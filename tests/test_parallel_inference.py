@@ -135,3 +135,65 @@ def test_shard_mapped_pallas_kernel_matches_unsharded():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-3
         )
+
+
+def test_shard_mapped_pallas_kernel_chunked_vjp():
+    """shard_map + the TIME-CHUNKED custom VJP (tiny stash budget): the
+    per-shard chunked backward kernels must still produce the unsharded
+    gradients, with weight grads psummed back to replicated."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from fullsubnet_tpu.models import FullSubNet
+
+    model = FullSubNet(
+        num_freqs=32, sb_num_neighbors=3, fb_model_hidden_size=16,
+        sb_model_hidden_size=12, norm_type="cumulative_laplace_norm",
+    )
+    model._PALLAS_TRAIN_STASH_BUDGET = 4096  # force the chunked VJP
+    params = model.init(jax.random.PRNGKey(0), weight_init=False)
+    x = jnp.asarray(
+        np.abs(np.random.default_rng(5).standard_normal((2, 1, 32, 21))).astype(
+            np.float32
+        )
+    )
+    xx = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, model.look_ahead)))
+    noisy_pad = jnp.pad(xx[:, 0], ((0, 0), (3, 3), (0, 0)), mode="reflect")
+    tgt = jnp.asarray(
+        np.random.default_rng(6).standard_normal((2, 2, 32, 21)).astype(
+            np.float32
+        )
+    )
+
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, axis_names=("data", "subband"))
+    sb_sh = NamedSharding(mesh, P(("data", "subband"), None, None))
+
+    def hint(v):
+        return jax.lax.with_sharding_constraint(v, sb_sh)
+
+    hint.mesh = mesh
+    hint.row_axes = ("data", "subband")
+
+    def loss_sharded(p):
+        fb_i = model.norm(xx).reshape(2, 32, -1)
+        fb_o = model.fb_model(p["fb_model"], fb_i).reshape(2, 1, 32, -1)
+        mu = model._sb_norm_mu(noisy_pad, fb_o[:, 0], 32)
+        o = model._pallas_subband(
+            p, noisy_pad, fb_o[:, 0], 32, mu, mu.shape[1] == 1,
+            sharding_hint=hint, interpret=True, training=True,
+        )[..., model.look_ahead :]
+        return jnp.mean(jnp.square(o - tgt))
+
+    def loss_ref(p):
+        return jnp.mean(jnp.square(model(p, x, dropping_band=False) - tgt))
+
+    ls, gs = jax.value_and_grad(loss_sharded)(params)
+    lr, gr = jax.value_and_grad(loss_ref)(params)
+    np.testing.assert_allclose(float(ls), float(lr), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3
+        )
