@@ -183,6 +183,87 @@ def bench_train(args):
     )
 
 
+def bench_data(args):
+    """Host-side synthesis throughput through the multiprocess loader:
+    on-the-fly noisy mixtures (wav read, noise concat with silence gaps,
+    RIR fftconvolve at p=0.75, SNR + loudness mix, anti-clip rescue) at
+    the reference recipe's crop length. ``vs_baseline`` is the ratio to
+    the flagship train step's peak consumption (1076 audio-s/s at
+    B=128) — above 1.0 the host keeps the chip fed."""
+    import os
+    import tempfile
+
+    from fullsubnet_tpu.data.datasets import TrainDataset
+    from fullsubnet_tpu.data.loader import DataLoader
+    from fullsubnet_tpu.data.wavio import write_wav
+
+    tmp = tempfile.mkdtemp(prefix="fsn_databench_")
+    sr = args.sr
+    rng = np.random.default_rng(0)
+    t = np.arange(10 * sr) / sr
+    clean_paths, noise_paths, rir_paths = [], [], []
+    for i in range(32):
+        p = os.path.join(tmp, f"c{i}.wav")
+        wave = 0.3 * np.sin(2 * np.pi * (150 + 17 * i) * t)
+        wave *= 0.6 + 0.4 * np.sin(2 * np.pi * 2.3 * t)
+        write_wav(p, wave.astype(np.float32), sr)
+        clean_paths.append(p)
+    for i in range(8):
+        p = os.path.join(tmp, f"n{i}.wav")
+        write_wav(p, (0.1 * rng.standard_normal(10 * sr)).astype(np.float32), sr)
+        noise_paths.append(p)
+    rir_len = int(0.5 * sr)
+    for i in range(4):
+        r = rng.standard_normal(rir_len) * np.exp(
+            -np.arange(rir_len) / (0.05 * sr)
+        )
+        r[0] = 1.0
+        p = os.path.join(tmp, f"r{i}.wav")
+        write_wav(p, r.astype(np.float32), sr)
+        rir_paths.append(p)
+
+    def scp(name, lst, repeat):
+        path = os.path.join(tmp, name + ".txt")
+        with open(path, "w") as f:
+            f.write("\n".join(lst * repeat) + "\n")
+        return path
+
+    # repeat the clean list so one epoch is long enough for steady state
+    ds = TrainDataset(
+        scp("clean", clean_paths, 256),
+        scp("noise", noise_paths, 1),
+        scp("rir", rir_paths, 1),
+        sr=sr,
+        sub_sample_length=args.crop_seconds,
+        seed=0,
+    )
+    loader = DataLoader(
+        ds, batch_size=args.batch, shuffle=True, drop_last=True,
+        num_workers=args.data_workers, seed=0, prefetch_batches=4,
+    )
+    loader.set_epoch(0)
+    it = iter(loader)
+    for _ in range(4):  # warmup: fill the prefetch pipeline
+        next(it)
+    n_batches = max(1, args.iters * 4)
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        noisy, _clean = next(it)
+        assert np.isfinite(noisy).all()
+    dt = time.perf_counter() - t0
+    audio_per_sec = n_batches * args.batch * args.crop_seconds / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"data_pipeline_w{args.data_workers}_b{args.batch}",
+                "value": round(audio_per_sec, 2),
+                "unit": "audio_sec_synthesized_per_sec",
+                "vs_baseline": round(audio_per_sec / 1076.0, 4),
+            }
+        )
+    )
+
+
 def bench_streaming(args):
     """Single-frame streaming step latency: one 16 ms hop per step."""
     from fullsubnet_tpu.infer.streaming import StreamingFullSubNet
@@ -243,7 +324,15 @@ def main():
     )
     p.add_argument(
         "--crop-seconds", type=float, default=3.072,
-        help="with --train: training crop length in seconds",
+        help="with --train/--data: training crop length in seconds",
+    )
+    p.add_argument(
+        "--data", action="store_true",
+        help="benchmark host-side synthesis throughput (loader + mixer)",
+    )
+    p.add_argument(
+        "--data-workers", type=int, default=16,
+        help="with --data: loader worker processes",
     )
     args = p.parse_args()
 
@@ -252,6 +341,9 @@ def main():
         return
     if args.train:
         bench_train(args)
+        return
+    if args.data:
+        bench_data(args)
         return
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32

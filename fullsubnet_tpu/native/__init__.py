@@ -25,19 +25,30 @@ _TRIED = False
 
 
 def _build() -> bool:
-    try:
-        subprocess.run(
-            [
-                "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                str(_SRC), "-o", str(_LIB_PATH),
-            ],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        return True
-    except Exception:
-        return False
+    # the library is built lazily on the machine it runs on, so
+    # -march=native is safe; fall back to portable flags if the local
+    # toolchain rejects it. NO -ffast-math: gcc links crtfastmath.o into
+    # shared libs, which sets the process-global FTZ/DAZ FP flags on
+    # dlopen and silently changes subnormal handling everywhere.
+    flag_sets = [
+        ["-O3", "-march=native"],
+        ["-O3"],
+    ]
+    for flags in flag_sets:
+        try:
+            subprocess.run(
+                [
+                    "g++", *flags, "-std=c++17", "-shared", "-fPIC",
+                    str(_SRC), "-o", str(_LIB_PATH),
+                ],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def _load():
