@@ -482,13 +482,21 @@ class FullSubNet:
 
             # the kernel VJP auto-chunks its stash; only shapes whose
             # CHUNKED footprint still busts the budget (extreme T x B·F)
-            # fall back to the remat'd scan below
-            stash_ok = train_stash_bytes(
-                t, b * f_eff, self.sb_model.hidden_size,
-                self.sb_model.sequence_model.lower(),
-                jnp.dtype(x.dtype).itemsize,
-                stash_budget=self._PALLAS_TRAIN_STASH_BUDGET,
-            ) <= self._PALLAS_TRAIN_STASH_BUDGET
+            # fall back to the remat'd scan below. The budget must also
+            # cover the materialized kernel input AND its cotangent —
+            # negligible at 3 s crops, but ~8 GB at B=256 x 30 s (which
+            # is exactly where the fallback must trigger).
+            itemsize = jnp.dtype(x.dtype).itemsize
+            kernel_io = 2 * t * unit * b * f_eff * itemsize
+            stash_ok = (
+                train_stash_bytes(
+                    t, b * f_eff, self.sb_model.hidden_size,
+                    self.sb_model.sequence_model.lower(), itemsize,
+                    stash_budget=self._PALLAS_TRAIN_STASH_BUDGET,
+                )
+                + kernel_io
+                <= self._PALLAS_TRAIN_STASH_BUDGET
+            )
         else:
             stash_ok = True
         if (

@@ -103,8 +103,19 @@ class SequenceModel:
     # on the FullSubNet full-band stage.
     _PALLAS_MIN_ROWS = 64
     _PALLAS_MAX_ELEMENTS = 2**31
+    # Training stash allowance for stacks routed here: these stacks are
+    # SIDE stages (full-band / encoder / decoder) that share HBM with the
+    # model's main sub-band stage, so they may not claim the kernel's
+    # default 6 GB budget — 1 GB covers every recipe stack at recipe
+    # crops while keeping extreme (30 s x 256) shapes on the scan path.
+    _PALLAS_TRAIN_STASH_BUDGET = 2**30
 
-    def _pallas_eligible(self, b: int, t: int, training: bool = False) -> bool:
+    def _pallas_eligible(
+        self, b: int, t: int, training: bool = False, itemsize: int = 4
+    ) -> bool:
+        b_pad = -(-b // 128) * 128
+        t8 = -(-t // 8) * 8
+        stash_bytes = 4 * t8 * b_pad * self.hidden_size * itemsize
         return (
             not self.bidirectional
             and self.num_layers == 2
@@ -116,6 +127,7 @@ class SequenceModel:
             # wide stacks (H > 448) train through the kernel's split-dW
             # backward (streamed gate cotangents + XLA dW GEMMs), which
             # keeps the per-layer VMEM footprint under the 16 MB budget
+            and (not training or stash_bytes <= self._PALLAS_TRAIN_STASH_BUDGET)
             and jax.default_backend() != "cpu"
         )
 
@@ -151,7 +163,7 @@ class SequenceModel:
         """
         assert x.ndim == 3, f"The shape of input is {x.shape}."
         b, _, t = x.shape
-        if self._pallas_eligible(b, t, training):
+        if self._pallas_eligible(b, t, training, jnp.dtype(x.dtype).itemsize):
             return self._pallas_forward(params, x, training)
         x = jnp.swapaxes(x, 1, 2)  # [B, T, F]
 
