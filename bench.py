@@ -241,8 +241,15 @@ def bench_data(args):
         ds, batch_size=args.batch, shuffle=True, drop_last=True,
         num_workers=args.data_workers, seed=0, prefetch_batches=4,
     )
-    loader.set_epoch(0)
-    it = iter(loader)
+
+    def batches():  # epoch-spanning: each epoch's iterator is finite
+        epoch = 0
+        while True:
+            loader.set_epoch(epoch)
+            yield from loader
+            epoch += 1
+
+    it = batches()
     for _ in range(4):  # warmup: fill the prefetch pipeline
         next(it)
     n_batches = max(1, args.iters * 4)

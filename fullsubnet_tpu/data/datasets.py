@@ -188,8 +188,10 @@ class TrainDataset(BaseDataset):
             if rir.ndim > 1:
                 rir = rir[int(rng.integers(0, rir.shape[0])), :]
             # convolve up front with scipy's pocketfft (SIMD native,
-            # GIL-releasing) — ~2x our C++ radix-2 engine, which remains
-            # the scipy-free fallback (native.fft_convolve_trunc)
+            # GIL-releasing) — measured ~2x our C++ radix-2 engine. scipy
+            # is a hard dependency of this module; the C++ engine
+            # (native.fft_convolve_trunc) serves thread-pool callers that
+            # want the whole mix GIL-free, not this path.
             clean_y = signal.fftconvolve(clean_y, rir)[: len(clean_y)]
 
         noisy_target_dB_FS = int(

@@ -157,12 +157,33 @@ class SubbandModel:
             flat = sb_in.reshape(b * n_units, width, t)
             sb_params = params["sb_models"][sb_idx]
             rows = b * n_units
+            if training:
+                from fullsubnet_tpu.ops.subband_lstm import train_stash_bytes
+
+                # the kernel VJP auto-chunks, but at extreme T x rows even
+                # the chunked stash (+ the kernel input and its cotangent)
+                # can bust HBM; those sections train on the scan path.
+                # Sections run sequentially under remat, but their VJP
+                # residuals are all live until the backward, so each
+                # section only gets a slice of the default budget.
+                itemsize = jnp.dtype(sb_in.dtype).itemsize
+                budget = 6 * 2**30 // max(1, len(self.sb_num_center_freqs))
+                stash_ok = (
+                    train_stash_bytes(t, rows, sb_model.hidden_size,
+                                      sb_model.sequence_model.lower(),
+                                      itemsize, stash_budget=budget)
+                    + 2 * t * width * rows * itemsize
+                    <= budget
+                )
+            else:
+                stash_ok = True
             if (
                 self.use_pallas
                 and jax.default_backend() != "cpu"
                 and len(sb_params["rnn"]) == 2
                 and not sb_model.output_activate_function
                 and rows >= 128  # row-tile padding waste dominates below
+                and stash_ok
             ):
                 # Pallas fused dual-LSTM kernel (weights resident in VMEM);
                 # tile sized to the section so lane padding stays small.

@@ -9,7 +9,9 @@ native path is active.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
+import platform
 import subprocess
 import threading
 from pathlib import Path
@@ -18,7 +20,27 @@ import numpy as np
 
 _HERE = Path(__file__).resolve().parent
 _SRC = _HERE / "mixer.cpp"
-_LIB_PATH = _HERE / "libfsn_mixer.so"
+
+
+def _cpu_tag() -> str:
+    """Microarchitecture fingerprint for the cached -march=native build.
+
+    A pod may share one checkout over NFS across hosts with different
+    CPUs; keying the cache on the ISA feature set keeps one host's
+    AVX-512 build from SIGILL-ing another."""
+    ident = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    ident += line
+                    break
+    except OSError:
+        pass
+    return hashlib.md5(ident.encode()).hexdigest()[:10]
+
+
+_LIB_PATH = _HERE / f"libfsn_mixer-{_cpu_tag()}.so"
 _LOCK = threading.Lock()
 _LIB = None
 _TRIED = False
@@ -26,28 +48,33 @@ _TRIED = False
 
 def _build() -> bool:
     # the library is built lazily on the machine it runs on, so
-    # -march=native is safe; fall back to portable flags if the local
-    # toolchain rejects it. NO -ffast-math: gcc links crtfastmath.o into
-    # shared libs, which sets the process-global FTZ/DAZ FP flags on
-    # dlopen and silently changes subnormal handling everywhere.
+    # -march=native is safe (the cache name carries the CPU tag); fall
+    # back to portable flags if the local toolchain rejects it. NO
+    # -ffast-math: gcc links crtfastmath.o into shared libs, which sets
+    # the process-global FTZ/DAZ FP flags on dlopen and silently changes
+    # subnormal handling everywhere.
     flag_sets = [
         ["-O3", "-march=native"],
         ["-O3"],
     ]
+    tmp_path = _LIB_PATH.with_suffix(f".tmp-{os.getpid()}.so")
     for flags in flag_sets:
         try:
             subprocess.run(
                 [
                     "g++", *flags, "-std=c++17", "-shared", "-fPIC",
-                    str(_SRC), "-o", str(_LIB_PATH),
+                    str(_SRC), "-o", str(tmp_path),
                 ],
                 check=True,
                 capture_output=True,
                 timeout=120,
             )
+            os.replace(tmp_path, _LIB_PATH)  # atomic vs concurrent builds
             return True
         except Exception:
             continue
+        finally:
+            tmp_path.unlink(missing_ok=True)
     return False
 
 

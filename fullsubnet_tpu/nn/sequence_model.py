@@ -115,7 +115,14 @@ class SequenceModel:
     ) -> bool:
         b_pad = -(-b // 128) * 128
         t8 = -(-t // 8) * 8
-        stash_bytes = 4 * t8 * b_pad * self.hidden_size * itemsize
+        h = self.hidden_size
+        stash_bytes = 4 * t8 * b_pad * h * itemsize
+        # the training forward keeps BOTH layers' weights resident in
+        # VMEM; for f32 wide-H stacks (e.g. H=512 fullband in a no-bf16
+        # run) that alone is ~15 MB > the 16 MB budget with transients —
+        # those shapes stay on the scan path
+        gates = 4 if self.sequence_model == "LSTM" else 3
+        fwd_w_bytes = (self.input_size + 3 * h) * gates * h * itemsize
         return (
             not self.bidirectional
             and self.num_layers == 2
@@ -127,7 +134,13 @@ class SequenceModel:
             # wide stacks (H > 448) train through the kernel's split-dW
             # backward (streamed gate cotangents + XLA dW GEMMs), which
             # keeps the per-layer VMEM footprint under the 16 MB budget
-            and (not training or stash_bytes <= self._PALLAS_TRAIN_STASH_BUDGET)
+            and (
+                not training
+                or (
+                    stash_bytes <= self._PALLAS_TRAIN_STASH_BUDGET
+                    and fwd_w_bytes <= 10 * 2**20
+                )
+            )
             and jax.default_backend() != "cpu"
         )
 

@@ -1026,7 +1026,14 @@ def _pick_chunk(t, n_pad, hidden, cell, itemsize, stash_budget):
     lax.scan trip count — the backward materializes per-chunk cotangent
     sequences on top of the stash, so a chunk sized to the full budget
     OOMs exactly at the shapes chunking exists for (0.6x measured safe
-    on v5e at B=256 x 3.072 s)."""
+    on v5e at B=256 x 3.072 s).
+
+    NOTE: the budget is best-effort, not a hard bound — at extreme
+    T x N even the sqrt(T) minimum can exceed it, and that minimum is
+    returned anyway. Callers that must not OOM should check
+    :func:`train_stash_bytes` (+ their kernel I/O) against their budget
+    and route to a rematerialized scan instead (see
+    ``FullSubNet._fused_subband_stage``)."""
     n_stash = 4 if cell == "lstm" else 2
     per_step = n_stash * n_pad * hidden * itemsize
     t8 = -(-t // 8) * 8
