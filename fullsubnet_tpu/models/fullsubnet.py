@@ -374,6 +374,7 @@ class FullSubNet:
     def _pallas_subband(
         self, params, noisy_pad, fb_pad, f, mu, mu_is_scalar,
         sharding_hint=None, interpret=False, drop_groups=1, training=False,
+        row_groups=1, time_chunk=None,
     ):
         """Sub-band stage through the Pallas fused dual-LSTM kernel.
 
@@ -382,11 +383,45 @@ class FullSubNet:
         runs both LSTM layers + the output head entirely on-chip. With
         ``training`` the differentiable (custom-VJP) kernel variant runs
         instead, so this is also the training hot path.
+
+        ``row_groups`` > 1 is the ROW-GROUP REMAT capacity escape for
+        extreme training shapes (e.g. B=256 x 30 s, where even the
+        time-chunked backward stash busts the HBM budget): the batch is
+        split into G independent groups and each runs this same stage
+        under ``jax.checkpoint`` inside a sequential ``lax.map``, so the
+        forward saves only the (small) padded spectra and during the
+        backward exactly ONE group's kernel input + state stash is live.
+        Rows are independent sequences, so the result is bit-identical to
+        the ungrouped call; the cost is one extra (no-stash) forward per
+        group — the same trade the time-chunked stash already makes.
         """
         from fullsubnet_tpu.ops.subband_lstm import (
             fused_subband_lstm,
             fused_subband_lstm_train,
         )
+
+        if row_groups > 1:
+            b = noisy_pad.shape[0]
+            bg = b // row_groups
+            assert bg * row_groups == b and (
+                drop_groups == 1 or bg % drop_groups == 0
+            )
+
+            def body(args):
+                np_g, fb_g, mu_g = args
+                return self._pallas_subband(
+                    params, np_g, fb_g, f, mu_g, mu_is_scalar,
+                    sharding_hint, interpret, drop_groups, training,
+                    time_chunk=time_chunk,
+                )
+
+            xs = (
+                noisy_pad.reshape(row_groups, bg, *noisy_pad.shape[1:]),
+                fb_pad.reshape(row_groups, bg, *fb_pad.shape[1:]),
+                mu.reshape(row_groups, bg, *mu.shape[1:]),
+            )
+            out = jax.lax.map(jax.checkpoint(body), xs)  # [G, Bg, 2, F', T]
+            return out.reshape(b, *out.shape[2:])
 
         b = noisy_pad.shape[0]
         t = noisy_pad.shape[2]
@@ -418,6 +453,7 @@ class FullSubNet:
         call = functools.partial(
             kernel, time_major_features=True, interpret=interpret,
             stash_budget=self._PALLAS_TRAIN_STASH_BUDGET,
+            time_chunk=time_chunk,
         )
         mesh = getattr(sharding_hint, "mesh", None)
         if mesh is not None and (b * f) % mesh.size == 0:
@@ -445,6 +481,83 @@ class FullSubNet:
         )  # [T, B·F', 2]
         out = out.reshape(t, b, f, 2)
         return jnp.transpose(out, (1, 3, 2, 0))  # [B, 2, F', T]
+
+    @staticmethod
+    def _grouped_chunk(t, n, hidden, unit, cell, itemsize, budget):
+        """Stash time-chunk + backward HBM-peak estimate for ONE row
+        group's kernel call.
+
+        Unlike the kernel's own ``_pick_chunk`` (stash-only accounting,
+        calibrated for the monolithic flagship path), this counts the
+        per-chunk backward TRANSIENTS that scale with the chunk — the
+        recomputed state stash, the dh1/dh2 cotangent chunks, and the
+        x/dx chunks — plus 3x the kernel input for I/O (input, its remat
+        copy under ``jax.checkpoint``, and dx). Grows the chunk from the
+        peak-minimizing sqrt point toward 0.8x the budget (margin for
+        XLA fragmentation, ~13% measured at these shapes). Returns
+        (chunk, peak_bytes); chunk == 0 means the full per-step stash.
+        """
+        n_stash = 4 if cell == "lstm" else 2
+        ps = n_stash * n * hidden * itemsize  # stash bytes / step
+        # per-chunk transients / step: recomputed stash + dh1 + dh2
+        # (H-sized) and x_c + dx_c (unit-sized)
+        pc = (n_stash + 2) * n * hidden * itemsize + 2 * n * unit * itemsize
+        io = 3 * t * unit * n * itemsize
+        t8 = -(-t // 8) * 8
+        full_peak = io + t8 * ps + 2 * t8 * n * hidden * itemsize
+        if full_peak <= budget:
+            return 0, full_peak
+        peak = lambda k: io + (-(-t8 // k)) * ps + k * pc
+        k = max(8, int(round(((t8 * ps / pc) ** 0.5) / 8.0)) * 8)
+        k = min(k, t8)
+        grow_cap = int(budget * 0.8)
+        best = k
+        while k + 8 <= t8 and peak(k + 8) <= grow_cap:
+            k += 8
+            best = k
+        return best, peak(best)
+
+    def _pick_row_groups(
+        self, b, f_eff, t, unit, itemsize, drop_groups=1, mesh=None
+    ):
+        """Training-capacity routing for the Pallas sub-band stage.
+
+        Returns ``(row_groups, time_chunk)``: ``(1, None)`` when the
+        (auto-chunked) backward stash + kernel I/O of the full-batch call
+        fits ``_PALLAS_TRAIN_STASH_BUDGET``; otherwise the smallest batch
+        split G whose PER-GROUP backward peak (transient-aware, see
+        :meth:`_grouped_chunk`) fits, along with the chunk that estimate
+        chose (the row-group remat keeps only one group live during the
+        backward); ``(0, None)`` when no split admits the shape (caller
+        falls back to the remat'd scan)."""
+        from fullsubnet_tpu.ops.subband_lstm import train_stash_bytes
+
+        budget = self._PALLAS_TRAIN_STASH_BUDGET
+        io_full = 2 * t * unit * b * f_eff * itemsize
+        hidden = self.sb_model.hidden_size
+        cell = self.sb_model.sequence_model.lower()
+        if (
+            train_stash_bytes(
+                t, b * f_eff, hidden, cell, itemsize, stash_budget=budget
+            )
+            + io_full
+            <= budget
+        ):
+            return 1, None
+        for g_try in (2, 4, 8, 16, 32, 64):
+            if b % g_try:
+                continue
+            bg = b // g_try
+            if drop_groups > 1 and bg % drop_groups:
+                continue
+            if mesh is not None and (bg * f_eff) % mesh.size:
+                continue
+            chunk, peak = self._grouped_chunk(
+                t, bg * f_eff, hidden, unit, cell, itemsize, budget
+            )
+            if peak <= budget:
+                return g_try, chunk
+        return 0, None
 
     def _fused_subband_stage(
         self, params, x, fb_output, sharding_hint=None, drop_groups=1,
@@ -478,27 +591,20 @@ class FullSubNet:
         # element cap is on F' = F / drop_groups, not the full spectrum
         f_eff = f // drop_groups if drop_groups > 1 else f
         if training:
-            from fullsubnet_tpu.ops.subband_lstm import train_stash_bytes
-
-            # the kernel VJP auto-chunks its stash; only shapes whose
-            # CHUNKED footprint still busts the budget (extreme T x B·F)
-            # fall back to the remat'd scan below. The budget must also
-            # cover the materialized kernel input AND its cotangent —
-            # negligible at 3 s crops, but ~8 GB at B=256 x 30 s (which
-            # is exactly where the fallback must trigger).
+            # the kernel VJP auto-chunks its stash; shapes whose CHUNKED
+            # footprint (plus the materialized kernel input and its
+            # cotangent) still busts the budget split into row groups
+            # (one group live in the backward); only shapes no split
+            # admits fall back to the remat'd scan below.
             itemsize = jnp.dtype(x.dtype).itemsize
-            kernel_io = 2 * t * unit * b * f_eff * itemsize
-            stash_ok = (
-                train_stash_bytes(
-                    t, b * f_eff, self.sb_model.hidden_size,
-                    self.sb_model.sequence_model.lower(), itemsize,
-                    stash_budget=self._PALLAS_TRAIN_STASH_BUDGET,
-                )
-                + kernel_io
-                <= self._PALLAS_TRAIN_STASH_BUDGET
+            row_groups, group_chunk = self._pick_row_groups(
+                b, f_eff, t, unit, itemsize, drop_groups,
+                getattr(sharding_hint, "mesh", None),
             )
+            stash_ok = row_groups > 0
         else:
             stash_ok = True
+            row_groups, group_chunk = 1, None
         if (
             self.use_pallas_subband
             and len(params["sb_model"]["rnn"]) == 2
@@ -509,6 +615,7 @@ class FullSubNet:
             return self._pallas_subband(
                 params, noisy_pad, fb_pad, f, mu, mu_is_scalar, sharding_hint,
                 drop_groups=drop_groups, training=training,
+                row_groups=row_groups, time_chunk=group_chunk,
             )
 
         if drop_groups > 1:

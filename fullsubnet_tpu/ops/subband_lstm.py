@@ -248,10 +248,19 @@ def _infer_impl(x, l1, l2, fc, row_tile, interpret):
 
 _DEFAULT_STASH_BUDGET = 6 * 2**30  # bytes of HBM for backward state stashes
 # VMEM the fused-accumulate backward may claim before the layer switches
-# to the split-dW variant (16 MB/core minus headroom for Mosaic's own
-# stack/transients — 12 MB measured safe; e.g. the H=384 f32 layer-2
-# backward sits at ~17 MB fused and OOMs, ~14 MB split)
+# to the split-dW variant (headroom under _BWD_VMEM_LIMIT for Mosaic's
+# double-buffering of the revisited accumulator blocks + compute
+# temporaries, which the estimate does not count: estimated 9.9 MB for
+# the bf16 H=384 layer-2 backward measures 17.9 MB of Mosaic stack)
 _FUSED_DW_VMEM_LIMIT = 12 * 2**20
+# Mosaic scoped-VMEM ceiling for the backward kernels. XLA's automatic
+# per-program limit is ~16 MB in some surrounding programs (measured: the
+# same bf16 H=384 fused-dW kernel compiles inside the monolithic flagship
+# train step but hits "scoped allocation 17.87M > 16.00M" standalone and
+# inside the row-grouped lax.map program), so the limit is pinned
+# explicitly; the backward kernels' streamed blocks are small (~2 MB), so
+# 32 MB leaves ample VMEM for pipelining.
+_BWD_VMEM_LIMIT = 32 * 2**20
 
 
 def _auto_split_dw(f_in, hidden, gh, row_tile, itemsize, cell):
@@ -727,6 +736,9 @@ def _pallas_layer_bwd(
         out_shape=out_shapes,
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_BWD_VMEM_LIMIT
+        ),
     )(*operands)
 
     dx = results[0]

@@ -300,6 +300,81 @@ def test_model_fused_training_chunked_grads():
     _assert_tree_close(gp, gr, atol=2e-5, rtol=1e-3)
 
 
+def test_model_row_group_remat_grads():
+    """Row-group remat (batch split + jax.checkpoint per group): forward
+    and gradients == the standard (unfused, scan) path. B=4 split into
+    G=2 groups."""
+    model = FullSubNet(
+        num_freqs=32, sb_num_neighbors=3, fb_model_hidden_size=16,
+        sb_model_hidden_size=12, norm_type="cumulative_laplace_norm",
+    )
+    params = model.init(jax.random.PRNGKey(0), weight_init=False)
+    x = jnp.asarray(
+        np.abs(
+            np.random.default_rng(7).standard_normal((4, 1, 32, 15))
+        ).astype(np.float32)
+    )
+    xx = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, model.look_ahead)))
+    noisy_pad = jnp.pad(xx[:, 0], ((0, 0), (3, 3), (0, 0)), mode="reflect")
+    tgt = jnp.asarray(
+        np.random.default_rng(8)
+        .standard_normal((4, 2, 32, 15))
+        .astype(np.float32)
+    )
+
+    def loss_grouped(p):
+        fb_in = model.norm(xx).reshape(4, 32, -1)
+        fb_out = model.fb_model(p["fb_model"], fb_in).reshape(4, 1, 32, -1)
+        mu = model._sb_norm_mu(noisy_pad, fb_out[:, 0], 32)
+        o = model._pallas_subband(
+            p, noisy_pad, fb_out[:, 0], 32, mu, mu.shape[1] == 1,
+            interpret=True, training=True, row_groups=2,
+        )[..., model.look_ahead :]
+        return jnp.mean(jnp.square(o - tgt))
+
+    def loss_ref(p):
+        return jnp.mean(
+            jnp.square(model(p, x, dropping_band=False) - tgt)
+        )
+
+    lr, gr = jax.value_and_grad(loss_ref)(params)
+    lg, gg = jax.value_and_grad(loss_grouped)(params)
+    np.testing.assert_allclose(float(lg), float(lr), rtol=1e-5)
+    _assert_tree_close(gg, gr, atol=2e-5, rtol=1e-3)
+
+
+def test_pick_row_groups_routing():
+    """The capacity router returns (1, None) when the full batch fits,
+    the smallest valid batch split + its time-chunk when only groups
+    fit, and (0, None) when nothing does. Splits must keep per-group
+    batches divisible by drop_groups."""
+    model = FullSubNet()  # H=384 LSTM sub-band stage
+    t, unit, f_eff = 1880, 32, 128  # ~30 s crops, drop_band G=2
+
+    # small batch: fits outright
+    assert model._pick_row_groups(8, f_eff, 188, unit, 2, 2) == (1, None)
+    # B=256 x 30 s bf16: the measured fallback shape — must now split
+    g, chunk = model._pick_row_groups(256, f_eff, t, unit, 2, 2)
+    assert g > 1
+    bg = 256 // g
+    assert bg % 2 == 0  # drop_groups divisibility
+    assert chunk is not None and (chunk == 0 or chunk % 8 == 0)
+    # the per-group transient-aware peak respects the budget, and the
+    # next-smaller split would not
+    _, peak = model._grouped_chunk(t, bg * f_eff, 384, unit, "lstm", 2,
+                                   model._PALLAS_TRAIN_STASH_BUDGET)
+    assert peak <= model._PALLAS_TRAIN_STASH_BUDGET
+    for smaller in (gg for gg in (2, 4, 8, 16, 32, 64) if gg < g):
+        _, p = model._grouped_chunk(
+            t, (256 // smaller) * f_eff, 384, unit, "lstm", 2,
+            model._PALLAS_TRAIN_STASH_BUDGET,
+        )
+        assert p > model._PALLAS_TRAIN_STASH_BUDGET
+    # absurd budget: nothing fits -> scan fallback
+    model._PALLAS_TRAIN_STASH_BUDGET = 2**20
+    assert model._pick_row_groups(256, f_eff, t, unit, 2, 2) == (0, None)
+
+
 def test_auto_split_dw_vmem_estimate():
     """The per-layer VMEM estimate flips split_dw on exactly for the
     configurations whose fused accumulators bust the 16 MB budget."""
