@@ -104,25 +104,44 @@ class SequenceModel:
     _PALLAS_MIN_ROWS = 64
     _PALLAS_MAX_ELEMENTS = 2**31
     # Training stash allowance for stacks routed here: these stacks are
-    # SIDE stages (full-band / encoder / decoder) that share HBM with the
-    # model's main sub-band stage, so they may not claim the kernel's
-    # default 6 GB budget — 1 GB covers every recipe stack at recipe
-    # crops while keeping extreme (30 s x 256) shapes on the scan path.
-    _PALLAS_TRAIN_STASH_BUDGET = 2**30
+    # usually SIDE stages (full-band / encoder / decoder) that share HBM
+    # with a model's main sub-band stage, so they may not claim the
+    # kernel's default 6 GB budget. The budget is passed INTO the kernel,
+    # whose custom VJP time-chunks its stash to fit it — so big-stash
+    # stages (e.g. Fast FullSubNet's mel sub-band stage, ~1.3-2.5 GB
+    # unchunked) stay on the kernel path instead of falling back to the
+    # scan, whose f32 per-step residuals are what actually OOM at those
+    # shapes (measured: B=64 x 3.072 s fast train step busts 15.75 GB on
+    # the scan path, runs through the chunked kernel). 3 GB keeps every
+    # recipe stage monolithic (fast's mel sub-band stage stashes 1.3 GB;
+    # chunking it costs ~22%: 1624 vs 2073 audio-s/s) while extreme
+    # shapes (30 s x 256 fullband, 2 GB) still stash LESS than the f32
+    # scan residuals they would otherwise produce.
+    _PALLAS_TRAIN_STASH_BUDGET = 3 * 2**30
 
     def _pallas_eligible(
         self, b: int, t: int, training: bool = False, itemsize: int = 4
     ) -> bool:
-        b_pad = -(-b // 128) * 128
-        t8 = -(-t // 8) * 8
         h = self.hidden_size
-        stash_bytes = 4 * t8 * b_pad * h * itemsize
         # the training forward keeps BOTH layers' weights resident in
         # VMEM; for f32 wide-H stacks (e.g. H=512 fullband in a no-bf16
         # run) that alone is ~15 MB > the 16 MB budget with transients —
         # those shapes stay on the scan path
         gates = 4 if self.sequence_model == "LSTM" else 3
         fwd_w_bytes = (self.input_size + 3 * h) * gates * h * itemsize
+        if training:
+            from fullsubnet_tpu.ops.subband_lstm import train_stash_bytes
+
+            cell = self.sequence_model.lower()
+            stash_ok = (
+                train_stash_bytes(
+                    t, b, h, cell, itemsize,
+                    stash_budget=self._PALLAS_TRAIN_STASH_BUDGET,
+                )
+                <= self._PALLAS_TRAIN_STASH_BUDGET
+            )
+        else:
+            stash_ok = True
         return (
             not self.bidirectional
             and self.num_layers == 2
@@ -134,13 +153,7 @@ class SequenceModel:
             # wide stacks (H > 448) train through the kernel's split-dW
             # backward (streamed gate cotangents + XLA dW GEMMs), which
             # keeps the per-layer VMEM footprint under the 16 MB budget
-            and (
-                not training
-                or (
-                    stash_bytes <= self._PALLAS_TRAIN_STASH_BUDGET
-                    and fwd_w_bytes <= 10 * 2**20
-                )
-            )
+            and (not training or (stash_ok and fwd_w_bytes <= 10 * 2**20))
             and jax.default_backend() != "cpu"
         )
 
@@ -162,6 +175,7 @@ class SequenceModel:
             time_major_features=True,
             row_tile=min((128 if training else 512), -(-b // 128) * 128),
             interpret=interpret,
+            stash_budget=self._PALLAS_TRAIN_STASH_BUDGET,
         )  # [T, B, out] float32
         out = self._activate(params, out)
         return jnp.transpose(out, (1, 2, 0)).astype(x.dtype)

@@ -247,11 +247,17 @@ def _infer_impl(x, l1, l2, fc, row_tile, interpret):
 
 
 _DEFAULT_STASH_BUDGET = 6 * 2**30  # bytes of HBM for backward state stashes
-# VMEM the fused-accumulate backward may claim before the layer switches
-# to the split-dW variant (headroom under _BWD_VMEM_LIMIT for Mosaic's
-# double-buffering of the revisited accumulator blocks + compute
-# temporaries, which the estimate does not count: estimated 9.9 MB for
-# the bf16 H=384 layer-2 backward measures 17.9 MB of Mosaic stack)
+# VMEM the fused-accumulate backward may claim (by the shape estimate
+# below) before the layer switches to the split-dW variant. Mosaic's
+# REAL stack runs ~1.8x the estimate (double-buffering of the revisited
+# accumulator blocks + compute temporaries it does not count: the bf16
+# H=384 layer-2 backward estimates 9.9 MB, measures 17.9 MB of stack).
+# Raising this to 17 MB (admitting wide H=512 bf16 / H=384 f32 fused —
+# both compile under the pinned 32 MB _BWD_VMEM_LIMIT) was measured
+# NEUTRAL-OR-WORSE on v5e: flagship 986 vs 997, improved 987 vs 1011
+# audio-s/s, and fast_fullsubnet OOMs HBM (the [num_tiles, in+8, G·H]
+# f32 accumulator arrays outweigh the streamed cotangents at its
+# shapes) — keep the wide layers on split-dW.
 _FUSED_DW_VMEM_LIMIT = 12 * 2**20
 # Mosaic scoped-VMEM ceiling for the backward kernels. XLA's automatic
 # per-program limit is ~16 MB in some surrounding programs (measured: the

@@ -377,16 +377,18 @@ def test_pick_row_groups_routing():
 
 def test_auto_split_dw_vmem_estimate():
     """The per-layer VMEM estimate flips split_dw on exactly for the
-    configurations whose fused accumulators bust the 16 MB budget."""
+    configurations whose fused accumulators bust the 12 MB estimate
+    budget (kept there on purpose: admitting the wide layers fused was
+    measured neutral-or-worse and OOMs fast_fullsubnet's HBM — see
+    _FUSED_DW_VMEM_LIMIT)."""
     from fullsubnet_tpu.ops.subband_lstm import _auto_split_dw
 
     # flagship sub-band layers, bf16 at row_tile 128: fused fits
     assert not _auto_split_dw(32, 384, 4 * 384, 128, 2, "lstm")
     assert not _auto_split_dw(384, 384, 4 * 384, 128, 2, "lstm")
-    # same layer in f32 (e.g. a model without a bf16 policy): must split
-    # (measured: ~17 MB fused -> Mosaic scoped-vmem OOM)
+    # f32 at H=384 (e.g. a model without a bf16 policy): split
     assert _auto_split_dw(384, 384, 4 * 384, 128, 4, "lstm")
-    # wide 512-hidden full-band stage, even in bf16: must split
+    # wide 512-hidden full-band stage, even in bf16: split
     assert _auto_split_dw(512, 512, 4 * 512, 128, 2, "lstm")
 
 
