@@ -391,9 +391,15 @@ class FullSubNet:
         under ``jax.checkpoint`` inside a sequential ``lax.map``, so the
         forward saves only the (small) padded spectra and during the
         backward exactly ONE group's kernel input + state stash is live.
-        Rows are independent sequences, so the result is bit-identical to
-        the ungrouped call; the cost is one extra (no-stash) forward per
-        group — the same trade the time-chunked stash already makes.
+        Rows are independent sequences, so the result equals the
+        ungrouped call (with ``drop_groups`` > 1, after a static batch
+        re-permutation: each slice's group-major reorder is local, so
+        the concatenated outputs are un/re-shuffled to the GLOBAL
+        group-major order the drop_band targets use — ``bg %
+        drop_groups == 0`` guarantees every sample keeps its correct
+        frequency-group offset, only its output position moves); the
+        cost is one extra (no-stash) forward per group — the same trade
+        the time-chunked stash already makes.
         """
         from fullsubnet_tpu.ops.subband_lstm import (
             fused_subband_lstm,
@@ -421,7 +427,25 @@ class FullSubNet:
                 mu.reshape(row_groups, bg, *mu.shape[1:]),
             )
             out = jax.lax.map(jax.checkpoint(body), xs)  # [G, Bg, 2, F', T]
-            return out.reshape(b, *out.shape[2:])
+            out = out.reshape(b, *out.shape[2:])
+            if drop_groups > 1:
+                # produced order: slice-major, group-major WITHIN each
+                # slice; expected (drop_band) order: group-major over the
+                # WHOLE batch — a static permutation maps one to the other
+                produced = np.concatenate([
+                    r * bg + np.concatenate(
+                        [np.arange(g, bg, drop_groups)
+                         for g in range(drop_groups)]
+                    )
+                    for r in range(row_groups)
+                ])
+                expected = np.concatenate(
+                    [np.arange(g, b, drop_groups) for g in range(drop_groups)]
+                )
+                inv = np.empty(b, np.int64)
+                inv[produced] = np.arange(b)
+                out = out[jnp.asarray(inv[expected])]
+            return out
 
         b = noisy_pad.shape[0]
         t = noisy_pad.shape[2]
@@ -609,7 +633,10 @@ class FullSubNet:
             self.use_pallas_subband
             and len(params["sb_model"]["rnn"]) == 2
             and jax.default_backend() != "cpu"
-            and b * f_eff * unit * t <= self._PALLAS_SB_MAX_ELEMENTS
+            # the kernel input materializes PER ROW GROUP, so the element
+            # cap applies to one group's slice, not the full batch
+            and (b // max(row_groups, 1)) * f_eff * unit * t
+            <= self._PALLAS_SB_MAX_ELEMENTS
             and stash_ok
         ):
             return self._pallas_subband(

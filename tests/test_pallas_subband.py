@@ -343,6 +343,46 @@ def test_model_row_group_remat_grads():
     _assert_tree_close(gg, gr, atol=2e-5, rtol=1e-3)
 
 
+def test_model_row_group_remat_with_drop_band():
+    """row_groups x drop_groups interaction: each slice's group-major
+    reorder is local, so the grouped path must re-permute its output to
+    the GLOBAL group-major (drop_band) order — forward and grads must
+    equal the ungrouped fused drop path exactly."""
+    model = FullSubNet(
+        num_freqs=32, sb_num_neighbors=3, fb_model_hidden_size=16,
+        sb_model_hidden_size=12, norm_type="cumulative_laplace_norm",
+    )
+    params = model.init(jax.random.PRNGKey(0), weight_init=False)
+    x = jnp.asarray(
+        np.abs(
+            np.random.default_rng(9).standard_normal((4, 1, 32, 15))
+        ).astype(np.float32)
+    )
+    xx = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, model.look_ahead)))
+    noisy_pad = jnp.pad(xx[:, 0], ((0, 0), (3, 3), (0, 0)), mode="reflect")
+    tgt = jnp.asarray(
+        np.random.default_rng(10)
+        .standard_normal((4, 2, 16, 15))  # F' = 32 // 2 drop groups
+        .astype(np.float32)
+    )
+
+    def loss(p, row_groups):
+        fb_in = model.norm(xx).reshape(4, 32, -1)
+        fb_out = model.fb_model(p["fb_model"], fb_in).reshape(4, 1, 32, -1)
+        mu = model._sb_norm_mu(noisy_pad, fb_out[:, 0], 32)
+        o = model._pallas_subband(
+            p, noisy_pad, fb_out[:, 0], 32, mu, mu.shape[1] == 1,
+            interpret=True, drop_groups=2, training=True,
+            row_groups=row_groups,
+        )[..., model.look_ahead :]
+        return jnp.mean(jnp.square(o - tgt))
+
+    lr, gr = jax.value_and_grad(lambda p: loss(p, 1))(params)
+    lg, gg = jax.value_and_grad(lambda p: loss(p, 2))(params)
+    np.testing.assert_allclose(float(lg), float(lr), rtol=1e-5)
+    _assert_tree_close(gg, gr, atol=2e-5, rtol=1e-3)
+
+
 def test_pick_row_groups_routing():
     """The capacity router returns (1, None) when the full batch fits,
     the smallest valid batch split + its time-chunk when only groups
