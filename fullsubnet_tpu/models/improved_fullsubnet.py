@@ -200,8 +200,11 @@ class SubbandModel:
                     sb_params["rnn"][0][0],
                     sb_params["rnn"][1][0],
                     sb_params["fc"],
-                    row_tile=min(
-                        (128 if training else 512), -(-rows // 128) * 128
+                    # training: auto (largest VMEM-safe backward tile,
+                    # capped by the padded row count)
+                    row_tile=(
+                        None if training
+                        else min(512, -(-rows // 128) * 128)
                     ),
                 )  # [T, B·N, 2c]
                 out = jnp.transpose(out, (1, 2, 0))  # [B·N, 2c, T]

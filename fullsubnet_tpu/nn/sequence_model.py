@@ -173,7 +173,11 @@ class SequenceModel:
             params["rnn"][1][0],
             params["fc"],
             time_major_features=True,
-            row_tile=min((128 if training else 512), -(-b // 128) * 128),
+            # training: auto (largest VMEM-safe backward tile, capped by
+            # the padded row count); inference: 512 capped likewise
+            row_tile=(
+                None if training else min(512, -(-b // 128) * 128)
+            ),
             interpret=interpret,
             stash_budget=self._PALLAS_TRAIN_STASH_BUDGET,
         )  # [T, B, out] float32

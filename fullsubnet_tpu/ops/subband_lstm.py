@@ -248,38 +248,89 @@ def _infer_impl(x, l1, l2, fc, row_tile, interpret):
 
 _DEFAULT_STASH_BUDGET = 6 * 2**30  # bytes of HBM for backward state stashes
 # VMEM the fused-accumulate backward may claim (by the shape estimate
-# below) before the layer switches to the split-dW variant. Mosaic's
-# REAL stack runs ~1.8x the estimate (double-buffering of the revisited
-# accumulator blocks + compute temporaries it does not count: the bf16
-# H=384 layer-2 backward estimates 9.9 MB, measures 17.9 MB of stack).
-# Raising this to 17 MB (admitting wide H=512 bf16 / H=384 f32 fused —
-# both compile under the pinned 32 MB _BWD_VMEM_LIMIT) was measured
-# NEUTRAL-OR-WORSE on v5e: flagship 986 vs 997, improved 987 vs 1011
-# audio-s/s, and fast_fullsubnet OOMs HBM (the [num_tiles, in+8, G·H]
-# f32 accumulator arrays outweigh the streamed cotangents at its
-# shapes) — keep the wide layers on split-dW.
+# below, at the REFERENCE tile 128) before the layer switches to the
+# split-dW variant. Raising this to admit the wide H=512-bf16 /
+# H=384-f32 layers fused was measured NEUTRAL-OR-WORSE on v5e (flagship
+# 986 vs 997, improved 987 vs 1020 audio-s/s) — wide layers stay split.
 _FUSED_DW_VMEM_LIMIT = 12 * 2**20
 # Mosaic scoped-VMEM ceiling for the backward kernels. XLA's automatic
 # per-program limit is ~16 MB in some surrounding programs (measured: the
 # same bf16 H=384 fused-dW kernel compiles inside the monolithic flagship
 # train step but hits "scoped allocation 17.87M > 16.00M" standalone and
 # inside the row-grouped lax.map program), so the limit is pinned
-# explicitly; the backward kernels' streamed blocks are small (~2 MB), so
-# 32 MB leaves ample VMEM for pipelining.
-_BWD_VMEM_LIMIT = 32 * 2**20
+# explicitly. Mosaic's REAL stack runs ~1.8x the shape estimate below
+# (double-buffered revisited accumulator blocks + compute temporaries
+# the estimate does not count: bf16 H=384 layer 2 estimates 9.9 MB at
+# tile 128, measures 17.9 MB). 48 MB admits the flagship backward at
+# row tile 512 (estimate ~18 MB -> ~33 MB actual, compile-verified;
+# tile 1024 at ~29 MB est does NOT compile under 64 MB — don't retry);
+# the kernels' streamed blocks stay small so pipelining VMEM is ample.
+_BWD_VMEM_LIMIT = 48 * 2**20
+# estimate-scale cap corresponding to _BWD_VMEM_LIMIT (the ~1.8x rule)
+_BWD_VMEM_ESTIMATE_CAP = int(_BWD_VMEM_LIMIT / 1.8)
+# Reference tile for the fused-vs-split decision: evaluating it at the
+# ACTUAL tile would flip measured-good fused configs to split at larger
+# tiles (the accumulators don't scale with the tile; blocks/carries do).
+_SPLIT_DECISION_TILE = 128
 
 
-def _auto_split_dw(f_in, hidden, gh, row_tile, itemsize, cell):
-    """Estimate the fused-accumulate backward kernel's VMEM footprint for
-    one layer and return True when the split-dW (streamed gate cotangent)
-    variant must run instead."""
+def _bwd_vmem_estimate(f_in, hidden, gh, row_tile, itemsize, cell, split):
+    """Shape-level VMEM estimate for one layer's backward kernel, fused
+    (dW accumulated in revisited out blocks) or split (gate cotangents
+    streamed to HBM). Mosaic's real stack is ~1.8x this."""
     w = (f_in + hidden) * gh * itemsize
-    acc = (f_in + hidden + 16) * gh * 4  # two f32 aug accumulators
     n_h = 4 if cell == "lstm" else 2  # dh + hprev (+ cprev, ccur)
     blocks = 2 * row_tile * (n_h * hidden + 2 * f_in) * itemsize  # dbuf'd
     carries = (6 if cell == "lstm" else 3) * row_tile * hidden * 4
     scratch = (2 if cell == "lstm" else 1) * row_tile * hidden * 4
-    return w + acc + blocks + carries + scratch > _FUSED_DW_VMEM_LIMIT
+    if split:
+        dg_out = (1 if cell == "lstm" else 2) * 2 * row_tile * gh * itemsize
+        return w + blocks + carries + scratch + dg_out
+    acc = (f_in + hidden + 16) * gh * 4  # two f32 aug accumulators
+    return w + acc + blocks + carries + scratch
+
+
+def _auto_split_dw(f_in, hidden, gh, row_tile, itemsize, cell):
+    """True when the layer's backward must run the split-dW (streamed
+    gate cotangent) variant. Decided at the reference tile — see
+    _SPLIT_DECISION_TILE; ``row_tile`` is accepted for API compatibility
+    but does not affect the decision."""
+    del row_tile
+    return (
+        _bwd_vmem_estimate(
+            f_in, hidden, gh, _SPLIT_DECISION_TILE, itemsize, cell, False
+        )
+        > _FUSED_DW_VMEM_LIMIT
+    )
+
+
+def auto_bwd_row_tile(l1, l2, fc, itemsize, n) -> int:
+    """Largest backward row tile in (512, 256, 128) whose per-layer
+    kernel VMEM (fused or split, per the layer's own routing) fits
+    ``_BWD_VMEM_ESTIMATE_CAP``, bounded by the padded row count (a tile
+    larger than ceil(n/128)*128 only adds padding waste). Bigger tiles
+    amortize per-grid-step overheads: flagship B=128 train went
+    1083 -> 1176 audio-s/s from 128 -> 512 on v5e."""
+    hidden, cell = _cell_of(l1)
+    f_in1 = l1["w_ih"].shape[1]
+    gh1 = l1["w_ih"].shape[0]
+    gh2 = l2["w_ih"].shape[0]
+    n_cap = -(-n // 128) * 128
+    for tile in (512, 256, 128):
+        if tile > n_cap:
+            continue
+        ok = True
+        for f_in, gh in ((f_in1, gh1), (hidden, gh2)):
+            split = _auto_split_dw(f_in, hidden, gh, tile, itemsize, cell)
+            if (
+                _bwd_vmem_estimate(f_in, hidden, gh, tile, itemsize, cell, split)
+                > _BWD_VMEM_ESTIMATE_CAP
+            ):
+                ok = False
+                break
+        if ok:
+            return tile
+    return 128
 
 
 def _kernel_train_fwd(
@@ -1135,13 +1186,15 @@ def fused_subband_lstm(
     """
     if not time_major_features:
         x = jnp.swapaxes(x, 1, 2)  # -> [T, F_in, N]
-    bwd_tile = min(row_tile, 128)
+    itemsize = jnp.dtype(x.dtype).itemsize
+    bwd_tile = min(
+        row_tile, auto_bwd_row_tile(l1, l2, fc, itemsize, x.shape[2])
+    )
     hidden, cell = _cell_of(l1)
     if time_chunk is None:
         n_pad = -(-x.shape[2] // bwd_tile) * bwd_tile
         time_chunk = _pick_chunk(
-            x.shape[0], n_pad, hidden, cell,
-            jnp.dtype(x.dtype).itemsize, stash_budget,
+            x.shape[0], n_pad, hidden, cell, itemsize, stash_budget,
         )
     assert time_chunk % 8 == 0, "time_chunk must be a multiple of 8"
     return _train_vjp_fn(row_tile, bwd_tile, interpret, time_chunk, split_dw)(
@@ -1155,7 +1208,7 @@ def fused_subband_lstm_train(
     l2: dict,
     fc: dict,
     *,
-    row_tile: int = 128,
+    row_tile: int | None = None,
     interpret: bool = False,
     time_major_features: bool = False,
     stash_budget: int = _DEFAULT_STASH_BUDGET,
@@ -1164,15 +1217,18 @@ def fused_subband_lstm_train(
 ) -> jax.Array:
     """Training-tuned twin of :func:`fused_subband_lstm` (same custom VJP,
     stash/backward row tile = ``row_tile`` for the fwd pass as well, so
-    the residual-producing forward is compiled once)."""
+    the residual-producing forward is compiled once). ``row_tile`` None
+    picks the largest VMEM-safe tile (:func:`auto_bwd_row_tile`)."""
     if not time_major_features:
         x = jnp.swapaxes(x, 1, 2)  # -> [T, F_in, N]
+    itemsize = jnp.dtype(x.dtype).itemsize
+    if row_tile is None:
+        row_tile = auto_bwd_row_tile(l1, l2, fc, itemsize, x.shape[2])
     hidden, cell = _cell_of(l1)
     if time_chunk is None:
         n_pad = -(-x.shape[2] // row_tile) * row_tile
         time_chunk = _pick_chunk(
-            x.shape[0], n_pad, hidden, cell,
-            jnp.dtype(x.dtype).itemsize, stash_budget,
+            x.shape[0], n_pad, hidden, cell, itemsize, stash_budget,
         )
     assert time_chunk % 8 == 0, "time_chunk must be a multiple of 8"
     return _train_vjp_fn(row_tile, row_tile, interpret, time_chunk, split_dw)(
