@@ -476,3 +476,164 @@ class StreamingImprovedFullSubNet:
             m.win_length,
             length=wave.shape[-1],
         )[0]
+
+
+class StreamingFastFullSubNet:
+    """Frame-in/cRM-out streaming engine for Fast FullSubNet
+    (``models.fast_fullsubnet.FastFullSubNet``) with
+    ``cumulative_laplace_norm`` — the real-time model of the family
+    (its ``real_time_down/upsampling``, reference
+    fast_fullsubnet/model.py:108-140, exists exactly for this mode).
+
+    Carry = (encoder/decoder LSTM states at the frame clock, bottleneck
+    LSTM state + per-mel cumulative sums at the DOWNSAMPLED clock, the
+    current shrink-block accumulator, the latest bottleneck output as the
+    upsampling hold). Per frame: mel projection -> running-mean norm ->
+    encoder steps -> sub-band unit build; every completed shrink block
+    (means of ``shrink_size`` frames; frame 0 passes through alone,
+    reference :108-129) advances the bottleneck one downsampled step,
+    and its output is held (repeat-upsampling, :131-140) for the decoder
+    until the next block completes. Bit-matches the offline forward: the
+    offline trim ``up[t] = down[t // s]`` never reads the partial tail
+    block, so emitting only on complete blocks is exact; the bottleneck
+    state/sums update through ``jnp.where`` selects so the step stays a
+    single compiled program.
+    """
+
+    def __init__(self, model, params):
+        from fullsubnet_tpu.acoustics.norm import cumulative_laplace_norm
+
+        assert model.norm is cumulative_laplace_norm, (
+            "streaming requires a cumulative normalization"
+        )
+        self.model = model
+        self.params = params
+        self.F = model.num_freqs
+        self.M = model.num_mels
+        self.unit = (model.noisy_input_num_neighbors * 2 + 1) + (
+            model.enc_output_num_neighbors * 2 + 1
+        )
+        self.look_ahead = model.look_ahead
+        self._step = jax.jit(self._step_impl)
+        self._block = jax.jit(self._block_impl)
+
+    def init_state(self):
+        m, p = self.model, self.params
+        return {
+            "enc0_rnn": m.encoder[0].init_state(p["encoder"][0], 1),
+            "enc1_rnn": m.encoder[1].init_state(p["encoder"][1], 1),
+            "bn_rnn": m.bottleneck.init_state(p["bottleneck"], self.M),
+            "dec0_rnn": m.decoder_lstm[0].init_state(p["decoder_lstm"][0], 1),
+            "dec1_rnn": m.decoder_lstm[1].init_state(p["decoder_lstm"][1], 1),
+            "mel_norm_sum": jnp.zeros((), jnp.float32),
+            "bn_norm_sum": jnp.zeros((self.M,), jnp.float32),
+            "bn_block_acc": jnp.zeros((self.M, self.unit), jnp.float32),
+            "bn_out": jnp.zeros((self.M,), jnp.float32),
+            "down_idx": jnp.zeros((), jnp.int32),
+            "frame_idx": jnp.zeros((), jnp.int32),
+        }
+
+    def _unfold(self, vec, n):
+        """[M] -> [M, 2n+1] reflect-padded mel neighborhoods."""
+        if n == 0:
+            return vec[:, None]
+        vp = jnp.pad(vec, (n, n), mode="reflect")
+        idx = np.arange(self.M)[:, None] + np.arange(2 * n + 1)[None, :]
+        return vp[idx]
+
+    def _step_impl(self, params, state, frame):
+        """frame [F] noisy magnitude -> (state, cRM [2, F]) delayed by
+        ``look_ahead``."""
+        m = self.model
+        t = state["frame_idx"]  # 0-based index of THIS frame
+        k = (t + 1).astype(jnp.float32)
+
+        # --- mel projection + encoder (frame clock) -------------------
+        mel = frame @ m.mel_fb  # [M]
+        mel_sum = state["mel_norm_sum"] + jnp.sum(mel)
+        mu = mel_sum / (k * self.M)
+        enc0_rnn, h = m.encoder[0].step(
+            params["encoder"][0], state["enc0_rnn"], (mel / (mu + EPSILON))[None]
+        )
+        enc1_rnn, enc_out = m.encoder[1].step(
+            params["encoder"][1], state["enc1_rnn"], h
+        )
+        enc_out = enc_out[0]  # [M]
+
+        # --- sub-band unit for this frame -----------------------------
+        bn_in = jnp.concatenate(
+            [
+                self._unfold(mel, m.noisy_input_num_neighbors),
+                self._unfold(enc_out, m.enc_output_num_neighbors),
+            ],
+            axis=1,
+        )  # [M, unit]
+
+        # --- shrink-block clock: emit on frame 0 and at each complete
+        # block (frames 1+(j-1)s .. js emit at t == j*s) ----------------
+        s = m.shrink_size
+        emit = jnp.logical_or(t == 0, jnp.logical_and(t > 0, t % s == 0))
+        down_frame = jnp.where(
+            t == 0, bn_in, (state["bn_block_acc"] + bn_in) / s
+        )  # value only used when emit
+        down_count = (state["down_idx"] + 1).astype(jnp.float32)
+        bn_sums = state["bn_norm_sum"] + jnp.sum(down_frame, axis=1)  # [M]
+        bn_mu = bn_sums / (down_count * self.unit)
+        bn_normed = down_frame / (bn_mu[:, None] + EPSILON)
+        bn_rnn_new, bn_step_out = m.bottleneck.step(
+            params["bottleneck"], state["bn_rnn"], bn_normed
+        )  # [M, 1]
+
+        sel = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(emit, x, y), a, b
+        )
+        new_state = {
+            "enc0_rnn": enc0_rnn,
+            "enc1_rnn": enc1_rnn,
+            "dec0_rnn": None,  # filled below
+            "dec1_rnn": None,
+            "bn_rnn": sel(bn_rnn_new, state["bn_rnn"]),
+            "mel_norm_sum": mel_sum,
+            "bn_norm_sum": jnp.where(emit, bn_sums, state["bn_norm_sum"]),
+            # a new block starts right after emission (the emitted frame's
+            # unit belongs to the closed block; frame 0 opens an empty one)
+            "bn_block_acc": jnp.where(
+                emit,
+                jnp.zeros_like(bn_in),
+                state["bn_block_acc"] + bn_in,
+            ),
+            "bn_out": jnp.where(emit, bn_step_out[:, 0], state["bn_out"]),
+            "down_idx": state["down_idx"] + emit.astype(jnp.int32),
+            "frame_idx": t + 1,
+        }
+
+        # --- decoder (frame clock, repeat-upsampled bottleneck) -------
+        dec_in = jnp.concatenate([enc_out, new_state["bn_out"]])  # [2M]
+        dec0_rnn, h = m.decoder_lstm[0].step(
+            params["decoder_lstm"][0], state["dec0_rnn"], dec_in[None]
+        )
+        dec1_rnn, out = m.decoder_lstm[1].step(
+            params["decoder_lstm"][1], state["dec1_rnn"], h
+        )  # [1, 2F]
+        new_state["dec0_rnn"] = dec0_rnn
+        new_state["dec1_rnn"] = dec1_rnn
+        return new_state, out[0].reshape(2, self.F)
+
+    def step(self, state, frame):
+        return self._step(self.params, state, frame)
+
+    def _block_impl(self, params, state, frames):
+        return jax.lax.scan(
+            lambda st, fr: self._step_impl(params, st, fr), state, frames
+        )
+
+    def step_block(self, state, frames):
+        return self._block(self.params, state, frames)
+
+    def enhance_spectrogram(self, noisy_mag: jax.Array) -> jax.Array:
+        """[F, T] magnitudes -> [2, F, T] cRM with offline semantics."""
+        frames = jnp.concatenate(
+            [noisy_mag.T, jnp.zeros((self.look_ahead, self.F))], axis=0
+        )
+        _, crms = self.step_block(self.init_state(), frames)
+        return jnp.transpose(crms[self.look_ahead :], (1, 2, 0))

@@ -254,3 +254,58 @@ def test_streaming_improved_is_causal():
         np.asarray(out1[:60]), np.asarray(out2[:60]), atol=1e-6
     )
     assert not np.allclose(np.asarray(out1[60:]), np.asarray(out2[60:]))
+
+
+def _tiny_fast():
+    from fullsubnet_tpu.models import FastFullSubNet
+
+    model = FastFullSubNet(
+        encoder_input_size=33,
+        num_mels=8,
+        noisy_input_num_neighbors=2,
+        norm_type="cumulative_laplace_norm",
+    )
+    params = model.init(jax.random.PRNGKey(11), weight_init=False)
+    return model, params
+
+
+def test_streaming_fast_matches_offline():
+    """StreamingFastFullSubNet (downsampled bottleneck clock + repeat-
+    upsampling hold) == FastFullSubNet offline forward. T values cover
+    both tail cases of real_time_downsampling (r == 0 and r != 0)."""
+    from fullsubnet_tpu.infer.streaming import StreamingFastFullSubNet
+
+    model, params = _tiny_fast()
+    engine = StreamingFastFullSubNet(model, params)
+    rng = np.random.default_rng(12)
+    for t in (19, 20):  # + look_ahead 2 -> n_rest 20 (r=0) / 21 (r=1)
+        noisy_mag = jnp.asarray(
+            np.abs(rng.standard_normal((33, t))).astype(np.float32)
+        )
+        offline = model(params, noisy_mag[None, None])[0]  # [2, F, T]
+        streamed = engine.enhance_spectrogram(noisy_mag)
+        np.testing.assert_allclose(
+            np.asarray(streamed), np.asarray(offline), atol=1e-4, rtol=1e-3
+        )
+
+
+def test_streaming_fast_step_equals_block():
+    """Single-frame step loop == step_block scan (same compiled math)."""
+    from fullsubnet_tpu.infer.streaming import StreamingFastFullSubNet
+
+    model, params = _tiny_fast()
+    engine = StreamingFastFullSubNet(model, params)
+    rng = np.random.default_rng(13)
+    frames = jnp.asarray(
+        np.abs(rng.standard_normal((7, 33))).astype(np.float32)
+    )
+    st = engine.init_state()
+    outs = []
+    for i in range(frames.shape[0]):
+        st, o = engine.step(st, frames[i])
+        outs.append(o)
+    st2 = engine.init_state()
+    _, block = engine.step_block(st2, frames)
+    np.testing.assert_allclose(
+        np.asarray(jnp.stack(outs)), np.asarray(block), atol=1e-5, rtol=1e-4
+    )
