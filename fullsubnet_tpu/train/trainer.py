@@ -577,13 +577,19 @@ class Trainer:
             for ax, (y, label) in zip(
                 axes, [(noisy, "Noisy"), (enhanced, "Enhanced"), (clean, "Clean")]
             ):
-                mag = np.abs(
-                    np.asarray(
-                        stft_complex(
-                            jnp.asarray(y)[None], a["n_fft"], a["hop_length"], a["win_length"]
-                        )[0]
-                    )
-                )
+                # host-side spectrogram: TB figures must not burn device
+                # time (and extra device programs destabilize the remote
+                # tunnel this runs through — measured: an on-device stft
+                # here broke the NEXT utterance's validation transfer)
+                n_fft, hop = a["n_fft"], a["hop_length"]
+                win = np.hanning(a["win_length"] + 1)[:-1]
+                if len(win) < n_fft:  # torch-style center pad to n_fft
+                    lp = (n_fft - len(win)) // 2
+                    win = np.pad(win, (lp, n_fft - len(win) - lp))
+                yp = np.pad(np.asarray(y, np.float32), (n_fft // 2, n_fft // 2), mode="reflect")
+                starts = np.arange(0, len(yp) - n_fft + 1, hop)
+                frames = yp[starts[:, None] + np.arange(n_fft)] * win
+                mag = np.abs(np.fft.rfft(frames, axis=1)).T
                 ax.imshow(
                     20 * np.log10(mag + 1e-8),
                     origin="lower", aspect="auto", cmap="magma",
