@@ -157,23 +157,27 @@ class SubbandModel:
             flat = sb_in.reshape(b * n_units, width, t)
             sb_params = params["sb_models"][sb_idx]
             rows = b * n_units
+            # Sections run sequentially under remat, but their VJP
+            # residuals are all live until the backward, so each section
+            # only gets a slice of the default stash budget — enforced
+            # both in the gate below AND inside the kernel (whose chunker
+            # would otherwise size its stash against the full default).
+            section_budget = 6 * 2**30 // max(
+                1, len(self.sb_num_center_freqs)
+            )
             if training:
                 from fullsubnet_tpu.ops.subband_lstm import train_stash_bytes
 
                 # the kernel VJP auto-chunks, but at extreme T x rows even
                 # the chunked stash (+ the kernel input and its cotangent)
                 # can bust HBM; those sections train on the scan path.
-                # Sections run sequentially under remat, but their VJP
-                # residuals are all live until the backward, so each
-                # section only gets a slice of the default budget.
                 itemsize = jnp.dtype(sb_in.dtype).itemsize
-                budget = 6 * 2**30 // max(1, len(self.sb_num_center_freqs))
                 stash_ok = (
                     train_stash_bytes(t, rows, sb_model.hidden_size,
                                       sb_model.sequence_model.lower(),
-                                      itemsize, stash_budget=budget)
+                                      itemsize, stash_budget=section_budget)
                     + 2 * t * width * rows * itemsize
-                    <= budget
+                    <= section_budget
                 )
             else:
                 stash_ok = True
@@ -206,6 +210,7 @@ class SubbandModel:
                         None if training
                         else min(512, -(-rows // 128) * 128)
                     ),
+                    stash_budget=section_budget,
                 )  # [T, B·N, 2c]
                 out = jnp.transpose(out, (1, 2, 0))  # [B·N, 2c, T]
             else:

@@ -266,8 +266,11 @@ _FUSED_DW_VMEM_LIMIT = 12 * 2**20
 # tile 1024 at ~29 MB est does NOT compile under 64 MB — don't retry);
 # the kernels' streamed blocks stay small so pipelining VMEM is ample.
 _BWD_VMEM_LIMIT = 48 * 2**20
-# estimate-scale cap corresponding to _BWD_VMEM_LIMIT (the ~1.8x rule)
-_BWD_VMEM_ESTIMATE_CAP = int(_BWD_VMEM_LIMIT / 1.8)
+# estimate-scale cap corresponding to _BWD_VMEM_LIMIT. Measured
+# estimate->actual ratios run 1.8-1.9x; divide by 2.0 so an estimate at
+# the cap still compiles with margin (a config landing between /2.0 and
+# /1.8 merely drops to the next smaller tile).
+_BWD_VMEM_ESTIMATE_CAP = int(_BWD_VMEM_LIMIT / 2.0)
 # Reference tile for the fused-vs-split decision: evaluating it at the
 # ACTUAL tile would flip measured-good fused configs to split at larger
 # tiles (the accumulators don't scale with the tile; blocks/carries do).
@@ -304,7 +307,7 @@ def _auto_split_dw(f_in, hidden, gh, row_tile, itemsize, cell):
     )
 
 
-def auto_bwd_row_tile(l1, l2, fc, itemsize, n) -> int:
+def auto_bwd_row_tile(l1, l2, itemsize, n) -> int:
     """Largest backward row tile in (512, 256, 128) whose per-layer
     kernel VMEM (fused or split, per the layer's own routing) fits
     ``_BWD_VMEM_ESTIMATE_CAP``, bounded by the padded row count (a tile
@@ -1132,7 +1135,15 @@ def train_stash_bytes(
     """HBM bytes the training VJP will stash at these shapes AFTER
     auto-chunking (callers can gate kernel routing on this — e.g. fall
     back to a remat'd scan when even the sqrt(T)-chunked footprint busts
-    their memory budget)."""
+    their memory budget).
+
+    Rows are padded to the LARGEST tile :func:`auto_bwd_row_tile` may
+    pick (bounded by ``row_tile`` below), not the caller's 128 — a
+    conservative over-estimate for configs the auto picker would keep at
+    a smaller tile, but it keeps gates honest about the real padded
+    stash (e.g. n=640 pads to 1024 at tile 512: 1.6x the 128-tile
+    accounting)."""
+    row_tile = max(row_tile, min(512, -(-n // 128) * 128))
     n_pad = -(-n // row_tile) * row_tile
     n_stash = 4 if cell == "lstm" else 2
     per_step = n_stash * n_pad * hidden * itemsize
@@ -1188,7 +1199,7 @@ def fused_subband_lstm(
         x = jnp.swapaxes(x, 1, 2)  # -> [T, F_in, N]
     itemsize = jnp.dtype(x.dtype).itemsize
     bwd_tile = min(
-        row_tile, auto_bwd_row_tile(l1, l2, fc, itemsize, x.shape[2])
+        row_tile, auto_bwd_row_tile(l1, l2, itemsize, x.shape[2])
     )
     hidden, cell = _cell_of(l1)
     if time_chunk is None:
@@ -1223,7 +1234,7 @@ def fused_subband_lstm_train(
         x = jnp.swapaxes(x, 1, 2)  # -> [T, F_in, N]
     itemsize = jnp.dtype(x.dtype).itemsize
     if row_tile is None:
-        row_tile = auto_bwd_row_tile(l1, l2, fc, itemsize, x.shape[2])
+        row_tile = auto_bwd_row_tile(l1, l2, itemsize, x.shape[2])
     hidden, cell = _cell_of(l1)
     if time_chunk is None:
         n_pad = -(-x.shape[2] // row_tile) * row_tile

@@ -415,6 +415,37 @@ def test_pick_row_groups_routing():
     assert model._pick_row_groups(256, f_eff, t, unit, 2, 2) == (0, None)
 
 
+def test_auto_bwd_row_tile():
+    """The backward-tile picker: largest of (512, 256, 128) fitting the
+    VMEM estimate cap, bounded by the padded row count."""
+    from fullsubnet_tpu.nn.init import linear_init
+    from fullsubnet_tpu.nn.rnn import lstm_init
+    from fullsubnet_tpu.ops.subband_lstm import (
+        _BWD_VMEM_ESTIMATE_CAP,
+        _bwd_vmem_estimate,
+        auto_bwd_row_tile,
+        train_stash_bytes,
+    )
+
+    p = lstm_init(jax.random.PRNGKey(0), 32, 384, num_layers=2)
+    # flagship sub-band stage, many rows: the big tile (measured +8%)
+    assert auto_bwd_row_tile(p[0][0], p[1][0], 2, 16384) == 512
+    # row-count bound: small stages stay at small tiles
+    assert auto_bwd_row_tile(p[0][0], p[1][0], 2, 100) == 128
+    assert auto_bwd_row_tile(p[0][0], p[1][0], 2, 200) == 256
+    # wide f32 split layers: the VMEM cap pushes the tile down
+    pw = lstm_init(jax.random.PRNGKey(0), 512, 512, num_layers=2)
+    tw = auto_bwd_row_tile(pw[0][0], pw[1][0], 4, 16384)
+    assert tw < 512
+    assert (
+        _bwd_vmem_estimate(512, 512, 2048, tw, 4, "lstm", True)
+        <= _BWD_VMEM_ESTIMATE_CAP
+    )
+    # stash accounting pads rows to the tile the kernel may pick: n=640
+    # pads to 1024 at tile 512 (catches budget gates assuming 128)
+    assert train_stash_bytes(16, 640, 384) == train_stash_bytes(16, 1024, 384)
+
+
 def test_auto_split_dw_vmem_estimate():
     """The per-layer VMEM estimate flips split_dw on exactly for the
     configurations whose fused accumulators bust the 12 MB estimate
