@@ -197,3 +197,66 @@ def test_shard_mapped_pallas_kernel_chunked_vjp():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3
         )
+
+
+def test_shard_mapped_row_group_remat_grads():
+    """Row-group remat COMPOSED with the shard_mapped kernel: each
+    checkpointed group's kernel call shard_maps over the (data, subband)
+    row axes; forward and gradients must equal the unsharded, ungrouped
+    reference forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from fullsubnet_tpu.models import FullSubNet
+
+    model = FullSubNet(
+        num_freqs=32, sb_num_neighbors=3, fb_model_hidden_size=16,
+        sb_model_hidden_size=12, norm_type="cumulative_laplace_norm",
+    )
+    params = model.init(jax.random.PRNGKey(3), weight_init=False)
+    x = jnp.asarray(
+        np.abs(np.random.default_rng(4).standard_normal((4, 1, 32, 15))).astype(
+            np.float32
+        )
+    )
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, axis_names=("data", "subband"))
+    sb_sh = NamedSharding(mesh, P(("data", "subband"), None, None))
+
+    def hint(v):
+        return jax.lax.with_sharding_constraint(v, sb_sh)
+
+    hint.mesh = mesh
+    hint.row_axes = ("data", "subband")
+
+    xx = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, model.look_ahead)))
+    noisy_pad = jnp.pad(xx[:, 0], ((0, 0), (3, 3), (0, 0)), mode="reflect")
+    tgt = jnp.asarray(
+        np.random.default_rng(5).standard_normal((4, 2, 32, 15)).astype(
+            np.float32
+        )
+    )
+
+    def loss(p, row_groups, use_hint):
+        fb_i = model.norm(xx).reshape(4, 32, -1)
+        fb_o = model.fb_model(p["fb_model"], fb_i).reshape(4, 1, 32, -1)
+        mu = model._sb_norm_mu(noisy_pad, fb_o[:, 0], 32)
+        o = model._pallas_subband(
+            p, noisy_pad, fb_o[:, 0], 32, mu, mu.shape[1] == 1,
+            sharding_hint=hint if use_hint else None,
+            interpret=True, training=True, row_groups=row_groups,
+        )[..., model.look_ahead :]
+        return jnp.mean(jnp.square(o - tgt))
+
+    def loss_ref(p):
+        return jnp.mean(jnp.square(model(p, x, dropping_band=False) - tgt))
+
+    lr, gr = jax.value_and_grad(loss_ref)(params)
+    lg, gg = jax.value_and_grad(lambda p: loss(p, 2, True))(params)
+    np.testing.assert_allclose(float(lg), float(lr), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gg), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3
+        )
