@@ -522,10 +522,8 @@ class FullSubNet:
         (chunk, peak_bytes); chunk == 0 means the full per-step stash.
         """
         n_stash = 4 if cell == "lstm" else 2
-        # the kernel pads rows to its (auto-picked, up to 512) tile
-        n = -(-n // min(512, -(-n // 128) * 128)) * min(
-            512, -(-n // 128) * 128
-        )
+        # 128-padded rows (exact: auto_bwd_row_tile never pads beyond it)
+        n = -(-n // 128) * 128
         ps = n_stash * n * hidden * itemsize  # stash bytes / step
         # per-chunk transients / step: recomputed stash + dh1 + dh2
         # (H-sized) and x_c + dx_c (unit-sized)

@@ -307,24 +307,33 @@ def _auto_split_dw(f_in, hidden, gh, row_tile, itemsize, cell):
     )
 
 
-def auto_bwd_row_tile(l1, l2, itemsize, n) -> int:
+def auto_bwd_row_tile(l1, l2, itemsize, n, split_dw=None) -> int:
     """Largest backward row tile in (512, 256, 128) whose per-layer
-    kernel VMEM (fused or split, per the layer's own routing) fits
-    ``_BWD_VMEM_ESTIMATE_CAP``, bounded by the padded row count (a tile
-    larger than ceil(n/128)*128 only adds padding waste). Bigger tiles
-    amortize per-grid-step overheads: flagship B=128 train went
-    1083 -> 1176 audio-s/s from 128 -> 512 on v5e."""
+    kernel VMEM (fused or split, per the layer's own routing or the
+    caller's ``split_dw`` override) fits ``_BWD_VMEM_ESTIMATE_CAP``,
+    restricted to tiles that do NOT increase the padded row count over
+    the 128-tile baseline. Bigger tiles amortize per-grid-step overheads
+    (flagship B=128 train went 1083 -> 1176 audio-s/s from 128 -> 512 on
+    v5e — the bwd is overhead/VPU bound), but padding 640 real rows to
+    1024 would cost 1.6x compute for that ~8%, so a big tile is taken
+    only when it pads nothing extra. COROLLARY the budget gates rely on:
+    the kernel's padded rows always equal ceil(n/128)*128, so 128-padded
+    stash accounting (``train_stash_bytes``) is exact."""
     hidden, cell = _cell_of(l1)
     f_in1 = l1["w_ih"].shape[1]
     gh1 = l1["w_ih"].shape[0]
     gh2 = l2["w_ih"].shape[0]
-    n_cap = -(-n // 128) * 128
+    n_pad128 = -(-n // 128) * 128
     for tile in (512, 256, 128):
-        if tile > n_cap:
+        if -(-n // tile) * tile != n_pad128:
             continue
         ok = True
         for f_in, gh in ((f_in1, gh1), (hidden, gh2)):
-            split = _auto_split_dw(f_in, hidden, gh, tile, itemsize, cell)
+            split = (
+                _auto_split_dw(f_in, hidden, gh, tile, itemsize, cell)
+                if split_dw is None
+                else split_dw
+            )
             if (
                 _bwd_vmem_estimate(f_in, hidden, gh, tile, itemsize, cell, split)
                 > _BWD_VMEM_ESTIMATE_CAP
@@ -459,6 +468,12 @@ def _stash_fwd_call(
             pltpu.VMEM((row_tile, hidden), jnp.float32) for _ in range(4)
         ],
         interpret=interpret,
+        # the training forward shares the backward's pinned scoped-VMEM
+        # limit: at tile 512 its weights + stash blocks + scratch can
+        # exceed XLA's ~16 MB automatic limit for wide stacks
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_BWD_VMEM_LIMIT
+        ),
     )(xp, w1, b1, w2, b2, wfc, bfc, *h0s)
     return results[0], tuple(results[1:])
 
@@ -1135,15 +1150,9 @@ def train_stash_bytes(
     """HBM bytes the training VJP will stash at these shapes AFTER
     auto-chunking (callers can gate kernel routing on this — e.g. fall
     back to a remat'd scan when even the sqrt(T)-chunked footprint busts
-    their memory budget).
-
-    Rows are padded to the LARGEST tile :func:`auto_bwd_row_tile` may
-    pick (bounded by ``row_tile`` below), not the caller's 128 — a
-    conservative over-estimate for configs the auto picker would keep at
-    a smaller tile, but it keeps gates honest about the real padded
-    stash (e.g. n=640 pads to 1024 at tile 512: 1.6x the 128-tile
-    accounting)."""
-    row_tile = max(row_tile, min(512, -(-n // 128) * 128))
+    their memory budget). 128-padded rows are EXACT for the auto-tile
+    path: :func:`auto_bwd_row_tile` only takes a bigger tile when it
+    pads no extra rows."""
     n_pad = -(-n // row_tile) * row_tile
     n_stash = 4 if cell == "lstm" else 2
     per_step = n_stash * n_pad * hidden * itemsize
@@ -1199,7 +1208,7 @@ def fused_subband_lstm(
         x = jnp.swapaxes(x, 1, 2)  # -> [T, F_in, N]
     itemsize = jnp.dtype(x.dtype).itemsize
     bwd_tile = min(
-        row_tile, auto_bwd_row_tile(l1, l2, itemsize, x.shape[2])
+        row_tile, auto_bwd_row_tile(l1, l2, itemsize, x.shape[2], split_dw)
     )
     hidden, cell = _cell_of(l1)
     if time_chunk is None:
@@ -1234,7 +1243,7 @@ def fused_subband_lstm_train(
         x = jnp.swapaxes(x, 1, 2)  # -> [T, F_in, N]
     itemsize = jnp.dtype(x.dtype).itemsize
     if row_tile is None:
-        row_tile = auto_bwd_row_tile(l1, l2, itemsize, x.shape[2])
+        row_tile = auto_bwd_row_tile(l1, l2, itemsize, x.shape[2], split_dw)
     hidden, cell = _cell_of(l1)
     if time_chunk is None:
         n_pad = -(-x.shape[2] // row_tile) * row_tile

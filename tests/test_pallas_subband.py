@@ -433,6 +433,13 @@ def test_auto_bwd_row_tile():
     # row-count bound: small stages stay at small tiles
     assert auto_bwd_row_tile(p[0][0], p[1][0], 2, 100) == 128
     assert auto_bwd_row_tile(p[0][0], p[1][0], 2, 200) == 256
+    # NO-EXTRA-PADDING rule: a bigger tile is taken only when it pads
+    # nothing beyond the 128-tile baseline (n=640 at tile 512 would pad
+    # to 1024, 1.6x the work for ~8%) — this is also what makes the
+    # 128-padded stash accounting in train_stash_bytes exact
+    assert auto_bwd_row_tile(p[0][0], p[1][0], 2, 640) == 128
+    assert auto_bwd_row_tile(p[0][0], p[1][0], 2, 768) == 256
+    assert train_stash_bytes(16, 640, 384) < train_stash_bytes(16, 1024, 384)
     # wide f32 split layers: the VMEM cap pushes the tile down
     pw = lstm_init(jax.random.PRNGKey(0), 512, 512, num_layers=2)
     tw = auto_bwd_row_tile(pw[0][0], pw[1][0], 4, 16384)
@@ -441,9 +448,10 @@ def test_auto_bwd_row_tile():
         _bwd_vmem_estimate(512, 512, 2048, tw, 4, "lstm", True)
         <= _BWD_VMEM_ESTIMATE_CAP
     )
-    # stash accounting pads rows to the tile the kernel may pick: n=640
-    # pads to 1024 at tile 512 (catches budget gates assuming 128)
-    assert train_stash_bytes(16, 640, 384) == train_stash_bytes(16, 1024, 384)
+    # a caller-forced split_dw is honored in the tile sizing
+    assert auto_bwd_row_tile(
+        pw[0][0], pw[1][0], 4, 16384, split_dw=False
+    ) <= tw
 
 
 def test_auto_split_dw_vmem_estimate():
