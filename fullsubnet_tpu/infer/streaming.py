@@ -140,24 +140,45 @@ class StreamingFullSubNet:
         return jnp.transpose(crms[self.look_ahead :], (1, 2, 0))  # [2, F, T]
 
 
+def make_streaming_engine(model, params):
+    """Frame-in/cRM-out streaming engine for any magnitude-masking model
+    of the family (dispatch on the model class). Improved FullSubNet is
+    wave-to-wave — use :class:`StreamingImprovedFullSubNet.enhance_wave`
+    directly instead."""
+    from fullsubnet_tpu.models.fast_fullsubnet import FastFullSubNet
+    from fullsubnet_tpu.models.fullband import FullBandModel
+
+    if isinstance(model, FullSubNet):
+        return StreamingFullSubNet(model, params)
+    if isinstance(model, FullBandModel):
+        return StreamingFullBand(model, params)
+    if isinstance(model, FastFullSubNet):
+        return StreamingFastFullSubNet(model, params)
+    raise TypeError(
+        f"no magnitude streaming engine for {type(model).__name__}"
+    )
+
+
 class StreamingEnhancer:
     """Push-based wave-in/wave-out real-time enhancer.
 
     Wires streaming STFT framing (with the offline pipeline's reflect
-    center-pad reproduced at stream start), the :class:`StreamingFullSubNet`
-    engine, the 2-frame look-ahead delay, cIRM decompression/masking, and
-    the streaming OLA iSTFT. Feed hop-sized sample blocks; receive
-    hop-sized enhanced blocks after an algorithmic latency of
-    ``(1 + look_ahead) · hop`` samples plus the OLA hop.
+    center-pad reproduced at stream start), a frame-level streaming
+    engine (any magnitude-masking family model, via
+    :func:`make_streaming_engine`), the look-ahead delay, cIRM
+    decompression/masking, and the streaming OLA iSTFT. Feed hop-sized
+    sample blocks; receive hop-sized enhanced blocks after an
+    algorithmic latency of ``(1 + look_ahead) · hop`` samples plus the
+    OLA hop.
 
     Matches the offline ``full_band_crm_mask`` pipeline (cumulative-norm
     checkpoints) in the steady-state interior.
     """
 
-    def __init__(self, model: FullSubNet, params, n_fft=512, hop_length=256):
+    def __init__(self, model, params, n_fft=512, hop_length=256):
         from fullsubnet_tpu.acoustics.mask import decompress_cIRM
 
-        self.engine = StreamingFullSubNet(model, params)
+        self.engine = make_streaming_engine(model, params)
         self.n_fft = n_fft
         self.hop = hop_length
         self.window = hann_window(n_fft)

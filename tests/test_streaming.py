@@ -309,3 +309,42 @@ def test_streaming_fast_step_equals_block():
     np.testing.assert_allclose(
         np.asarray(jnp.stack(outs)), np.asarray(block), atol=1e-5, rtol=1e-4
     )
+
+
+def test_streaming_enhancer_fast_model():
+    """StreamingEnhancer dispatches to the fast-model engine via
+    make_streaming_engine: wave-in/wave-out == offline full_band_crm_mask
+    with the fast model, interior samples."""
+    from fullsubnet_tpu.acoustics.mask import decompress_cIRM
+    from fullsubnet_tpu.infer.streaming import StreamingEnhancer
+
+    n_fft, hop = 64, 32
+    model, params = _tiny_fast()
+    rng = np.random.default_rng(17)
+    wave = (0.3 * rng.standard_normal(4096)).astype(np.float32)
+
+    spec = stft_complex(jnp.asarray(wave)[None], n_fft, hop, n_fft)
+    crm = model(params, jnp.abs(spec)[:, None])
+    crm = decompress_cIRM(jnp.transpose(crm, (0, 2, 3, 1)))
+    er = crm[..., 0] * spec.real - crm[..., 1] * spec.imag
+    ei = crm[..., 1] * spec.real + crm[..., 0] * spec.imag
+    offline = np.asarray(
+        istft((er, ei), n_fft, hop, n_fft, length=4096, input_type="real_imag")
+    )[0]
+
+    enh = StreamingEnhancer(model, params, n_fft, hop)
+    state = enh.init_state()
+    chunks = []
+    for i in range(0, 4096, hop):
+        state, out = enh.push(state, wave[i : i + hop])
+        if len(out):
+            chunks.append(out)
+    state, out = enh.flush(state)
+    if len(out):
+        chunks.append(out)
+    stream = np.concatenate(chunks)
+
+    pad = n_fft // 2
+    a = stream[pad : pad + 3800]
+    b = offline[:3800]
+    np.testing.assert_allclose(a[200:], b[200:3800], atol=1e-3)
