@@ -15,7 +15,6 @@ TPU notes
 * All functions accept leading batch/channel dims: [..., T] -> [..., F, T'].
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

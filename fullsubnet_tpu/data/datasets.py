@@ -27,7 +27,7 @@ from fullsubnet_tpu.acoustics.feature import (
     subsample,
     tailor_dB_FS,
 )
-from fullsubnet_tpu.data.wavio import load_wav, read_wav
+from fullsubnet_tpu.data.wavio import load_wav
 from fullsubnet_tpu.utils import basename, expand_path
 
 _AUDIO_EXTS = (".wav", ".flac", ".aif", ".aiff", ".ogg")

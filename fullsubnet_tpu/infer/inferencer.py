@@ -22,7 +22,6 @@ implemented correctly.
 
 from __future__ import annotations
 
-from functools import partial
 from pathlib import Path
 
 import jax
