@@ -181,8 +181,15 @@ class FullSubNet:
         # Fused path: unfold + norm + sub-band scan without materializing
         # the [B, F, 2N+1, T] tensor. Used for big batches at inference and
         # (with drop_band grouping) for every training step.
+        # the reference gates on batch > 1 (model.py:114) but its
+        # drop_band asserts batch > groups — i.e. 1 < B <= G crashes
+        # there; we gate on batch > groups so the model, the trainer's
+        # target-side drop, and feature.drop_band's domain all agree
+        # (tiny batches simply train without dropping)
         drop_applies = (
-            batch_size > 1 and dropping_band and self.num_groups_in_drop_band > 1
+            batch_size > self.num_groups_in_drop_band
+            and dropping_band
+            and self.num_groups_in_drop_band > 1
         )
         unfold_elems = (
             batch_size

@@ -50,9 +50,24 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch (pytree of [B, ...] arrays) sharded on data."""
+    """Assemble a device batch sharded on the data axis.
+
+    Single-process: a plain device_put of the host batch. Multi-host:
+    each process holds only ITS SHARD of the global batch (the loader
+    yields ``global_batch // process_count`` samples per host — see the
+    trainer), and the global array is assembled from the per-process
+    local data; a device_put here would wrongly treat each host's
+    distinct local batch as the same global array."""
+    if jax.process_count() == 1:
+        return jax.tree.map(
+            lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))),
+            batch,
+        )
     return jax.tree.map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch
+        lambda x: jax.make_array_from_process_local_data(
+            batch_sharding(mesh, np.ndim(x)), np.asarray(x)
+        ),
+        batch,
     )
 
 

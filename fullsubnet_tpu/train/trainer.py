@@ -116,7 +116,12 @@ class Trainer:
             "params": params,
             "opt_state": opt_state,
             "epoch": jnp.asarray(0, jnp.int32),
-            "best_score": jnp.asarray(-jnp.inf, jnp.float32),
+            # reference base_trainer.py:90: -inf when selecting on a
+            # maximize metric, +inf for minimize-metric configs
+            "best_score": jnp.asarray(
+                -jnp.inf if self.save_max_metric_score else jnp.inf,
+                jnp.float32,
+            ),
         }
 
         # --- experiment dirs ---------------------------------------------
@@ -147,9 +152,15 @@ class Trainer:
             f"batch_size={batch_size} must be divisible by the number of "
             f"devices on the data axis ({num_data_shards})."
         )
+        # batch_size is the GLOBAL batch; each process loads its shard of
+        # it and shard_batch assembles the global device array
+        assert batch_size % num_shards == 0, (
+            f"batch_size={batch_size} must be divisible by the process "
+            f"count ({num_shards})."
+        )
         self.train_loader = DataLoader(
             self.train_dataset,
-            batch_size=batch_size,
+            batch_size=batch_size // num_shards,
             shuffle=True,
             drop_last=bool(dl_cfg.get("drop_last", True)),
             num_workers=int(dl_cfg.get("num_workers", 0)),
@@ -283,7 +294,12 @@ class Trainer:
         path = Path(path).expanduser().absolute()
         assert path.exists(), f"The file {path} is not exist."
         if path.is_dir():
-            restored = self.ckpt.restore(path.name)
+            # resolve against the directory the user actually passed —
+            # typically another experiment's checkpoints dir, not this
+            # (freshly created) experiment's
+            from fullsubnet_tpu.checkpoint import CheckpointManager
+
+            restored = CheckpointManager(path.parent).restore(path.name)
             self.state["params"] = jax.tree.map(jnp.asarray, restored["params"])
         else:  # torch checkpoint warm start
             from fullsubnet_tpu.checkpoint import CONVERTERS
@@ -292,6 +308,14 @@ class Trainer:
             key = _model_key_from_path(self.config["model"].get("path", ""))
             state_dict = load_torch_state_dict(path)
             loaded = CONVERTERS[key](state_dict)
+            cur_struct = jax.tree.structure(self.state["params"])
+            new_struct = jax.tree.structure(loaded)
+            if cur_struct != new_struct:
+                raise ValueError(
+                    f"Preloaded checkpoint {path} does not match the "
+                    f"configured model architecture: params tree "
+                    f"{new_struct} vs model {cur_struct}"
+                )
             mismatches = [
                 (jax.tree_util.keystr(kp), tuple(cur.shape), tuple(new.shape))
                 for (kp, cur), new in zip(
@@ -378,19 +402,22 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _train_epoch(self, epoch: int):
-        loss_total = 0.0
-        num_batches = 0
+        # keep losses on device during the epoch: a float() per step
+        # would host-sync every step, serializing dispatch of batch k+1
+        # against step k (expensive through a remote PJRT tunnel)
+        losses = []
         self.train_loader.set_epoch(epoch)
         for noisy, clean in self.train_loader:
             batch = shard_batch(
                 (jnp.asarray(noisy), jnp.asarray(clean)), self.mesh
             )
             self.state, loss = self._train_step(self.state, *batch)
-            loss_total += float(loss)
-            num_batches += 1
-        if num_batches:
-            self._log_scalar("Loss/Train", loss_total / num_batches, epoch)
-        return loss_total / max(num_batches, 1)
+            losses.append(loss)
+        if losses:
+            mean = float(np.mean(jax.device_get(losses)))
+            self._log_scalar("Loss/Train", mean, epoch)
+            return mean
+        return 0.0
 
     def _build_enhance_fn(self):
         """Jitted full enhancement + validation loss (compiled once per
@@ -527,7 +554,10 @@ class Trainer:
         (jit-cached per LENGTH BUCKET for models supporting masked norms,
         per exact length otherwise)."""
         length = int(min(len(noisy), len(clean)))
-        if self._bucketing_supported():
+        # the bucketed path's tail reflection needs length > n_fft//2
+        # (dynamic_slice would clamp a negative start and insert wrong
+        # data); degenerate ultra-short utterances take the exact path
+        if self._bucketing_supported() and length > self.acoustics["n_fft"] // 2:
             if not hasattr(self, "_enhance_bucket_fn"):
                 self._enhance_bucket_fn = self._build_bucketed_enhance_fn()
             step = int(self._BUCKET_SECONDS * self.acoustics["sr"])

@@ -208,3 +208,26 @@ def test_loader_parallel_matches_serial(dns_layout):
     for (sn, sc), (pn, pc) in zip(serial, parallel):
         np.testing.assert_array_equal(sn, pn)
         np.testing.assert_array_equal(sc, pc)
+
+
+def test_preload_options_match_lazy_loading(dns_layout):
+    """pre_load_* stores (path, waveform) pairs that load_wav unwraps
+    (reference feature.py:117 quirk) — preloaded synthesis must be
+    byte-identical to lazy file reads."""
+    tmp_path, scp, sr = dns_layout
+    kwargs = dict(
+        clean_dataset=scp["clean"], noise_dataset=scp["noise"],
+        rir_dataset=scp["rir"], snr_range=(0, 10), reverb_proportion=1.0,
+        silence_length=0.2, target_dB_FS=-25, target_dB_FS_floating_value=10,
+        sub_sample_length=0.25, sr=sr,
+    )
+    lazy = TrainDataset(**kwargs)
+    pre = TrainDataset(
+        **kwargs, pre_load_clean_dataset=True, pre_load_noise=True,
+        pre_load_rir=True,
+    )
+    for i in range(len(lazy)):
+        ln, lc = lazy[i]
+        pn, pc = pre[i]
+        np.testing.assert_array_equal(ln, pn)
+        np.testing.assert_array_equal(lc, pc)

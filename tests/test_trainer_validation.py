@@ -291,3 +291,49 @@ def test_bucketed_enhancement_single_compile(full_setup):
         trainer._enhance_utterance(noisy, clean)
     # one bucket -> one cache entry
     assert trainer._enhance_bucket_fn._cache_size() == 1
+
+
+def test_best_score_init_for_minimize_metric(full_setup):
+    """save_max_metric_score=false initializes best to +inf (reference
+    base_trainer.py:90), so the first (lowest) score saves a best."""
+    cfg_path, tmp_path = full_setup
+    import re
+
+    text = cfg_path.read_text().replace(
+        "save_max_metric_score = true", "save_max_metric_score = false"
+    )
+    cfg2 = tmp_path / "cfg_min.toml"
+    cfg2.write_text(text)
+    from fullsubnet_tpu.config import load_config
+    from fullsubnet_tpu.train.trainer import Trainer
+
+    t = Trainer(load_config(cfg2), experiment_name="minmetric")
+    assert float(np.asarray(t.state["best_score"])) == float("inf")
+    assert t._is_best_epoch(0.5)        # first score always best
+    assert not t._is_best_epoch(0.9)    # higher is NOT better
+    assert t._is_best_epoch(0.4)
+
+
+def test_preload_from_other_experiment_dir(full_setup):
+    """-P with an Orbax checkpoint directory from ANOTHER experiment must
+    resolve against that directory, not the new experiment's."""
+    cfg_path, tmp_path = full_setup
+    import jax
+
+    from fullsubnet_tpu.config import load_config
+    from fullsubnet_tpu.train.trainer import Trainer
+
+    src = Trainer(load_config(cfg_path), experiment_name="srcexp")
+    src._save_checkpoint(1, is_best=False)
+    ckpt_dir = src.checkpoints_dir / "latest"
+    assert ckpt_dir.exists()
+
+    dst = Trainer(
+        load_config(cfg_path), experiment_name="dstexp",
+        preloaded_model_path=str(ckpt_dir),
+    )
+    for a, b in zip(
+        jax.tree.leaves(dst.state["params"]),
+        jax.tree.leaves(src.state["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
