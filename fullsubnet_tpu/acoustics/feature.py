@@ -20,7 +20,7 @@ import numpy as np
 # --------------------------------------------------------------------------
 
 
-def freq_unfold(x: jax.Array, num_neighbors: int) -> jax.Array:
+def freq_unfold(x: jax.Array, num_neighbors: int, mode: str = "reflect") -> jax.Array:
     """Split a spectrogram into overlapping sub-band units along frequency.
 
     Args:
@@ -44,7 +44,7 @@ def freq_unfold(x: jax.Array, num_neighbors: int) -> jax.Array:
         return jnp.transpose(x, (0, 2, 1, 3)).reshape(b, f, c, 1, t)
 
     pad = num_neighbors
-    xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="reflect")
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode=mode)
     size = 2 * num_neighbors + 1
     idx = np.arange(f)[:, None] + np.arange(size)[None, :]  # [F, size]
     units = xp[:, :, idx, :]  # [B, C, F, size, T]

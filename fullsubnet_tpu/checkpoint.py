@@ -172,10 +172,14 @@ class CheckpointManager:
     landed between the two renames — so a resume point always survives.
     """
 
-    def __init__(self, directory: str | os.PathLike):
+    def __init__(self, directory: str | os.PathLike, recover: bool = True):
+        """``recover=False`` for READ-ONLY consumers (inference/warm-start
+        from a possibly live training directory): recovery sweeps
+        in-flight Orbax tmp dirs, which only the writing process may do."""
         self.directory = Path(directory).expanduser().absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
-        self._recover()
+        if recover:
+            self._recover()
 
     def _ckpt(self):
         import orbax.checkpoint as ocp

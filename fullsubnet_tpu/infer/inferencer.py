@@ -37,10 +37,10 @@ from fullsubnet_tpu.utils import prepare_empty_dir
 
 
 def _model_key_from_path(path: str) -> str:
-    for key in CONVERTERS:
-        if key in path:
-            return key
-    return "fullsubnet"
+    # longest match wins: 'fullsubnet' is a substring of
+    # 'fast_fullsubnet' and 'improved_fullsubnet'
+    matches = [key for key in CONVERTERS if key in path]
+    return max(matches, key=len) if matches else "fullsubnet"
 
 
 class Inferencer:
@@ -85,7 +85,9 @@ class Inferencer:
         if path.is_dir():  # orbax
             from fullsubnet_tpu.checkpoint import CheckpointManager
 
-            mgr = CheckpointManager(path.parent)
+            # recover=False: a read-only consumer must never sweep a LIVE
+            # trainer's in-flight tmp dirs in the directory it reads from
+            mgr = CheckpointManager(path.parent, recover=False)
             state = mgr.restore(path.name)
             return state["params"] if "params" in state else state
         state = load_torch_state_dict(path)
@@ -157,11 +159,15 @@ class Inferencer:
         from fullsubnet_tpu.acoustics.feature import freq_unfold
 
         n_neighbors = self.inference_args.get("n_neighbor", 15)
+        # the reference honors inference_args["pad_mode"] for the unfold
+        # (base_inferencer.py:99); torch 'constant' == jnp 'constant'
+        pad_mode = self.inference_args.get("pad_mode", "reflect")
         spec = self._stft(noisy)
         noisy_real, noisy_imag = spec.real[0], spec.imag[0]
         noisy_mag = jnp.sqrt(jnp.square(noisy_real) + jnp.square(noisy_imag))
-        f, t = noisy_mag.shape
-        units = freq_unfold(noisy_mag[None, None], n_neighbors)  # [1, F, 1, F_s, T]
+        units = freq_unfold(
+            noisy_mag[None, None], n_neighbors, mode=pad_mode
+        )  # [1, F, 1, F_s, T]
         units = units[0, :, 0]  # [F, F_s, T]
         pred_crm = self.model(params, units)  # [F, 2, T]
         pred_crm = jnp.transpose(pred_crm, (0, 2, 1))  # [F, T, 2]
@@ -221,7 +227,11 @@ class Inferencer:
             enhanced_chunk = enhanced_chunk[256:]
             if chunk_idx == 0:
                 pieces.append(enhanced_chunk[:hop])
-                prev = enhanced_chunk[hop:] * win[hop:]
+                # utterances shorter than chunk_length yield a short tail
+                # (the reference crashes here — conscious fix, see
+                # docs/parity.md)
+                tail = enhanced_chunk[hop:]
+                prev = tail * win[hop : hop + len(tail)]
             else:
                 enhanced_chunk = enhanced_chunk * win[: len(enhanced_chunk)]
                 cur = enhanced_chunk[:hop]
@@ -247,9 +257,19 @@ class Inferencer:
             noisy, name = self.dataset[i]
             enhanced = strategy(jnp.asarray(noisy[None]))
             enhanced = np.asarray(enhanced, dtype=np.float32)
-            # int16 peak normalization to 0.8 FS (reference :181-182)
-            if np.max(np.abs(enhanced)) > 1:
-                enhanced = enhanced / np.max(np.abs(enhanced)) * 0.8
+            # UNCONDITIONAL peak normalization to 0.8 FS, exactly the
+            # reference's `0.8 * amp * enhanced / max(|enhanced|)`
+            # (base_inferencer.py:181-182) — every written file is
+            # peak-scaled, not just clipping ones
+            peak = np.max(np.abs(enhanced))
+            if peak > 0:
+                enhanced = enhanced / peak * 0.8
             write_wav(self.enhanced_dir / f"{name}.wav", enhanced, self.sr)
-            write_wav(self.noisy_dir / f"{name}.wav", np.asarray(noisy), self.sr)
+            # reference writes the first channel, trimmed to the
+            # enhanced length (base_inferencer.py:189-192)
+            noisy_out = np.asarray(noisy, np.float32)
+            if noisy_out.ndim > 1:
+                noisy_out = noisy_out[0]
+            noisy_out = noisy_out[: enhanced.shape[-1]]
+            write_wav(self.noisy_dir / f"{name}.wav", noisy_out, self.sr)
         return self.enhanced_dir

@@ -37,6 +37,11 @@ class StreamingFullSubNet:
     ``cumulative_laplace_norm``."""
 
     def __init__(self, model: FullSubNet, params):
+        from fullsubnet_tpu.acoustics.norm import cumulative_laplace_norm
+
+        assert model.norm is cumulative_laplace_norm, (
+            "streaming requires a cumulative normalization"
+        )
         assert model.fb_num_neighbors == 0, "streaming supports fb neighbors=0"
         self.model = model
         self.params = params
@@ -181,7 +186,9 @@ class StreamingEnhancer:
         self.engine = make_streaming_engine(model, params)
         self.n_fft = n_fft
         self.hop = hop_length
-        self.window = hann_window(n_fft)
+        # host copy once: the push loop windows every frame on the host,
+        # and a per-frame jnp->np transfer of a constant is pure latency
+        self.window = np.asarray(hann_window(n_fft))
         self.ola = StreamingISTFT(n_fft, hop_length)
         self._decompress = decompress_cIRM
         self.look_ahead = model.look_ahead
@@ -231,7 +238,7 @@ class StreamingEnhancer:
 
         outs = []
         while len(state["samples"]) >= self.n_fft:
-            frame = state["samples"][: self.n_fft] * np.asarray(self.window)
+            frame = state["samples"][: self.n_fft] * self.window
             state["samples"] = state["samples"][self.hop :]
             spec = jnp.fft.rfft(jnp.asarray(frame))
             out = self._emit(state, spec)
@@ -241,7 +248,7 @@ class StreamingEnhancer:
             np.concatenate(outs) if outs else np.zeros(0, np.float32)
         )
 
-    def flush(self, state, remaining_padding: int | None = None):
+    def flush(self, state):
         """End of stream: push zeros until all buffered frames are emitted."""
         outs = []
         flush_blocks = 2 + self.look_ahead + self.n_fft // self.hop

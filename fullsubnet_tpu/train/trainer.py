@@ -299,7 +299,9 @@ class Trainer:
             # (freshly created) experiment's
             from fullsubnet_tpu.checkpoint import CheckpointManager
 
-            restored = CheckpointManager(path.parent).restore(path.name)
+            restored = CheckpointManager(path.parent, recover=False).restore(
+                path.name
+            )
             self.state["params"] = jax.tree.map(jnp.asarray, restored["params"])
         else:  # torch checkpoint warm start
             from fullsubnet_tpu.checkpoint import CONVERTERS
