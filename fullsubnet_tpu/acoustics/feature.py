@@ -144,13 +144,15 @@ def channel_wise_layer_norm(x: jax.Array, scale, bias, eps: float = 1e-5):
 
 
 def reduce_complexity_separately(
-    sub_band_input: jax.Array, full_band_output: jax.Array, key: jax.Array = None
+    sub_band_input: jax.Array, full_band_output: jax.Array
 ) -> jax.Array:
-    """Group dropout for FullSubNet (reference ``base_model.py:48-100``).
+    """Group "dropout" for FullSubNet (reference ``base_model.py:48-100``).
 
     Splits the batch into 3 groups; group i keeps frequencies
     ``i+1, i+4, ...`` (avoiding the padded first/last bins) and
     concatenates the sub-band and full-band units on the feature axis.
+    The selection is fully DETERMINISTIC (as in the reference, whose
+    third parameter is a device, not randomness).
 
     Shapes: sub_band_input [B, F, C, F_s, T], full_band_output
     [B, F, C, F_f, T] -> [B, F//3(ish), C, F_s+F_f, T].

@@ -30,9 +30,11 @@ def default_collate(items):
         return tuple(default_collate([it[i] for it in items]) for i in range(len(first)))
     if isinstance(first, np.ndarray):
         return np.stack(items)
+    if isinstance(first, str):
+        return items  # keep Python strings, not a numpy '<U' array
     if np.isscalar(first):
         return np.asarray(items)
-    return items  # strings etc.
+    return items
 
 
 class DataLoader:
@@ -85,7 +87,11 @@ class DataLoader:
         return idx
 
     def __len__(self) -> int:
-        n = len(self._epoch_indices())
+        # arithmetic, not len(self._epoch_indices()): no O(n) permutation
+        # just to count batches
+        n = len(self.dataset)
+        if self.num_shards > 1:
+            n = -(-n // self.num_shards)  # padded shard size
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -106,6 +112,20 @@ class DataLoader:
     def _iter_parallel(self, idx: np.ndarray):
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         sentinel = object()
+        # set when the consumer abandons the iteration (exception in the
+        # train loop, break, GC of the generator): the producer must then
+        # stop promptly instead of blocking forever on a full queue, which
+        # would leak the worker pool for the life of the process
+        cancelled = threading.Event()
+
+        def _put(item) -> bool:
+            while not cancelled.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
@@ -120,30 +140,48 @@ class DataLoader:
                     initargs=(self.dataset,),
                 ) as pool:
                     pending = []
+                    alive = True
                     for batch_idx in self._batches(idx):
+                        if cancelled.is_set():
+                            alive = False
+                            break
                         futures = [pool.submit(_fetch, int(i)) for i in batch_idx]
                         pending.append(futures)
                         # bounded pipeline: resolve oldest batch once enough in flight
-                        while len(pending) > self.prefetch_batches:
+                        while alive and len(pending) > self.prefetch_batches:
                             done = pending.pop(0)
-                            out_q.put(self.collate_fn([f.result() for f in done]))
+                            alive = _put(
+                                self.collate_fn([f.result() for f in done])
+                            )
                     for done in pending:
-                        out_q.put(self.collate_fn([f.result() for f in done]))
+                        if not alive:
+                            break
+                        alive = _put(self.collate_fn([f.result() for f in done]))
             except Exception as e:  # propagate to consumer
-                out_q.put(e)
+                _put(e)
             finally:
-                out_q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = out_q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = out_q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+            t.join()
+        finally:
+            cancelled.set()
+            # unblock a producer stuck in put() and let the pool wind down
+            try:
+                while True:
+                    out_q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=60)
 
 
 _WORKER_DATASET = None

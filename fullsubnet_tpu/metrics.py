@@ -78,7 +78,9 @@ def _thirdoct(fs, nfft, num_bands, min_freq):
 
 
 def _frames(x, framelen, hop, window):
-    n = (len(x) - framelen) // hop + 1
+    # pystoi frames with range(0, len - framelen, hop) — EXCLUSIVE stop,
+    # so a hop-aligned final exact-fit frame is NOT taken
+    n = max(0, -(-(len(x) - framelen) // hop))
     if n <= 0:
         return np.zeros((0, framelen))
     idx = np.arange(n)[:, None] * hop + np.arange(framelen)[None, :]

@@ -273,13 +273,10 @@ def _time_aggregate(frame_d, split=20, hop=10, p_split=6.0, p_time=2.0):
     splits = []
     start = 0
     while start < t:
+        # the slice naturally shortens at the tail; no special-casing
         seg = frame_d[start : start + split]
         splits.append(np.mean(seg**p_split) ** (1.0 / p_split))
         start += hop
-        if start + hop >= t and start < t:  # final partial split
-            seg = frame_d[start:t]
-            splits.append(np.mean(seg**p_split) ** (1.0 / p_split))
-            break
     s = np.asarray(splits)
     return float(np.mean(s**p_time) ** (1.0 / p_time))
 

@@ -231,3 +231,35 @@ def test_preload_options_match_lazy_loading(dns_layout):
         pn, pc = pre[i]
         np.testing.assert_array_equal(ln, pn)
         np.testing.assert_array_equal(lc, pc)
+
+
+def test_loader_abandoned_iteration_releases_pool(dns_layout):
+    """Breaking out of a parallel epoch must not deadlock or leak the
+    worker pool: the loader can be re-iterated immediately."""
+    import time
+
+    tmp_path, scp, sr = dns_layout
+    ds = TrainDataset(
+        clean_dataset=scp["clean"], noise_dataset=scp["noise"],
+        rir_dataset=scp["rir"], snr_range=(0, 10), reverb_proportion=0.5,
+        silence_length=0.2, target_dB_FS=-25, target_dB_FS_floating_value=10,
+        sub_sample_length=0.25, sr=sr,
+    )
+    dl = DataLoader(ds, batch_size=1, num_workers=2, prefetch_batches=1)
+    t0 = time.monotonic()
+    for i, _ in enumerate(dl):
+        if i == 0:
+            break  # abandon mid-epoch
+    # full epoch afterwards still works and terminates
+    n = sum(1 for _ in dl)
+    assert n == len(dl)
+    assert time.monotonic() - t0 < 120
+
+
+def test_collate_keeps_strings():
+    from fullsubnet_tpu.data.loader import default_collate
+
+    out = default_collate([("a.wav", 1.0), ("b.wav", 2.0)])
+    assert out[0] == ["a.wav", "b.wav"]
+    assert all(isinstance(s, str) for s in out[0])
+    np.testing.assert_array_equal(out[1], np.asarray([1.0, 2.0]))
