@@ -87,12 +87,28 @@ def _load():
         if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
             if not _build():
                 return None
-        try:
-            lib = ctypes.CDLL(str(_LIB_PATH))
-        except OSError:
-            return None
-        if lib.fsn_abi_version() != 1:
-            return None
+
+        def _open(path):
+            """None when the .so doesn't load or has the wrong ABI —
+            e.g. a cache built by another host (shared checkout) against
+            an incompatible libstdc++, or a stale symbol-less binary."""
+            try:
+                lib = ctypes.CDLL(str(path))
+                if lib.fsn_abi_version() != 1:
+                    return None
+                return lib
+            except (OSError, AttributeError):
+                return None
+
+        lib = _open(_LIB_PATH)
+        if lib is None:
+            # the cached artifact is unusable HERE: rebuild locally once
+            # before giving up on the native path
+            if not _build():
+                return None
+            lib = _open(_LIB_PATH)
+            if lib is None:
+                return None
 
         fp = ctypes.POINTER(ctypes.c_float)
         lib.fsn_fft_convolve_trunc.argtypes = [

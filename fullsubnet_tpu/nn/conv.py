@@ -13,8 +13,6 @@ Causality convention matches the reference: pad both sides (torch
 import jax
 import jax.numpy as jnp
 
-from fullsubnet_tpu.nn.init import normal
-
 
 # --------------------------------------------------------------------------
 # 1-D temporal conv net (TCN)
@@ -120,6 +118,10 @@ class TemporalConvNet:
 
     def __call__(self, params, x, key=None, training=False):
         rate = self.dropout if training else 0.0
+        assert not (rate and key is None), (
+            "TemporalConvNet: training with dropout requires a PRNG key "
+            "(otherwise dropout would be silently disabled)"
+        )
         for i, p in enumerate(params):
             sub = None
             if key is not None:
@@ -159,26 +161,47 @@ def causal_conv_block_init(key, in_channels, out_channels, dtype=jnp.float32):
     }
 
 
-def _batchnorm(x, p, training, eps=1e-5):
+def _batchnorm(x, p, training, eps=1e-5, momentum=0.1):
+    """Returns (normalized, new_running_stats | None). Training uses
+    batch statistics and produces torch-style running-stat updates
+    (momentum 0.1, unbiased running var); eval uses the stored stats."""
     if training:
         mean = jnp.mean(x, axis=(0, 2, 3))
         var = jnp.var(x, axis=(0, 2, 3))
+        n = x.shape[0] * x.shape[2] * x.shape[3]
+        unbiased = var * (n / max(n - 1, 1))
+        new_stats = {
+            "bn_mean": (1 - momentum) * p["bn_mean"] + momentum * mean,
+            "bn_var": (1 - momentum) * p["bn_var"] + momentum * unbiased,
+        }
     else:
         mean, var = p["bn_mean"], p["bn_var"]
+        new_stats = None
     inv = jax.lax.rsqrt(var + eps)
-    return (x - mean[None, :, None, None]) * inv[None, :, None, None] * p[
+    y = (x - mean[None, :, None, None]) * inv[None, :, None, None] * p[
         "bn_scale"
     ][None, :, None, None] + p["bn_bias"][None, :, None, None]
+    return y, new_stats
 
 
-def causal_conv_block_apply(params, x, activation="ReLU", training=False):
-    """x: [B, C, F, T] -> strided-freq causal conv block."""
+def causal_conv_block_apply(
+    params, x, activation="ReLU", training=False, return_params=False
+):
+    """x: [B, C, F, T] -> strided-freq causal conv block.
+
+    With ``training=True, return_params=True`` also returns the params
+    with updated BatchNorm running statistics — a functional training
+    loop MUST thread these back (torch updates them as a side effect;
+    pytrees cannot), or eval will normalize with the init stats."""
     x = conv2d(x, params["weight"], params["bias"], stride=(2, 1), padding=((0, 0), (1, 1)))
     x = x[:, :, :, :-1]  # chomp the future frame
-    x = _batchnorm(x, params, training)
+    x, stats = _batchnorm(x, params, training)
     act = {"ReLU": jax.nn.relu, "ELU": jax.nn.elu, "Tanh": jnp.tanh,
            "LeakyReLU": lambda v: jax.nn.leaky_relu(v, 0.01)}[activation]
-    return act(x)
+    out = act(x)
+    if return_params:
+        return out, ({**params, **stats} if stats else params)
+    return out
 
 
 def causal_trans_conv_block_init(key, in_channels, out_channels, dtype=jnp.float32):
@@ -197,9 +220,12 @@ def causal_trans_conv_block_init(key, in_channels, out_channels, dtype=jnp.float
 
 
 def causal_trans_conv_block_apply(
-    params, x, is_last=False, output_padding=(0, 0), training=False
+    params, x, is_last=False, output_padding=(0, 0), training=False,
+    return_params=False,
 ):
-    """x: [B, C, F, T] transposed causal conv block (stride (2,1))."""
+    """x: [B, C, F, T] transposed causal conv block (stride (2,1)).
+
+    ``return_params`` as in :func:`causal_conv_block_apply`."""
     w = jnp.transpose(params["weight"], (1, 0, 2, 3))[:, :, ::-1, ::-1]  # OIHW flipped
     out = jax.lax.conv_general_dilated(
         x, w,
@@ -210,5 +236,8 @@ def causal_trans_conv_block_apply(
     )
     out = out + params["bias"][None, :, None, None]
     out = out[:, :, :, :-1]  # chomp
-    out = _batchnorm(out, params, training)
-    return jax.nn.relu(out) if is_last else jax.nn.elu(out)
+    out, stats = _batchnorm(out, params, training)
+    out = jax.nn.relu(out) if is_last else jax.nn.elu(out)
+    if return_params:
+        return out, ({**params, **stats} if stats else params)
+    return out

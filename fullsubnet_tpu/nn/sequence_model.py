@@ -306,11 +306,4 @@ class SequenceModel:
                 parts = (x_proj[..., : 2 * hidden], x_proj[..., 2 * hidden :])
                 st, h_in = rnn.gru_step(p, state[li], parts)
             new_state.append(st)
-        o = h_in
-        if self.output_size:
-            o = o @ params["fc"]["weight"].T + params["fc"]["bias"]
-        if self._act == "prelu":
-            o = jnp.where(o >= 0, o, params["prelu"] * o)
-        elif self._act is not None:
-            o = self._act(o)
-        return new_state, o
+        return new_state, self._project(params, h_in)

@@ -80,6 +80,13 @@ def pre_processing(est, ref, specific_dataset=None):
             raise NotImplementedError(
                 f"Not supported specific dataset {specific_dataset}."
             )
+        # a missing or doubly-matched estimated file must be an error, not
+        # a silent off-by-one that pairs every later est with the wrong ref
+        assert len(reordered) == len(reference_wav_paths), (
+            f"{specific_dataset} matching paired {len(reordered)} estimated "
+            f"files with {len(reference_wav_paths)} references — check for "
+            "missing or ambiguously named estimated files"
+        )
         estimated_wav_paths = reordered
     return reference_wav_paths, estimated_wav_paths
 
@@ -87,10 +94,10 @@ def pre_processing(est, ref, specific_dataset=None):
 def _one(args):
     ref_path, est_path, sr, metric_type = args
     metric_function = REGISTERED_METRICS[metric_type]
+    # both sides follow the reference tool's librosa mono convention
+    # (channel AVERAGE, not first channel)
     ref_wav, _ = read_wav(ref_path, sr=sr, mono=True)
-    est_wav, _ = read_wav(est_path, sr=sr)
-    if est_wav.ndim > 1:
-        est_wav = est_wav[0]
+    est_wav, _ = read_wav(est_path, sr=sr, mono=True)
     if len(ref_wav) != len(est_wav):
         print(
             f"[Warning] ref {len(ref_wav)} and est {len(est_wav)} are not "
