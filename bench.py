@@ -65,10 +65,14 @@ def build_pipeline(model_name: str, dtype):
     params = model.init(jax.random.PRNGKey(0), weight_init=False)
     params = jax.tree.map(lambda x: x.astype(dtype), params)
 
-    from fullsubnet_tpu.models import FullSubNet
+    import inspect
 
+    # any model with a dropping_band kwarg (FullSubNet, SubBandBaseline)
+    # must not drop at inference
     model_kwargs = (
-        {"dropping_band": False} if isinstance(model, FullSubNet) else {}
+        {"dropping_band": False}
+        if "dropping_band" in inspect.signature(model.__call__).parameters
+        else {}
     )
 
     def fn(params, noisy):
@@ -117,6 +121,8 @@ def bench_train(args):
         from fullsubnet_tpu.nn.sequence_model import SequenceModel
 
         SequenceModel._PALLAS_MIN_ROWS = 2**62
+        if hasattr(model, "sb_model") and hasattr(model.sb_model, "use_pallas"):
+            model.sb_model.use_pallas = False  # improved-model sections
     params = model.init(jax.random.PRNGKey(0))
     optimizer = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(1e-3))
     opt_state = optimizer.init(params)
@@ -135,7 +141,7 @@ def bench_train(args):
         ns = stft_complex(noisy, 512, 256, 512)
         cs = stft_complex(clean, 512, 256, 512)
         cirm = build_complex_ideal_ratio_mask(ns.real, ns.imag, cs.real, cs.imag)
-        if groups > 1:
+        if groups > 1 and noisy.shape[0] > groups:  # same gate as the trainer
             cirm = jnp.transpose(
                 drop_band(jnp.transpose(cirm, (0, 3, 1, 2)), groups),
                 (0, 2, 3, 1),

@@ -69,7 +69,6 @@ def _datasets():
 
 # torch nn.LSTM/GRU argument names appearing in reference model.args that we
 # accept but map (weight_init is consumed at init()-time, not __init__).
-_MODEL_ARG_DROP = {"weight_init"}
 
 
 def build_model(config: dict):

@@ -232,7 +232,7 @@ class FullSubNet:
         sb_input = jnp.concatenate([noisy_unfolded, fb_unfolded], axis=2)
         sb_input = norm(sb_input)
 
-        if batch_size > 1 and dropping_band and self.num_groups_in_drop_band > 1:
+        if drop_applies:  # same batch > groups gate as the fused route
             sb_input = drop_band(
                 jnp.transpose(sb_input, (0, 2, 1, 3)),
                 num_groups=self.num_groups_in_drop_band,

@@ -71,7 +71,13 @@ class SubBandBaseline:
         units = units.reshape(b, f, 2 * self.num_neighbors + 1, t)
         units = self.norm(units)
 
-        if b > 1 and dropping_band and self.num_groups_in_drop_band > 1:
+        # batch > groups: drop_band's asserted domain (tiny batches
+        # simply skip dropping — see docs/parity.md)
+        if (
+            b > self.num_groups_in_drop_band
+            and dropping_band
+            and self.num_groups_in_drop_band > 1
+        ):
             units = drop_band(
                 jnp.transpose(units, (0, 2, 1, 3)), self.num_groups_in_drop_band
             )

@@ -47,6 +47,12 @@ def make_parallel_enhancer(
         # x: [B·F, unit, T] — spread rows over the full mesh
         return jax.lax.with_sharding_constraint(x, sb_constraint)
 
+    # the Pallas route shard_maps the fused kernel over these row axes
+    # when the hint carries them (models/fullsubnet.py:_pallas_subband);
+    # without them the kernel would run replicated per chip
+    shard_sb.mesh = mesh
+    shard_sb.row_axes = ("data", "subband")
+
     def fn(params, noisy):
         spec = stft_complex(noisy, n_fft, hop_length, win_length)
         noisy_mag = jnp.abs(spec)[:, None].astype(compute_dtype)

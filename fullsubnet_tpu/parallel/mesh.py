@@ -31,8 +31,13 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if num_data is None:
         num_data = len(devices) // num_subband
+    assert num_data >= 1 and num_subband >= 1, (
+        f"mesh {num_data}x{num_subband} is empty — num_subband "
+        f"({num_subband}) exceeds the {len(devices)} available devices?"
+    )
     assert num_data * num_subband <= len(devices), (
-        f"mesh {num_data}x{num_subband} needs more than {len(devices)} devices"
+        f"mesh {num_data}x{num_subband} needs {num_data * num_subband} "
+        f"devices but only {len(devices)} are available"
     )
     grid = np.asarray(devices[: num_data * num_subband]).reshape(
         num_data, num_subband

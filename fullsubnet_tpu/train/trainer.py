@@ -433,7 +433,13 @@ class Trainer:
         loss_fn_inner = self.loss_function
         from fullsubnet_tpu.models import FullSubNet
 
-        kwargs = {"dropping_band": False} if isinstance(model, FullSubNet) else {}
+        import inspect
+
+        kwargs = (
+            {"dropping_band": False}
+            if "dropping_band" in inspect.signature(model.__call__).parameters
+            else {}
+        )
 
         def fn(params, noisy_j, clean_j):
             if waveform:
