@@ -264,13 +264,15 @@ def activity_detector(
     a, b = -1.0, 0.2
     alpha_rel, alpha_att = 0.05, 0.8
 
+    # the per-window energies are the hot part on long clean lists —
+    # computed by the GIL-free C engine when available
+    from fullsubnet_tpu import native
+
+    energies_db = native.frame_energies_db(audio, window_samples, eps)
+
     prev_energy_prob = 0.0
     active_frames = 0
-    cnt = 0
-    sample_start = 0
-    while sample_start < len(audio):
-        audio_win = audio[sample_start : sample_start + window_samples]
-        frame_rms = 20 * np.log10(np.sum(audio_win**2) + eps)
+    for frame_rms in energies_db:
         frame_energy_prob = 1.0 / (1 + np.exp(-(a + b * frame_rms)))
 
         if frame_energy_prob > prev_energy_prob:
@@ -281,7 +283,5 @@ def activity_detector(
         if smoothed > activity_threshold:
             active_frames += 1
         prev_energy_prob = frame_energy_prob
-        sample_start += window_samples
-        cnt += 1
 
-    return active_frames / cnt
+    return active_frames / len(energies_db)

@@ -218,8 +218,15 @@ def istft(
     return out
 
 
-def num_stft_frames(num_samples: int, hop_length: int, center: bool = True) -> int:
-    """Frame count produced by :func:`stft` for a given sample count."""
+def num_stft_frames(
+    num_samples: int, hop_length: int, n_fft: int | None = None,
+    center: bool = True,
+) -> int:
+    """Frame count produced by :func:`stft` for a given sample count.
+
+    ``n_fft`` matters only when odd (center padding adds 2*(n_fft//2)
+    samples, which is n_fft - 1 then); omitted = assume even n_fft."""
     if center:
-        return 1 + num_samples // hop_length
+        extra = 0 if n_fft is None else 2 * (n_fft // 2) - n_fft
+        return 1 + (num_samples + extra) // hop_length
     raise NotImplementedError("non-centered frame math not needed yet")

@@ -50,7 +50,9 @@ def load_wav(file, sr: int = 16000):
     accepts a path or a (name, array) pair; returns the waveform."""
     if not isinstance(file, (str, os.PathLike)) and len(file) == 2:
         return file[-1]
-    return read_wav(os.path.abspath(os.path.expanduser(os.fspath(file))), sr=sr)[0]
+    from fullsubnet_tpu.utils import expand_path
+
+    return read_wav(expand_path(os.fspath(file)), sr=sr)[0]
 
 
 def write_wav(path: str | os.PathLike, audio: np.ndarray, sr: int):
@@ -59,6 +61,10 @@ def write_wav(path: str | os.PathLike, audio: np.ndarray, sr: int):
     if audio.ndim == 2:
         audio = audio.T  # -> [T, C] for scipy
     if audio.dtype in (np.float32, np.float64):
-        audio = np.clip(audio, -1.0, 1.0)
-        audio = (audio * 32767.0).astype(np.int16)
+        # libsndfile (the reference's soundfile writer) scales by 32768
+        # and rounds to nearest; truncate-at-32767 would add a zero-biased
+        # LSB of quantization noise and never reach -32768
+        audio = np.clip(
+            np.rint(audio * 32768.0), -32768, 32767
+        ).astype(np.int16)
     wavfile.write(os.fspath(path), sr, audio)

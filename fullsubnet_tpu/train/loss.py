@@ -16,6 +16,12 @@ def si_snr_loss(pred, target, eps: float = 1e-8):
 
     pred/target: [..., T] waveforms.
     """
+    # the reference raises on mismatched shapes; without this a stray
+    # channel dim would broadcast into a cross-paired, meaningless loss
+    assert pred.shape == target.shape, (
+        f"si_snr_loss shape mismatch: pred {pred.shape} vs target "
+        f"{target.shape}"
+    )
     pred = pred - jnp.mean(pred, axis=-1, keepdims=True)
     target = target - jnp.mean(target, axis=-1, keepdims=True)
     s_target = (

@@ -23,9 +23,7 @@ def expand_path(path: str) -> str:
 
 
 def basename(path: str):
-    filename = os.path.splitext(os.path.basename(path))[0]
-    ext = os.path.splitext(os.path.basename(path))[1]
-    return filename, ext
+    return os.path.splitext(os.path.basename(path))
 
 
 def prepare_empty_dir(dirs: list[Path], resume: bool = False):
