@@ -105,15 +105,25 @@ def bench_train(args):
     from fullsubnet_tpu.models import MODEL_REGISTRY
 
     use_bf16_policy = args.dtype == "bf16"
+    cdt = jnp.bfloat16 if use_bf16_policy else jnp.float32
     defaults = {
         "fullband_baseline": dict(num_freqs=257, hidden_size=512),
         # wave-to-wave model: owns its STFT, so the low-precision policy
         # is a constructor arg rather than an input cast
-        "improved_fullsubnet": dict(
-            compute_dtype=jnp.bfloat16 if use_bf16_policy else jnp.float32
-        ),
+        "improved_fullsubnet": dict(compute_dtype=cdt),
     }
-    model = MODEL_REGISTRY[args.model](**defaults.get(args.model, {}))
+    if args.model == "improved_fullsubnet_48k":
+        model = MODEL_REGISTRY["improved_fullsubnet"](
+            n_fft=960, hop_length=480, win_length=960, num_freqs=481,
+            freq_cutoffs=[20, 120, 240],
+            sb_num_center_freqs=[1, 4, 20, 60],
+            sb_num_neighbor_freqs=[15, 15, 15, 15],
+            fb_num_center_freqs=[1, 4, 20, 60],
+            fb_num_neighbor_freqs=[15, 15, 15, 15],
+            compute_dtype=cdt,
+        )
+    else:
+        model = MODEL_REGISTRY[args.model](**defaults.get(args.model, {}))
     waveform_model = args.model.startswith("improved_fullsubnet")
     if args.train_unfused:
         # legacy reference-shaped path: no fused pipeline, no Pallas routes
