@@ -166,18 +166,25 @@ class SubbandModel:
                 1, len(self.sb_num_center_freqs)
             )
             if training:
-                from fullsubnet_tpu.ops.subband_lstm import train_stash_bytes
+                from fullsubnet_tpu.ops.subband_lstm import (
+                    train_bwd_peak_bytes,
+                )
 
                 # the kernel VJP auto-chunks, but at extreme T x rows even
-                # the chunked stash (+ the kernel input and its cotangent)
-                # can bust HBM; those sections train on the scan path.
+                # the chunked stash (+ per-chunk backward transients +
+                # kernel I/O) can bust HBM; those sections train on the
+                # scan path. Transient-aware accounting shared with
+                # FullSubNet._grouped_chunk; bound 2x the stash budget
+                # (see SequenceModel._pallas_eligible for the rationale).
                 itemsize = jnp.dtype(sb_in.dtype).itemsize
                 stash_ok = (
-                    train_stash_bytes(t, rows, sb_model.hidden_size,
-                                      sb_model.sequence_model.lower(),
-                                      itemsize, stash_budget=section_budget)
-                    + 2 * t * width * rows * itemsize
-                    <= section_budget
+                    train_bwd_peak_bytes(
+                        t, rows, sb_model.hidden_size, unit=width,
+                        out=sb_model.output_size,
+                        cell=sb_model.sequence_model.lower(),
+                        itemsize=itemsize, stash_budget=section_budget,
+                    )
+                    <= 2 * section_budget
                 )
             else:
                 stash_ok = True

@@ -37,6 +37,17 @@ def _cpu_tag() -> str:
                     break
     except OSError:
         pass
+    # also key on the TOOLCHAIN: two hosts with identical CPU flags but
+    # incompatible g++/libstdc++ would otherwise clobber each other's
+    # shared-checkout artifact on every import (each host's _open fails
+    # -> rebuild -> overwrite)
+    try:
+        ident += subprocess.run(
+            ["g++", "-dumpfullversion", "-dumpversion"],
+            capture_output=True, timeout=10, text=True,
+        ).stdout
+    except Exception:
+        pass
     return hashlib.md5(ident.encode()).hexdigest()[:10]
 
 

@@ -130,15 +130,27 @@ class SequenceModel:
         gates = 4 if self.sequence_model == "LSTM" else 3
         fwd_w_bytes = (self.input_size + 3 * h) * gates * h * itemsize
         if training:
-            from fullsubnet_tpu.ops.subband_lstm import train_stash_bytes
+            from fullsubnet_tpu.ops.subband_lstm import train_bwd_peak_bytes
 
             cell = self.sequence_model.lower()
+            # transient-aware: counts the chunked stash PLUS the
+            # per-chunk backward transients and kernel I/O, so extreme
+            # shapes that fit the stash but OOM in the backward fall
+            # back to the remat'd scan (shares FullSubNet._grouped_chunk
+            # accounting via ops.subband_lstm.train_bwd_peak_bytes).
+            # Bound is 2x the STASH budget: the transient/IO terms were
+            # implicitly admitted on top of the stash before, and the
+            # known-good routings (fast's mel stage ~2 GB peak, 30 s
+            # B=256 fullband ~4.5 GB peak — both beat the scan's f32
+            # residuals) must stay on the kernel; what changes is that
+            # the TOTAL is now bounded at all.
             stash_ok = (
-                train_stash_bytes(
-                    t, b, h, cell, itemsize,
+                train_bwd_peak_bytes(
+                    t, b, h, unit=self.input_size, out=self.output_size,
+                    cell=cell, itemsize=itemsize,
                     stash_budget=self._PALLAS_TRAIN_STASH_BUDGET,
                 )
-                <= self._PALLAS_TRAIN_STASH_BUDGET
+                <= 2 * self._PALLAS_TRAIN_STASH_BUDGET
             )
         else:
             stash_ok = True

@@ -999,6 +999,10 @@ def _train_vjp_fn(
 
         gh1, gh2 = w1.shape[1], w2.shape[1]
         zero_f = jnp.zeros((n_pad, hidden), jnp.float32)
+        # fc bias grad from the ORIGINAL f32 cotangent (pre compute-dtype
+        # cast), matching _bwd_direct bit-for-bit — the in-scan slices
+        # (g_cs) are already bf16 under mixed precision.
+        dfc_b_total = jnp.sum(g.astype(jnp.float32), axis=(0, 1))
         acc0 = {
             "dwih1": jnp.zeros((f_in, gh1), jnp.float32),
             "dwhh1": jnp.zeros((hidden, gh1), jnp.float32),
@@ -1009,7 +1013,6 @@ def _train_vjp_fn(
             "dbih2": jnp.zeros((gh2,), jnp.float32),
             "dbhh2": jnp.zeros((gh2,), jnp.float32),
             "dfc_w": jnp.zeros((out_dim, hidden), jnp.float32),
-            "dfc_b": jnp.zeros((out_dim,), jnp.float32),
         }
         carry0 = {
             "dh1": zero_f, "dh2": zero_f,
@@ -1037,9 +1040,6 @@ def _train_vjp_fn(
 
             dfc_w = acc["dfc_w"] + jnp.einsum(
                 "kno,knh->oh", g_c, h2s, preferred_element_type=jnp.float32
-            )
-            dfc_b = acc["dfc_b"] + jnp.sum(
-                g_c.astype(jnp.float32), axis=(0, 1)
             )
             dh2 = jnp.einsum(
                 "kno,ho->knh", g_c, wfc, preferred_element_type=jnp.float32
@@ -1069,7 +1069,7 @@ def _train_vjp_fn(
                 "dwhh2": acc["dwhh2"] + dwhh2,
                 "dbih2": acc["dbih2"] + dbih2,
                 "dbhh2": acc["dbhh2"] + dbhh2,
-                "dfc_w": dfc_w, "dfc_b": dfc_b,
+                "dfc_w": dfc_w,
             }
             new_cr = {
                 "dh1": dh1_0, "dh2": dh2_0,
@@ -1090,7 +1090,7 @@ def _train_vjp_fn(
         )
         dfc = {
             "weight": acc["dfc_w"].astype(fc["weight"].dtype),
-            "bias": acc["dfc_b"].astype(fc["bias"].dtype),
+            "bias": dfc_b_total.astype(fc["bias"].dtype),
         }
         dx = dx_cs.reshape(t_pad, f_in, n_pad)[:t, :, :n].astype(cdt)
         return dx, dl1, dl2, dfc
@@ -1162,6 +1162,47 @@ def train_stash_bytes(
         return t8 * per_step
     t_pad = -(-t // k) * k
     return (t_pad // k + k) * per_step
+
+
+def train_bwd_peak_bytes(
+    t: int,
+    n: int,
+    hidden: int,
+    unit: int,
+    out: int = 0,
+    cell: str = "lstm",
+    itemsize: int = 2,
+    row_tile: int = 128,
+    stash_budget: int = _DEFAULT_STASH_BUDGET,
+) -> int:
+    """Transient-aware HBM peak of the training VJP at these shapes,
+    using the chunk the kernel's own ``_pick_chunk`` would select.
+
+    Unlike :func:`train_stash_bytes` (stash-only), this also counts the
+    per-chunk backward TRANSIENTS that scale with the chunk — the
+    recomputed in-chunk state stash, the dh1/dh2 cotangent chunks, the
+    x/dx chunks — plus 3x the kernel input for I/O (input, its remat
+    copy under ``jax.checkpoint``, and dx) and the output cotangent
+    (one f32 + one compute-dtype copy when ``out`` > 0). Mirrors
+    ``FullSubNet._grouped_chunk``'s accounting so eligibility gates
+    reject shapes that pass stash-only accounting and then OOM in the
+    backward (ADVICE r2: SequenceModel/improved gates were stash-only).
+    """
+    n_pad = -(-n // row_tile) * row_tile
+    n_stash = 4 if cell == "lstm" else 2
+    per_step = n_stash * n_pad * hidden * itemsize
+    t8 = -(-t // 8) * 8
+    io = 3 * t * unit * n_pad * itemsize
+    io += t8 * n_pad * out * (itemsize + 4)
+    k = _pick_chunk(t, n_pad, hidden, cell, itemsize, stash_budget)
+    if k == 0:
+        # unchunked: full stash + the dh2/dh1 cotangent sequences
+        return io + t8 * per_step + 2 * t8 * n_pad * hidden * itemsize
+    per_chunk = (
+        (n_stash + 2) * n_pad * hidden * itemsize
+        + 2 * n_pad * unit * itemsize
+    )
+    return io + (-(-t8 // k)) * per_step + k * per_chunk
 
 
 def fused_subband_lstm(

@@ -60,6 +60,11 @@ from fullsubnet_tpu.utils import ExecutionTime, prepare_empty_dir
 
 
 class Trainer:
+    # fold the on-device per-step loss list to the host every N steps
+    # (bounds device-buffer count on 1e5+-step epochs; surfaces NaN
+    # losses within a window instead of at epoch end)
+    _LOSS_FOLD_STEPS = 256
+
     def __init__(
         self,
         config: dict,
@@ -406,8 +411,14 @@ class Trainer:
     def _train_epoch(self, epoch: int):
         # keep losses on device during the epoch: a float() per step
         # would host-sync every step, serializing dispatch of batch k+1
-        # against step k (expensive through a remote PJRT tunnel)
+        # against step k (expensive through a remote PJRT tunnel). Fold
+        # the window to the host every _LOSS_FOLD_STEPS so a long epoch
+        # holds a bounded number of tiny device buffers and a NaN loss
+        # surfaces within a window, not at epoch end — the fold syncs
+        # on step k - window while step k is already dispatched, so the
+        # hot path stays async.
         losses = []
+        loss_sum, loss_count = 0.0, 0
         self.train_loader.set_epoch(epoch)
         for noisy, clean in self.train_loader:
             batch = shard_batch(
@@ -415,8 +426,22 @@ class Trainer:
             )
             self.state, loss = self._train_step(self.state, *batch)
             losses.append(loss)
+            if len(losses) >= self._LOSS_FOLD_STEPS:
+                window = np.asarray(jax.device_get(losses), np.float64)
+                if not np.isfinite(window).all():
+                    bad = int(np.flatnonzero(~np.isfinite(window))[0])
+                    raise FloatingPointError(
+                        f"non-finite training loss at epoch {epoch} step "
+                        f"~{loss_count + bad}: {window[bad]}"
+                    )
+                loss_sum += float(window.sum())
+                loss_count += len(losses)
+                losses = []
         if losses:
-            mean = float(np.mean(jax.device_get(losses)))
+            loss_sum += float(np.sum(jax.device_get(losses)))
+            loss_count += len(losses)
+        if loss_count:
+            mean = loss_sum / loss_count
             self._log_scalar("Loss/Train", mean, epoch)
             return mean
         return 0.0

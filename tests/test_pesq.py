@@ -62,12 +62,13 @@ def test_monotone_in_snr(speech):
 
 
 def test_plausible_operating_points(speech):
-    """WB scores land in the right MOS regions (the native model is
-    calibrated to the published WB-PESQ-vs-SNR curve, tolerance ~0.35)."""
-    assert 3.3 < pesq(speech, _with_noise(speech, 30)) < 4.2
-    assert 2.3 < pesq(speech, _with_noise(speech, 20)) < 3.1
-    assert 1.7 < pesq(speech, _with_noise(speech, 10)) < 2.5
-    assert 1.0 < pesq(speech, _with_noise(speech, 0)) < 2.0
+    """WB scores land in the right MOS regions (the aggregation scales are
+    calibrated so a DNS-like testbed reproduces the reference-published
+    DNS noisy baselines — tools/pesq_calibrate.py)."""
+    assert 2.6 < pesq(speech, _with_noise(speech, 30)) < 3.5
+    assert 1.9 < pesq(speech, _with_noise(speech, 20)) < 2.7
+    assert 1.3 < pesq(speech, _with_noise(speech, 10)) < 2.0
+    assert 1.0 < pesq(speech, _with_noise(speech, 0)) < 1.7
 
 
 def test_level_and_delay_invariance(speech):
@@ -118,8 +119,11 @@ def test_regression_values(speech):
     vals = {
         snr: pesq(speech, _with_noise(speech, snr)) for snr in (30, 10)
     }
-    assert vals[30] == pytest.approx(3.691, abs=0.02)
-    assert vals[10] == pytest.approx(2.049, abs=0.02)
+    assert vals[30] == pytest.approx(3.020, abs=0.02)
+    assert vals[10] == pytest.approx(1.603, abs=0.02)
+    assert pesq(speech, _with_noise(speech, 10), mode="nb") == pytest.approx(
+        2.215, abs=0.02
+    )
 
 
 def test_metrics_integration(speech):
@@ -135,7 +139,9 @@ def test_metrics_integration(speech):
     assert pesq_available()
     wb = WB_PESQ(speech, _with_noise(speech, 20))
     nb = NB_PESQ(speech, _with_noise(speech, 20))
-    assert 1.0 < nb < wb < 4.65
+    # NB is the more lenient mode on noisy speech (matches the published
+    # DNS noisy baselines: NB 2.454 vs WB 1.582)
+    assert 1.0 < wb < nb < 4.65
     assert 0.0 < transform_pesq_range(wb) < 1.05
 
 
@@ -152,3 +158,61 @@ def test_metrics_pesq_resamples_unsupported_rates(speech):
     score16 = WB_PESQ(speech, _with_noise(speech, 10), sr=16000)
     assert abs(score48 - score16) < 0.25
     assert 1.0 <= score48 <= 4.65
+
+
+def test_identity_on_periodic_signals():
+    """Quasi-periodic content ties the aligner's cross-correlation at
+    period multiples; the NCC crude align + near-tie preference must
+    still find lag 0 (identity == max score even for a pure tone)."""
+    t = np.arange(4 * SR) / SR
+    tone = 0.1 * np.sin(2 * np.pi * 440 * t) * (np.sin(2 * np.pi * 2.0 * t) > -0.5)
+    assert pesq_raw(tone, tone) == pytest.approx(4.5, abs=1e-9)
+
+
+def test_variable_delay_utterance_split(speech):
+    """A delay that JUMPS mid-file (the condition P.862's utterance
+    splitting exists for): per-utterance alignment must keep the score
+    near the maximum, far above what a single global delay could."""
+    n = len(speech)
+    half = n // 2
+    shift = 480  # 30 ms
+    deg = np.concatenate([
+        speech[:half],
+        speech[half - shift : n - shift],
+    ])
+    assert pesq(speech, deg) > 3.4
+
+
+def test_bark_table_internal_consistency():
+    """The transcribed ITU tables cohere: centre/width recurrence
+    (centre[i+1]-centre[i] == (width[i]+width[i+1])/2) and the per-band
+    bin counts tile the FFT half-spectrum exactly."""
+    from fullsubnet_tpu.pesq import (
+        _CENTRE_OF_BAND_BARK_16K,
+        _NR_OF_HZ_BANDS_16K,
+        _WIDTH_OF_BAND_BARK_16K,
+        _model,
+    )
+
+    c, w = _CENTRE_OF_BAND_BARK_16K, _WIDTH_OF_BAND_BARK_16K
+    np.testing.assert_allclose(np.diff(c), (w[:-1] + w[1:]) / 2, atol=5e-4)
+    assert _NR_OF_HZ_BANDS_16K.sum() == 256
+    assert _model(8000).nr_of_hz_bands.sum() == 128
+
+
+def test_dns_anchor_calibration():
+    """Four clips from the calibration testbed distribution score in the
+    DNS-noisy-baseline region and keep NB > WB (the fitted scales must
+    reproduce the published relationship; full fit in
+    tools/pesq_calibrate.py)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.pesq_calibrate import build_testbed
+
+    clips = build_testbed(4, 6.0)
+    wb = [pesq(sp, noisy) for sp, noisy, _, _ in clips]
+    nb = [pesq(sp, noisy, mode="nb") for sp, noisy, _, _ in clips]
+    assert 1.0 < float(np.mean(wb)) < 2.3
+    assert float(np.mean(nb)) > float(np.mean(wb))

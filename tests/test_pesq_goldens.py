@@ -1,0 +1,43 @@
+"""Regression against recorded ITU PESQ goldens, when available.
+
+``tools/pesq_goldens.py`` records (testbed clip, mode, itu_score,
+native_score) tuples on any machine that has the ITU ``pesq`` C
+extension. When that file exists in the repo, this test regenerates the
+deterministic testbed and asserts the native implementation still
+matches the recorded ITU scores within the documented tolerance. In
+environments where no goldens have been recorded (such as this build
+image, which cannot install the C extension) the test skips.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+GOLDENS = Path(__file__).parent / "data" / "pesq_goldens.json"
+
+
+@pytest.mark.skipif(not GOLDENS.exists(), reason="no recorded ITU goldens")
+def test_native_matches_recorded_itu_scores():
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from fullsubnet_tpu.pesq import pesq
+    from tools.pesq_calibrate import build_testbed
+
+    doc = json.loads(GOLDENS.read_text())
+    tb = doc["testbed"]
+    clips = build_testbed(tb["clips"], tb["seconds"])
+    deltas = []
+    for row in doc["rows"]:
+        sp, noisy, _, _ = clips[row["clip"]]
+        ours = pesq(sp, noisy, 16000, row["mode"])
+        # the native score must reproduce its recorded self exactly-ish
+        assert ours == pytest.approx(row["native"], abs=5e-3)
+        if "itu" in row:
+            deltas.append(ours - row["itu"])
+    if deltas:
+        d = np.abs(np.asarray(deltas))
+        assert d.mean() < 0.15, "mean |delta| vs ITU drifted"
+        assert d.max() < 0.5, "max |delta| vs ITU drifted"

@@ -91,8 +91,8 @@ def _utterances(sr=16000):
 
 # Pinned full-pipeline scores (fixed-seed checkpoint; see module docstring).
 PINNED = {
-    "utt0": {"stoi_n": 0.65238, "sisdr_n": 4.9939, "pesq_n": 1.90933},
-    "utt1": {"stoi_n": 0.59286, "sisdr_n": 5.0483, "pesq_n": 1.94946},
+    "utt0": {"stoi_n": 0.65238, "sisdr_n": 4.9939, "pesq_n": 1.80603},
+    "utt1": {"stoi_n": 0.59286, "sisdr_n": 5.0483, "pesq_n": 1.91420},
 }
 
 
@@ -141,6 +141,6 @@ def test_quality_regression_cumulative_recipe(tmp_path):
 
 
 PINNED_ENH = {
-    "utt0": {"stoi_e": 0.68108, "sisdr_e": -18.0231, "pesq_e": 1.86011},
-    "utt1": {"stoi_e": 0.65096, "sisdr_e": -18.4194, "pesq_e": 1.90073},
+    "utt0": {"stoi_e": 0.68108, "sisdr_e": -18.0231, "pesq_e": 1.75078},
+    "utt1": {"stoi_e": 0.65096, "sisdr_e": -18.4194, "pesq_e": 1.86032},
 }
