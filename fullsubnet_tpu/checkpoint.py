@@ -42,6 +42,10 @@ def load_torch_state_dict(path: str | os.PathLike) -> dict:
     blob = torch.load(os.fspath(path), map_location="cpu", weights_only=False)
     if isinstance(blob, dict) and "model" in blob:
         state = blob["model"]
+    elif isinstance(blob, dict) and "model_state_dict" in blob:
+        # released checkpoints (docs/source/usage/release.md) wrap the
+        # weights as {"model_state_dict", "optimizer_state_dict", ...}
+        state = blob["model_state_dict"]
     else:
         state = blob
     out = {}

@@ -183,6 +183,7 @@ class SubbandModel:
                         out=sb_model.output_size,
                         cell=sb_model.sequence_model.lower(),
                         itemsize=itemsize, stash_budget=section_budget,
+                        num_layers=len(sb_params["rnn"]),
                     )
                     <= 2 * section_budget
                 )
@@ -191,7 +192,6 @@ class SubbandModel:
             if (
                 self.use_pallas
                 and jax.default_backend() != "cpu"
-                and len(sb_params["rnn"]) == 2
                 and not sb_model.output_activate_function
                 and rows >= 128  # row-tile padding waste dominates below
                 and stash_ok
@@ -208,8 +208,7 @@ class SubbandModel:
                 kernel = fused_subband_lstm_train if training else fused_subband_lstm
                 out = kernel(
                     jnp.transpose(flat, (2, 0, 1)),  # [T, B·N, width]
-                    sb_params["rnn"][0][0],
-                    sb_params["rnn"][1][0],
+                    *[layer[0] for layer in sb_params["rnn"]],
                     sb_params["fc"],
                     # training: auto (largest VMEM-safe backward tile,
                     # capped by the padded row count)

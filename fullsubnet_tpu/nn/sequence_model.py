@@ -123,12 +123,16 @@ class SequenceModel:
         self, b: int, t: int, training: bool = False, itemsize: int = 4
     ) -> bool:
         h = self.hidden_size
-        # the training forward keeps BOTH layers' weights resident in
+        # the training forward keeps ALL layers' weights resident in
         # VMEM; for f32 wide-H stacks (e.g. H=512 fullband in a no-bf16
         # run) that alone is ~15 MB > the 16 MB budget with transients —
-        # those shapes stay on the scan path
+        # those shapes stay on the scan path. Layer 0 reads input_size,
+        # deeper layers read H; each also holds its [H, G·H] recurrent.
         gates = 4 if self.sequence_model == "LSTM" else 3
-        fwd_w_bytes = (self.input_size + 3 * h) * gates * h * itemsize
+        fwd_w_bytes = (
+            (self.input_size + (2 * self.num_layers - 1) * h)
+            * gates * h * itemsize
+        )
         if training:
             from fullsubnet_tpu.ops.subband_lstm import train_bwd_peak_bytes
 
@@ -149,6 +153,7 @@ class SequenceModel:
                     t, b, h, unit=self.input_size, out=self.output_size,
                     cell=cell, itemsize=itemsize,
                     stash_budget=self._PALLAS_TRAIN_STASH_BUDGET,
+                    num_layers=self.num_layers,
                 )
                 <= 2 * self._PALLAS_TRAIN_STASH_BUDGET
             )
@@ -156,7 +161,7 @@ class SequenceModel:
             stash_ok = True
         return (
             not self.bidirectional
-            and self.num_layers == 2
+            and self.num_layers >= 1
             and self.output_size > 0
             and self._act != "prelu"  # learnable act stays on the scan path
             and b >= self._PALLAS_MIN_ROWS
@@ -164,13 +169,18 @@ class SequenceModel:
             <= self._PALLAS_MAX_ELEMENTS
             # wide stacks (H > 448) train through the kernel's split-dW
             # backward (streamed gate cotangents + XLA dW GEMMs), which
-            # keeps the per-layer VMEM footprint under the 16 MB budget
-            and (not training or (stash_ok and fwd_w_bytes <= 10 * 2**20))
+            # keeps the per-layer VMEM footprint under the 16 MB budget.
+            # Resident-weight bound 16 MB: the training forward pins a
+            # 48 MB scoped-VMEM limit, and fullband_baseline's 3-layer
+            # H=512 bf16 stack (11.5 MB resident) compiles + trains
+            # under it (chip-verified); f32 wide stacks (23 MB) still
+            # fall back to the scan.
+            and (not training or (stash_ok and fwd_w_bytes <= 16 * 2**20))
             and jax.default_backend() != "cpu"
         )
 
     def _pallas_forward(self, params, x, training, interpret=False):
-        """x: [B, F, T] -> [B, F_out, T] via the fused dual-cell kernel
+        """x: [B, F, T] -> [B, F_out, T] via the fused multi-cell kernel
         (weights VMEM-resident; custom-VJP variant under training)."""
         from fullsubnet_tpu.ops.subband_lstm import (
             fused_subband_lstm,
@@ -181,8 +191,7 @@ class SequenceModel:
         kernel = fused_subband_lstm_train if training else fused_subband_lstm
         out = kernel(
             jnp.transpose(x, (2, 1, 0)),  # [T, F, B] feature-major
-            params["rnn"][0][0],
-            params["rnn"][1][0],
+            *[layer[0] for layer in params["rnn"]],
             params["fc"],
             time_major_features=True,
             # training: auto (largest VMEM-safe backward tile, capped by

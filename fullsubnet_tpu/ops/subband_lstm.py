@@ -1,12 +1,14 @@
-"""Pallas TPU kernel: fused 2-layer sub-band LSTM scan + output projection.
+"""Pallas TPU kernel: fused N-layer sub-band LSTM scan + output projection.
 
-FullSubNet's sub-band stage — two stacked LSTM layers over the
+FullSubNet's sub-band stage — stacked LSTM layers over the
 frequency-batched axis plus a Linear head — is the framework's hot loop
 (~99% of FLOPs). This kernel runs the WHOLE scan for a tile of rows with
-everything hot on-chip:
+everything hot on-chip (any stack depth >= 1; the recipe models use 2,
+fullband_baseline 3 — reference
+recipes/dns_interspeech_2020/fullband_baseline/model.py:31-38):
 
-* both layers' weights stay **resident in VMEM** for all T steps,
-* LSTM states (h1,c1,h2,c2) live in **VMEM scratch**, persisting across
+* every layer's weights stay **resident in VMEM** for all T steps,
+* LSTM states (h_i, c_i) live in **VMEM scratch**, persisting across
   the sequential grid steps (TPU grids execute in order),
 * the per-step input slice and the per-step output are streamed HBM<->VMEM
   by the Pallas pipeline (auto double-buffering via BlockSpec index maps),
@@ -82,32 +84,34 @@ def _gru_step(x_t, h_ref, _c_ref, w_ref, b_ref, hidden):
 
 def _kernel(
     x_ref,      # [1, F_in, TILE]
-    w1_ref,     # [F_in + H, G·H]
-    b1_ref,     # [1, G·H] (+ for GRU a second row with b_hh)
-    w2_ref,     # [H + H, G·H]
-    b2_ref,     # [1|2, G·H]
-    wfc_ref,    # [H, OUT]
-    bfc_ref,    # [1, OUT]
-    out_ref,    # [OUT, 8, TILE]
-    h1, c1, h2, c2,  # scratch [TILE, H] f32 (c unused for GRU)
-    *,
+    *rest,      # (w_i, b_i) per layer  w [in_i + H, G·H], b [1|2, G·H];
+                # wfc [H, OUT]; bfc [1, OUT]; out [OUT, 8, TILE];
+                # scratch (h_i, c_i) per layer [TILE, H] f32 (c unused GRU)
     hidden: int,
     cell: str,
+    num_layers: int,
 ):
+    ws = rest[0 : 2 * num_layers : 2]
+    bs = rest[1 : 2 * num_layers : 2]
+    wfc_ref, bfc_ref, out_ref = rest[2 * num_layers : 2 * num_layers + 3]
+    scratch = rest[2 * num_layers + 3 :]
+    hs = scratch[0::2]
+    cs = scratch[1::2]
+
     @pl.when(pl.program_id(1) == 0)
     def _init():
-        h1[:] = jnp.zeros_like(h1)
-        c1[:] = jnp.zeros_like(c1)
-        h2[:] = jnp.zeros_like(h2)
-        c2[:] = jnp.zeros_like(c2)
+        for s in scratch:
+            s[:] = jnp.zeros_like(s)
 
     step = _lstm_step if cell == "lstm" else _gru_step
     x_t = x_ref[0].T  # [TILE, F_in]
-    h1_t = step(x_t, h1, c1, w1_ref, b1_ref, hidden)
-    h2_t = step(h1_t.astype(x_t.dtype), h2, c2, w2_ref, b2_ref, hidden)
+    cdt = x_t.dtype
+    h_t = x_t
+    for li in range(num_layers):
+        h_t = step(h_t.astype(cdt), hs[li], cs[li], ws[li], bs[li], hidden)
     out = (
         jnp.dot(
-            h2_t.astype(wfc_ref.dtype), wfc_ref[:],
+            h_t.astype(wfc_ref.dtype), wfc_ref[:],
             preferred_element_type=jnp.float32,
         )
         + bfc_ref[0]
@@ -124,33 +128,46 @@ def _cell_of(l1: dict) -> tuple[int, str]:
     return hidden, {4: "lstm", 3: "gru"}[num_gates]
 
 
-def _prep_weights(l1, l2, fc, compute_dtype, cell):
+def _prep_weights(layers, fc, compute_dtype, cell):
     """Torch-layout layer dicts -> the kernel's resident VMEM operands.
 
     [W_ih^T stacked over W_hh^T] -> one [in+H, G·H] operand per layer;
     LSTM biases fuse (b_ih + b_hh), GRU keeps both rows (the reset gate
-    scales W_hn h + b_hn).
+    scales W_hn h + b_hn). Returns (ws, bs, wfc, bfc) with ws/bs tuples
+    in layer order.
     """
-    w1 = jnp.concatenate([l1["w_ih"], l1["w_hh"]], axis=1).T.astype(compute_dtype)
-    w2 = jnp.concatenate([l2["w_ih"], l2["w_hh"]], axis=1).T.astype(compute_dtype)
+    ws = tuple(
+        jnp.concatenate([l["w_ih"], l["w_hh"]], axis=1).T.astype(compute_dtype)
+        for l in layers
+    )
     if cell == "lstm":
-        b1 = (l1["b_ih"] + l1["b_hh"]).astype(jnp.float32)[None, :]
-        b2 = (l2["b_ih"] + l2["b_hh"]).astype(jnp.float32)[None, :]
+        bs = tuple(
+            (l["b_ih"] + l["b_hh"]).astype(jnp.float32)[None, :] for l in layers
+        )
     else:
-        b1 = jnp.stack([l1["b_ih"], l1["b_hh"]]).astype(jnp.float32)
-        b2 = jnp.stack([l2["b_ih"], l2["b_hh"]]).astype(jnp.float32)
+        bs = tuple(
+            jnp.stack([l["b_ih"], l["b_hh"]]).astype(jnp.float32) for l in layers
+        )
     wfc = fc["weight"].T.astype(compute_dtype)  # [H, OUT]
     bfc = fc["bias"].astype(jnp.float32)[None, :]
-    return w1, b1, w2, b2, wfc, bfc
+    return ws, bs, wfc, bfc
 
 
-def _infer_impl(x, l1, l2, fc, row_tile, interpret):
+def _const_spec(a):
+    return pl.BlockSpec(
+        a.shape, lambda r, tt, _s=a.shape: tuple(0 for _ in _s),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _infer_impl(x, layers, fc, row_tile, interpret):
     """The fast (no-stash) kernel invocation. x: [T, F_in, N]."""
     t, f_in, n = x.shape
-    hidden, cell = _cell_of(l1)
+    num_layers = len(layers)
+    hidden, cell = _cell_of(layers[0])
     out_dim = fc["weight"].shape[0]
     compute_dtype = x.dtype
-    w1, b1, w2, b2, wfc, bfc = _prep_weights(l1, l2, fc, compute_dtype, cell)
+    ws, bs, wfc, bfc = _prep_weights(layers, fc, compute_dtype, cell)
 
     n_pad = -(-n // row_tile) * row_tile
     t_pad = -(-t // 8) * 8  # out blocks span 8 timesteps
@@ -158,26 +175,25 @@ def _infer_impl(x, l1, l2, fc, row_tile, interpret):
         x = jnp.pad(x, ((0, t_pad - t), (0, 0), (0, n_pad - n)))
     num_tiles = n_pad // row_tile
 
+    wb = []
+    wb_specs = []
+    for w, b in zip(ws, bs):
+        wb += [w, b]
+        wb_specs += [_const_spec(w), _const_spec(b)]
+
     out = pl.pallas_call(
-        functools.partial(_kernel, hidden=hidden, cell=cell),
+        functools.partial(
+            _kernel, hidden=hidden, cell=cell, num_layers=num_layers
+        ),
         grid=(num_tiles, t_pad),
         in_specs=[
             pl.BlockSpec(
                 (1, f_in, row_tile), lambda r, tt: (tt, 0, r),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((w1.shape[0], w1.shape[1]), lambda r, tt: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b1.shape[0], b1.shape[1]), lambda r, tt: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w2.shape[0], w2.shape[1]), lambda r, tt: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b2.shape[0], b2.shape[1]), lambda r, tt: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, out_dim), lambda r, tt: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, out_dim), lambda r, tt: (0, 0),
-                         memory_space=pltpu.VMEM),
+            *wb_specs,
+            _const_spec(wfc),
+            _const_spec(bfc),
         ],
         out_specs=pl.BlockSpec(
             (out_dim, 8, row_tile), lambda r, tt: (0, tt // 8, r),
@@ -185,13 +201,17 @@ def _infer_impl(x, l1, l2, fc, row_tile, interpret):
         ),
         out_shape=jax.ShapeDtypeStruct((out_dim, t_pad, n_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((row_tile, hidden), jnp.float32),
-            pltpu.VMEM((row_tile, hidden), jnp.float32),
-            pltpu.VMEM((row_tile, hidden), jnp.float32),
-            pltpu.VMEM((row_tile, hidden), jnp.float32),
+            pltpu.VMEM((row_tile, hidden), jnp.float32)
+            for _ in range(2 * num_layers)
         ],
         interpret=interpret,
-    )(x, w1, b1, w2, b2, wfc, bfc)
+        # deeper stacks keep more resident weights; the tuned 2-layer
+        # inference path keeps XLA's automatic scoped-VMEM limit
+        compiler_params=(
+            None if interpret or num_layers <= 2
+            else pltpu.CompilerParams(vmem_limit_bytes=_BWD_VMEM_LIMIT)
+        ),
+    )(x, *wb, wfc, bfc)
 
     return jnp.transpose(out[:, :t, :n], (1, 2, 0))  # [T, N, OUT]
 
@@ -307,7 +327,7 @@ def _auto_split_dw(f_in, hidden, gh, row_tile, itemsize, cell):
     )
 
 
-def auto_bwd_row_tile(l1, l2, itemsize, n, split_dw=None) -> int:
+def auto_bwd_row_tile(layers, itemsize, n, split_dw=None) -> int:
     """Largest backward row tile in (512, 256, 128) whose per-layer
     kernel VMEM (fused or split, per the layer's own routing or the
     caller's ``split_dw`` override) fits ``_BWD_VMEM_ESTIMATE_CAP``,
@@ -318,17 +338,17 @@ def auto_bwd_row_tile(l1, l2, itemsize, n, split_dw=None) -> int:
     1024 would cost 1.6x compute for that ~8%, so a big tile is taken
     only when it pads nothing extra. COROLLARY the budget gates rely on:
     the kernel's padded rows always equal ceil(n/128)*128, so 128-padded
-    stash accounting (``train_stash_bytes``) is exact."""
-    hidden, cell = _cell_of(l1)
-    f_in1 = l1["w_ih"].shape[1]
-    gh1 = l1["w_ih"].shape[0]
-    gh2 = l2["w_ih"].shape[0]
+    stash accounting (``train_stash_bytes``) is exact.
+
+    ``layers`` is the layer-dict sequence (any length >= 1)."""
+    hidden, cell = _cell_of(layers[0])
+    shapes = [(l["w_ih"].shape[1], l["w_ih"].shape[0]) for l in layers]
     n_pad128 = -(-n // 128) * 128
     for tile in (512, 256, 128):
         if -(-n // tile) * tile != n_pad128:
             continue
         ok = True
-        for f_in, gh in ((f_in1, gh1), (hidden, gh2)):
+        for f_in, gh in shapes:
             split = (
                 _auto_split_dw(f_in, hidden, gh, tile, itemsize, cell)
                 if split_dw is None
@@ -346,81 +366,83 @@ def auto_bwd_row_tile(l1, l2, itemsize, n, split_dw=None) -> int:
 
 
 def _kernel_train_fwd(
-    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, wfc_ref, bfc_ref,
-    *rest, hidden: int, cell: str,
+    x_ref, *rest, hidden: int, cell: str, num_layers: int,
 ):
     """`_kernel` + per-step state stashes + chunk-initial states.
 
-    rest (LSTM) = h1_0, c1_0, h2_0, c2_0   (inputs, [TILE, H] blocks)
-                  out, h1s, c1s, h2s, c2s  (outputs)
-                  h1, c1, h2, c2           (scratch)
-    rest (GRU)  = h1_0, h2_0, out, h1s, h2s, h1, c1, h2, c2
+    rest = (w_i, b_i) per layer;  wfc; bfc;
+           per-layer chunk-initial states (inputs, [TILE, H] blocks):
+             LSTM (h_i0, c_i0), GRU (h_i0,);
+           out;  per-layer stashes (outputs): LSTM (h_is, c_is), GRU
+             (h_is,);
+           scratch (h_i, c_i) per layer.
 
     With a boundary-chunked stash out spec (index map ``tt // chunk``)
     the per-step stash writes land in a revisited VMEM block and only the
     LAST step of each chunk reaches HBM — i.e. the state ENTERING the
     next chunk.
     """
-    if cell == "lstm":
-        h1_0, c1_0, h2_0, c2_0 = rest[:4]
-        out_ref = rest[4]
-        h1s_ref, c1s_ref, h2s_ref, c2s_ref = rest[5:9]
-        h1, c1, h2, c2 = rest[9:]
-    else:
-        h1_0, h2_0 = rest[:2]
-        out_ref = rest[2]
-        h1s_ref, h2s_ref = rest[3:5]
-        c1s_ref = c2s_ref = None
-        h1, c1, h2, c2 = rest[5:]
+    s = 2 if cell == "lstm" else 1  # stashed states per layer
+    ws = rest[0 : 2 * num_layers : 2]
+    bs = rest[1 : 2 * num_layers : 2]
+    p = 2 * num_layers
+    wfc_ref, bfc_ref = rest[p : p + 2]
+    p += 2
+    h0s = rest[p : p + s * num_layers]
+    p += s * num_layers
+    out_ref = rest[p]
+    stash = rest[p + 1 : p + 1 + s * num_layers]
+    scratch = rest[p + 1 + s * num_layers :]
+    hs = scratch[0::2]
+    cs = scratch[1::2]
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
-        h1[:] = h1_0[:].astype(jnp.float32)
-        h2[:] = h2_0[:].astype(jnp.float32)
-        if cell == "lstm":
-            c1[:] = c1_0[:].astype(jnp.float32)
-            c2[:] = c2_0[:].astype(jnp.float32)
-        else:
-            c1[:] = jnp.zeros_like(c1)
-            c2[:] = jnp.zeros_like(c2)
+        for li in range(num_layers):
+            hs[li][:] = h0s[s * li][:].astype(jnp.float32)
+            if cell == "lstm":
+                cs[li][:] = h0s[s * li + 1][:].astype(jnp.float32)
+            else:
+                cs[li][:] = jnp.zeros_like(cs[li])
 
     step = _lstm_step if cell == "lstm" else _gru_step
     x_t = x_ref[0].T
-    h1_t = step(x_t, h1, c1, w1_ref, b1_ref, hidden)
-    h2_t = step(h1_t.astype(x_t.dtype), h2, c2, w2_ref, b2_ref, hidden)
+    cdt = x_t.dtype
+    h_t = x_t
+    for li in range(num_layers):
+        h_t = step(h_t.astype(cdt), hs[li], cs[li], ws[li], bs[li], hidden)
+        stash[s * li][0] = h_t.astype(stash[s * li].dtype)
+        if cell == "lstm":
+            stash[s * li + 1][0] = cs[li][:].astype(stash[s * li + 1].dtype)
     out = (
         jnp.dot(
-            h2_t.astype(wfc_ref.dtype), wfc_ref[:],
+            h_t.astype(wfc_ref.dtype), wfc_ref[:],
             preferred_element_type=jnp.float32,
         )
         + bfc_ref[0]
     )
     slot = pl.program_id(1) % 8
     out_ref[:, pl.ds(slot, 1), :] = out.T[:, None, :].astype(out_ref.dtype)
-    h1s_ref[0] = h1_t.astype(h1s_ref.dtype)
-    h2s_ref[0] = h2_t.astype(h2s_ref.dtype)
-    if cell == "lstm":
-        c1s_ref[0] = c1[:].astype(c1s_ref.dtype)
-        c2s_ref[0] = c2[:].astype(c2s_ref.dtype)
 
 
 def _stash_fwd_call(
-    xp, l1, l2, fc, h0s, *, row_tile, interpret, boundary_chunk=0
+    xp, layers, fc, h0s, *, row_tile, interpret, boundary_chunk=0
 ):
     """Run the stash forward over xp [t_pad, F_in, n_pad] from initial
-    states ``h0s`` ([n_pad, H] arrays: (h1,c1,h2,c2) for LSTM, (h1,h2)
-    for GRU). Returns (out [OUT, t_pad, n_pad] f32, stashes).
+    states ``h0s`` ([n_pad, H] arrays: per layer (h_i, c_i) for LSTM,
+    (h_i,) for GRU). Returns (out [OUT, t_pad, n_pad] f32, stashes).
 
     ``boundary_chunk`` == 0 stashes every step ([t_pad, n_pad, H]);
     otherwise only chunk-end states ([t_pad/chunk, n_pad, H]).
     """
     t_pad, f_in, n_pad = xp.shape
-    hidden, cell = _cell_of(l1)
+    num_layers = len(layers)
+    hidden, cell = _cell_of(layers[0])
     out_dim = fc["weight"].shape[0]
     cdt = xp.dtype
-    w1, b1, w2, b2, wfc, bfc = _prep_weights(l1, l2, fc, cdt, cell)
+    ws, bs, wfc, bfc = _prep_weights(layers, fc, cdt, cell)
     num_tiles = n_pad // row_tile
-    n_stash = 4 if cell == "lstm" else 2
+    n_stash = (2 if cell == "lstm" else 1) * num_layers
 
     if boundary_chunk:
         stash_spec = pl.BlockSpec(
@@ -435,23 +457,26 @@ def _stash_fwd_call(
             memory_space=pltpu.VMEM,
         )
         stash_t = t_pad
-    const = lambda a: pl.BlockSpec(
-        a.shape, lambda r, tt, _s=a.shape: tuple(0 for _ in _s),
-        memory_space=pltpu.VMEM,
-    )
     h0_spec = pl.BlockSpec(
         (row_tile, hidden), lambda r, tt: (r, 0), memory_space=pltpu.VMEM
     )
+    wb = []
+    wb_specs = []
+    for w, b in zip(ws, bs):
+        wb += [w, b]
+        wb_specs += [_const_spec(w), _const_spec(b)]
     results = pl.pallas_call(
-        functools.partial(_kernel_train_fwd, hidden=hidden, cell=cell),
+        functools.partial(
+            _kernel_train_fwd, hidden=hidden, cell=cell, num_layers=num_layers
+        ),
         grid=(num_tiles, t_pad),
         in_specs=[
             pl.BlockSpec(
                 (1, f_in, row_tile), lambda r, tt: (tt, 0, r),
                 memory_space=pltpu.VMEM,
             ),
-            const(w1), const(b1), const(w2), const(b2),
-            const(wfc), const(bfc),
+            *wb_specs,
+            _const_spec(wfc), _const_spec(bfc),
         ] + [h0_spec] * n_stash,
         out_specs=[
             pl.BlockSpec(
@@ -465,7 +490,8 @@ def _stash_fwd_call(
             jax.ShapeDtypeStruct((stash_t, n_pad, hidden), cdt)
         ] * n_stash,
         scratch_shapes=[
-            pltpu.VMEM((row_tile, hidden), jnp.float32) for _ in range(4)
+            pltpu.VMEM((row_tile, hidden), jnp.float32)
+            for _ in range(2 * num_layers)
         ],
         interpret=interpret,
         # the training forward shares the backward's pinned scoped-VMEM
@@ -474,7 +500,7 @@ def _stash_fwd_call(
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_BWD_VMEM_LIMIT
         ),
-    )(xp, w1, b1, w2, b2, wfc, bfc, *h0s)
+    )(xp, *wb, wfc, bfc, *h0s)
     return results[0], tuple(results[1:])
 
 
@@ -888,6 +914,10 @@ def _train_vjp_fn(
     budget). Values are identical either way (padding is trimmed), which
     is what custom_vjp requires.
 
+    The returned function takes ``(x, layers, fc)`` with ``layers`` a
+    tuple of layer dicts (any depth >= 1 — the layer count is a trace-time
+    property of the operands, not part of this cache key).
+
     ``chunk`` > 0 selects the time-chunked remat scheme (see the section
     comment above); ``split_dw`` streams gate cotangents instead of
     accumulating dW in VMEM (None = per-layer VMEM estimate).
@@ -899,91 +929,92 @@ def _train_vjp_fn(
         t_pad = -(-t // align) * align
         return t_pad, n_pad
 
-    def _fwd_impl(x, l1, l2, fc):
+    def _fwd_impl(x, layers, fc):
         t, f_in, n = x.shape
-        hidden, cell = _cell_of(l1)
+        hidden, cell = _cell_of(layers[0])
         cdt = x.dtype
         t_pad, n_pad = _pad_shapes(t, n)
         xp = x
         if n_pad != n or t_pad != t:
             xp = jnp.pad(x, ((0, t_pad - t), (0, 0), (0, n_pad - n)))
-        n_stash = 4 if cell == "lstm" else 2
+        n_stash = (2 if cell == "lstm" else 1) * len(layers)
         zeros0 = jnp.zeros((n_pad, hidden), cdt)
         out, stashes = _stash_fwd_call(
-            xp, l1, l2, fc, (zeros0,) * n_stash,
+            xp, layers, fc, (zeros0,) * n_stash,
             row_tile=row_tile, interpret=interpret,
             boundary_chunk=chunk,
         )
         out = jnp.transpose(out[:, :t, :n], (1, 2, 0))  # [T, N, OUT]
-        return out, (xp, stashes, l1, l2, fc)
+        return out, (xp, stashes, layers, fc)
 
     def _bwd_direct(res, g):
-        """Unchunked backward: the full per-step stash is in HBM."""
-        xp, stashes, l1, l2, fc = res
+        """Unchunked backward: the full per-step stash is in HBM.
+        Walks layers last-to-first; each layer's input sequence is the
+        previous layer's h stash (the raw input for layer 0)."""
+        xp, stashes, layers, fc = res
         t, n, _ = g.shape
-        hidden, cell = _cell_of(l1)
+        num_layers = len(layers)
+        hidden, cell = _cell_of(layers[0])
         cdt = xp.dtype
-        w1, b1, w2, b2, wfc, _bfc = _prep_weights(l1, l2, fc, cdt, cell)
-        if cell == "lstm":
-            h1s, c1s, h2s, c2s = stashes
-        else:
-            h1s, h2s = stashes
-            c1s = c2s = None
-        n_pad = h1s.shape[1]
+        ws, bs, wfc, _bfc = _prep_weights(layers, fc, cdt, cell)
+        is_lstm = cell == "lstm"
+        s = 2 if is_lstm else 1
+        n_pad = stashes[0].shape[1]
 
-        # fc head backward: two XLA einsums
+        # fc head backward: two XLA einsums (input = last layer's h stash)
         g32 = g.astype(jnp.float32)
         gc = g.astype(cdt)
+        h_last = stashes[s * (num_layers - 1)]
         dfc_w = jnp.einsum(
-            "tno,tnh->oh", gc, h2s[:t, :n],
+            "tno,tnh->oh", gc, h_last[:t, :n],
             preferred_element_type=jnp.float32,
         )
         dfc_b = jnp.sum(g32, axis=(0, 1))
-        dh2 = jnp.einsum(
+        dh = jnp.einsum(
             "tno,ho->tnh", gc, wfc, preferred_element_type=jnp.float32
         ).astype(cdt)
         if n_pad != n:
-            dh2 = jnp.pad(dh2, ((0, 0), (0, n_pad - n), (0, 0)))
+            dh = jnp.pad(dh, ((0, 0), (0, n_pad - n), (0, 0)))
 
         zero_h = jnp.zeros((n_pad, hidden), cdt)
         zero_f = jnp.zeros((n_pad, hidden), jnp.float32)
-        is_lstm = cell == "lstm"
-        dh1, dwih2, dwhh2, dbih2, dbhh2, _, _ = _pallas_layer_bwd(
-            dh2, h1s, h2s, c2s, w2, b2,
-            h0=zero_h, c0=zero_h if is_lstm else None,
-            dh_init=zero_f, dc_init=zero_f if is_lstm else None,
-            hidden=hidden, cell=cell, row_tile=row_tile,
-            interpret=interpret, x_feature_major=False, split_dw=split_dw,
-        )
-        dx, dwih1, dwhh1, dbih1, dbhh1, _, _ = _pallas_layer_bwd(
-            dh1, xp, h1s, c1s, w1, b1,
-            h0=zero_h, c0=zero_h if is_lstm else None,
-            dh_init=zero_f, dc_init=zero_f if is_lstm else None,
-            hidden=hidden, cell=cell, row_tile=row_tile,
-            interpret=interpret, x_feature_major=True, split_dw=split_dw,
-        )
+        dlayers = [None] * num_layers
+        for li in reversed(range(num_layers)):
+            feature_major = li == 0
+            x_seq = xp if feature_major else stashes[s * (li - 1)]
+            dh, dwih, dwhh, dbih, dbhh, _, _ = _pallas_layer_bwd(
+                dh, x_seq, stashes[s * li],
+                stashes[s * li + 1] if is_lstm else None,
+                ws[li], bs[li],
+                h0=zero_h, c0=zero_h if is_lstm else None,
+                dh_init=zero_f, dc_init=zero_f if is_lstm else None,
+                hidden=hidden, cell=cell, row_tile=row_tile,
+                interpret=interpret, x_feature_major=feature_major,
+                split_dw=split_dw,
+            )
+            dlayers[li] = _layer_grads(layers[li], dwih, dwhh, dbih, dbhh)
 
-        dl1 = _layer_grads(l1, dwih1, dwhh1, dbih1, dbhh1)
-        dl2 = _layer_grads(l2, dwih2, dwhh2, dbih2, dbhh2)
         dfc = {
             "weight": dfc_w.astype(fc["weight"].dtype),
             "bias": dfc_b.astype(fc["bias"].dtype),
         }
-        dx = dx[:, :, :n].astype(cdt)  # [T, F_in, N]
-        return dx, dl1, dl2, dfc
+        dx = dh[:, :, :n].astype(cdt)  # [T, F_in, N]
+        return dx, tuple(dlayers), dfc
 
     def _bwd_chunked(res, g):
         """Chunk-remat backward: re-run the stash forward per chunk from
         its boundary state, walk chunks last-to-first with (dh, dc)
         carries, accumulate dW across chunks. One lax.scan body keeps the
         compiled program size independent of the chunk count."""
-        xp, boundaries, l1, l2, fc = res
+        xp, boundaries, layers, fc = res
         t, n, out_dim = g.shape
         t_pad, f_in, n_pad = xp.shape
-        hidden, cell = _cell_of(l1)
+        num_layers = len(layers)
+        hidden, cell = _cell_of(layers[0])
         cdt = xp.dtype
-        w1, b1, w2, b2, wfc, _bfc = _prep_weights(l1, l2, fc, cdt, cell)
+        ws, bs, wfc, _bfc = _prep_weights(layers, fc, cdt, cell)
         is_lstm = cell == "lstm"
+        s = 2 if is_lstm else 1
         num_chunks = t_pad // chunk
 
         gp = g.astype(cdt)
@@ -994,118 +1025,111 @@ def _train_vjp_fn(
         # boundaries[j] = state ENTERING chunk j+1; chunk 0 starts at zeros
         zero_h = jnp.zeros((1, n_pad, hidden), cdt)
         bprev = tuple(
-            jnp.concatenate([zero_h, s[:-1]], axis=0) for s in boundaries
+            jnp.concatenate([zero_h, st[:-1]], axis=0) for st in boundaries
         )
 
-        gh1, gh2 = w1.shape[1], w2.shape[1]
         zero_f = jnp.zeros((n_pad, hidden), jnp.float32)
         # fc bias grad from the ORIGINAL f32 cotangent (pre compute-dtype
         # cast), matching _bwd_direct bit-for-bit — the in-scan slices
         # (g_cs) are already bf16 under mixed precision.
         dfc_b_total = jnp.sum(g.astype(jnp.float32), axis=(0, 1))
-        acc0 = {
-            "dwih1": jnp.zeros((f_in, gh1), jnp.float32),
-            "dwhh1": jnp.zeros((hidden, gh1), jnp.float32),
-            "dbih1": jnp.zeros((gh1,), jnp.float32),
-            "dbhh1": jnp.zeros((gh1,), jnp.float32),
-            "dwih2": jnp.zeros((hidden, gh2), jnp.float32),
-            "dwhh2": jnp.zeros((hidden, gh2), jnp.float32),
-            "dbih2": jnp.zeros((gh2,), jnp.float32),
-            "dbhh2": jnp.zeros((gh2,), jnp.float32),
-            "dfc_w": jnp.zeros((out_dim, hidden), jnp.float32),
-        }
+        acc0 = (
+            tuple(
+                {
+                    "dwih": jnp.zeros((w.shape[0] - hidden, w.shape[1]),
+                                      jnp.float32),
+                    "dwhh": jnp.zeros((hidden, w.shape[1]), jnp.float32),
+                    "dbih": jnp.zeros((w.shape[1],), jnp.float32),
+                    "dbhh": jnp.zeros((w.shape[1],), jnp.float32),
+                }
+                for w in ws
+            ),
+            jnp.zeros((out_dim, hidden), jnp.float32),
+        )
         carry0 = {
-            "dh1": zero_f, "dh2": zero_f,
-            **({"dc1": zero_f, "dc2": zero_f} if is_lstm else {}),
+            "dh": (zero_f,) * num_layers,
+            **({"dc": (zero_f,) * num_layers} if is_lstm else {}),
         }
 
         def body(carry, xs):
-            cr, acc = carry
-            if is_lstm:
-                x_c, g_c, h1_0, c1_0, h2_0, c2_0 = xs
-                h0s = (h1_0, c1_0, h2_0, c2_0)
-            else:
-                x_c, g_c, h1_0, h2_0 = xs
-                h0s = (h1_0, h2_0)
-                c1_0 = c2_0 = None
+            cr, (acc_layers, acc_fcw) = carry
+            x_c, g_c, h0s = xs
             _, stash_c = _stash_fwd_call(
-                x_c, l1, l2, fc, h0s,
+                x_c, layers, fc, h0s,
                 row_tile=row_tile, interpret=interpret, boundary_chunk=0,
             )
-            if is_lstm:
-                h1s, c1s, h2s, c2s = stash_c
-            else:
-                h1s, h2s = stash_c
-                c1s = c2s = None
 
-            dfc_w = acc["dfc_w"] + jnp.einsum(
-                "kno,knh->oh", g_c, h2s, preferred_element_type=jnp.float32
+            dfc_w = acc_fcw + jnp.einsum(
+                "kno,knh->oh", g_c, stash_c[s * (num_layers - 1)],
+                preferred_element_type=jnp.float32,
             )
-            dh2 = jnp.einsum(
+            dh = jnp.einsum(
                 "kno,ho->knh", g_c, wfc, preferred_element_type=jnp.float32
             ).astype(cdt)
 
-            dh1, dwih2, dwhh2, dbih2, dbhh2, dh2_0, dc2_0 = _pallas_layer_bwd(
-                dh2, h1s, h2s, c2s, w2, b2,
-                h0=h2_0, c0=c2_0,
-                dh_init=cr["dh2"], dc_init=cr.get("dc2"),
-                hidden=hidden, cell=cell, row_tile=row_tile,
-                interpret=interpret, x_feature_major=False, split_dw=split_dw,
-            )
-            dx_c, dwih1, dwhh1, dbih1, dbhh1, dh1_0, dc1_0 = _pallas_layer_bwd(
-                dh1, x_c, h1s, c1s, w1, b1,
-                h0=h1_0, c0=c1_0,
-                dh_init=cr["dh1"], dc_init=cr.get("dc1"),
-                hidden=hidden, cell=cell, row_tile=row_tile,
-                interpret=interpret, x_feature_major=True, split_dw=split_dw,
-            )
+            new_accs = [None] * num_layers
+            new_dh0 = [None] * num_layers
+            new_dc0 = [None] * num_layers
+            for li in reversed(range(num_layers)):
+                feature_major = li == 0
+                x_seq = x_c if feature_major else stash_c[s * (li - 1)]
+                dh, dwih, dwhh, dbih, dbhh, dh0_li, dc0_li = _pallas_layer_bwd(
+                    dh, x_seq, stash_c[s * li],
+                    stash_c[s * li + 1] if is_lstm else None,
+                    ws[li], bs[li],
+                    h0=h0s[s * li], c0=h0s[s * li + 1] if is_lstm else None,
+                    dh_init=cr["dh"][li],
+                    dc_init=cr["dc"][li] if is_lstm else None,
+                    hidden=hidden, cell=cell, row_tile=row_tile,
+                    interpret=interpret, x_feature_major=feature_major,
+                    split_dw=split_dw,
+                )
+                a = acc_layers[li]
+                new_accs[li] = {
+                    "dwih": a["dwih"] + dwih,
+                    "dwhh": a["dwhh"] + dwhh,
+                    "dbih": a["dbih"] + dbih,
+                    "dbhh": a["dbhh"] + dbhh,
+                }
+                new_dh0[li] = dh0_li
+                new_dc0[li] = dc0_li
 
-            new_acc = {
-                "dwih1": acc["dwih1"] + dwih1,
-                "dwhh1": acc["dwhh1"] + dwhh1,
-                "dbih1": acc["dbih1"] + dbih1,
-                "dbhh1": acc["dbhh1"] + dbhh1,
-                "dwih2": acc["dwih2"] + dwih2,
-                "dwhh2": acc["dwhh2"] + dwhh2,
-                "dbih2": acc["dbih2"] + dbih2,
-                "dbhh2": acc["dbhh2"] + dbhh2,
-                "dfc_w": dfc_w,
-            }
             new_cr = {
-                "dh1": dh1_0, "dh2": dh2_0,
-                **({"dc1": dc1_0, "dc2": dc2_0} if is_lstm else {}),
+                "dh": tuple(new_dh0),
+                **({"dc": tuple(new_dc0)} if is_lstm else {}),
             }
-            return (new_cr, new_acc), dx_c
+            return (new_cr, (tuple(new_accs), dfc_w)), dh
 
-        xs = (x_cs, g_cs) + bprev
-        (_, acc), dx_cs = jax.lax.scan(
+        xs = (x_cs, g_cs, bprev)
+        (_, (acc_layers, acc_fcw)), dx_cs = jax.lax.scan(
             body, (carry0, acc0), xs, reverse=True
         )
 
-        dl1 = _layer_grads(
-            l1, acc["dwih1"], acc["dwhh1"], acc["dbih1"], acc["dbhh1"]
-        )
-        dl2 = _layer_grads(
-            l2, acc["dwih2"], acc["dwhh2"], acc["dbih2"], acc["dbhh2"]
+        dlayers = tuple(
+            _layer_grads(
+                layers[li], acc_layers[li]["dwih"], acc_layers[li]["dwhh"],
+                acc_layers[li]["dbih"], acc_layers[li]["dbhh"],
+            )
+            for li in range(num_layers)
         )
         dfc = {
-            "weight": acc["dfc_w"].astype(fc["weight"].dtype),
+            "weight": acc_fcw.astype(fc["weight"].dtype),
             "bias": dfc_b_total.astype(fc["bias"].dtype),
         }
         dx = dx_cs.reshape(t_pad, f_in, n_pad)[:t, :, :n].astype(cdt)
-        return dx, dl1, dl2, dfc
+        return dx, dlayers, dfc
 
     _bwd_impl = _bwd_chunked if chunk else _bwd_direct
 
     @jax.custom_vjp
-    def f(x, l1, l2, fc):
-        return _infer_impl(x, l1, l2, fc, primal_row_tile, interpret)
+    def f(x, layers, fc):
+        return _infer_impl(x, layers, fc, primal_row_tile, interpret)
 
     f.defvjp(_fwd_impl, _bwd_impl)
     return f
 
 
-def _pick_chunk(t, n_pad, hidden, cell, itemsize, stash_budget):
+def _pick_chunk(t, n_pad, hidden, cell, itemsize, stash_budget, num_layers=2):
     """Pick the stash time-chunk from static shapes. 0 = the full
     per-step stash fits ``stash_budget`` bytes of HBM (one fwd, no
     remat). Otherwise the smallest total footprint is at
@@ -1121,7 +1145,7 @@ def _pick_chunk(t, n_pad, hidden, cell, itemsize, stash_budget):
     :func:`train_stash_bytes` (+ their kernel I/O) against their budget
     and route to a rematerialized scan instead (see
     ``FullSubNet._fused_subband_stage``)."""
-    n_stash = 4 if cell == "lstm" else 2
+    n_stash = (2 if cell == "lstm" else 1) * num_layers
     per_step = n_stash * n_pad * hidden * itemsize
     t8 = -(-t // 8) * 8
     if t8 * per_step <= stash_budget:
@@ -1146,6 +1170,7 @@ def train_stash_bytes(
     itemsize: int = 2,
     row_tile: int = 128,
     stash_budget: int = _DEFAULT_STASH_BUDGET,
+    num_layers: int = 2,
 ) -> int:
     """HBM bytes the training VJP will stash at these shapes AFTER
     auto-chunking (callers can gate kernel routing on this — e.g. fall
@@ -1154,10 +1179,10 @@ def train_stash_bytes(
     path: :func:`auto_bwd_row_tile` only takes a bigger tile when it
     pads no extra rows."""
     n_pad = -(-n // row_tile) * row_tile
-    n_stash = 4 if cell == "lstm" else 2
+    n_stash = (2 if cell == "lstm" else 1) * num_layers
     per_step = n_stash * n_pad * hidden * itemsize
     t8 = -(-t // 8) * 8
-    k = _pick_chunk(t, n_pad, hidden, cell, itemsize, stash_budget)
+    k = _pick_chunk(t, n_pad, hidden, cell, itemsize, stash_budget, num_layers)
     if k == 0:
         return t8 * per_step
     t_pad = -(-t // k) * k
@@ -1174,32 +1199,34 @@ def train_bwd_peak_bytes(
     itemsize: int = 2,
     row_tile: int = 128,
     stash_budget: int = _DEFAULT_STASH_BUDGET,
+    num_layers: int = 2,
 ) -> int:
     """Transient-aware HBM peak of the training VJP at these shapes,
     using the chunk the kernel's own ``_pick_chunk`` would select.
 
     Unlike :func:`train_stash_bytes` (stash-only), this also counts the
     per-chunk backward TRANSIENTS that scale with the chunk — the
-    recomputed in-chunk state stash, the dh1/dh2 cotangent chunks, the
-    x/dx chunks — plus 3x the kernel input for I/O (input, its remat
-    copy under ``jax.checkpoint``, and dx) and the output cotangent
-    (one f32 + one compute-dtype copy when ``out`` > 0). Mirrors
-    ``FullSubNet._grouped_chunk``'s accounting so eligibility gates
-    reject shapes that pass stash-only accounting and then OOM in the
-    backward (ADVICE r2: SequenceModel/improved gates were stash-only).
+    recomputed in-chunk state stash, the inter-layer dh cotangent
+    chunks, the x/dx chunks — plus 3x the kernel input for I/O (input,
+    its remat copy under ``jax.checkpoint``, and dx) and the output
+    cotangent (one f32 + one compute-dtype copy when ``out`` > 0).
+    Mirrors ``FullSubNet._grouped_chunk``'s accounting so eligibility
+    gates reject shapes that pass stash-only accounting and then OOM in
+    the backward (ADVICE r2: SequenceModel/improved gates were
+    stash-only).
     """
     n_pad = -(-n // row_tile) * row_tile
-    n_stash = 4 if cell == "lstm" else 2
+    n_stash = (2 if cell == "lstm" else 1) * num_layers
     per_step = n_stash * n_pad * hidden * itemsize
     t8 = -(-t // 8) * 8
     io = 3 * t * unit * n_pad * itemsize
     io += t8 * n_pad * out * (itemsize + 4)
-    k = _pick_chunk(t, n_pad, hidden, cell, itemsize, stash_budget)
+    k = _pick_chunk(t, n_pad, hidden, cell, itemsize, stash_budget, num_layers)
     if k == 0:
-        # unchunked: full stash + the dh2/dh1 cotangent sequences
-        return io + t8 * per_step + 2 * t8 * n_pad * hidden * itemsize
+        # unchunked: full stash + the per-layer dh cotangent sequences
+        return io + t8 * per_step + num_layers * t8 * n_pad * hidden * itemsize
     per_chunk = (
-        (n_stash + 2) * n_pad * hidden * itemsize
+        (n_stash + num_layers) * n_pad * hidden * itemsize
         + 2 * n_pad * unit * itemsize
     )
     return io + (-(-t8 // k)) * per_step + k * per_chunk
@@ -1207,10 +1234,7 @@ def train_bwd_peak_bytes(
 
 def fused_subband_lstm(
     x: jax.Array,
-    l1: dict,
-    l2: dict,
-    fc: dict,
-    *,
+    *layers_and_fc: dict,
     row_tile: int = 512,
     interpret: bool = False,
     time_major_features: bool = False,
@@ -1218,15 +1242,18 @@ def fused_subband_lstm(
     time_chunk: int | None = None,
     split_dw: bool | None = None,
 ) -> jax.Array:
-    """Run the fused 2-layer LSTM/GRU + Linear over x.
+    """Run the fused N-layer LSTM/GRU + Linear over x.
 
     Args:
         x: [T, N, F_in] (or [T, F_in, N] if ``time_major_features``) input;
             N = B·F frequency-batched rows.
-        l1, l2: layer dicts {w_ih [4H, in], w_hh [4H, H], b_ih, b_hh}
-            (torch layout, as produced by ``nn.rnn.lstm_init`` / the
-            checkpoint converter).
-        fc: {weight [OUT, H], bias [OUT]}.
+        *layers_and_fc: one or more layer dicts
+            {w_ih [4H, in], w_hh [4H, H], b_ih, b_hh} (torch layout, as
+            produced by ``nn.rnn.lstm_init`` / the checkpoint converter),
+            followed by the head fc dict {weight [OUT, H], bias [OUT]}.
+            The classic 2-layer call is ``fused_subband_lstm(x, l1, l2,
+            fc)``; fullband_baseline's 3-layer stack passes ``(x, l1, l2,
+            l3, fc)``.
         row_tile: rows per grid tile (N is padded up to a multiple).
         interpret: run in the Pallas interpreter (CPU testing).
         stash_budget: HBM bytes allowed for the backward state stash;
@@ -1245,30 +1272,29 @@ def fused_subband_lstm(
     :func:`fused_subband_lstm_train` in training code paths to pick the
     training row tile explicitly.
     """
+    layers, fc = tuple(layers_and_fc[:-1]), layers_and_fc[-1]
     if not time_major_features:
         x = jnp.swapaxes(x, 1, 2)  # -> [T, F_in, N]
     itemsize = jnp.dtype(x.dtype).itemsize
     bwd_tile = min(
-        row_tile, auto_bwd_row_tile(l1, l2, itemsize, x.shape[2], split_dw)
+        row_tile, auto_bwd_row_tile(layers, itemsize, x.shape[2], split_dw)
     )
-    hidden, cell = _cell_of(l1)
+    hidden, cell = _cell_of(layers[0])
     if time_chunk is None:
         n_pad = -(-x.shape[2] // bwd_tile) * bwd_tile
         time_chunk = _pick_chunk(
             x.shape[0], n_pad, hidden, cell, itemsize, stash_budget,
+            len(layers),
         )
     assert time_chunk % 8 == 0, "time_chunk must be a multiple of 8"
     return _train_vjp_fn(row_tile, bwd_tile, interpret, time_chunk, split_dw)(
-        x, l1, l2, fc
+        x, layers, fc
     )
 
 
 def fused_subband_lstm_train(
     x: jax.Array,
-    l1: dict,
-    l2: dict,
-    fc: dict,
-    *,
+    *layers_and_fc: dict,
     row_tile: int | None = None,
     interpret: bool = False,
     time_major_features: bool = False,
@@ -1280,18 +1306,20 @@ def fused_subband_lstm_train(
     stash/backward row tile = ``row_tile`` for the fwd pass as well, so
     the residual-producing forward is compiled once). ``row_tile`` None
     picks the largest VMEM-safe tile (:func:`auto_bwd_row_tile`)."""
+    layers, fc = tuple(layers_and_fc[:-1]), layers_and_fc[-1]
     if not time_major_features:
         x = jnp.swapaxes(x, 1, 2)  # -> [T, F_in, N]
     itemsize = jnp.dtype(x.dtype).itemsize
     if row_tile is None:
-        row_tile = auto_bwd_row_tile(l1, l2, itemsize, x.shape[2], split_dw)
-    hidden, cell = _cell_of(l1)
+        row_tile = auto_bwd_row_tile(layers, itemsize, x.shape[2], split_dw)
+    hidden, cell = _cell_of(layers[0])
     if time_chunk is None:
         n_pad = -(-x.shape[2] // row_tile) * row_tile
         time_chunk = _pick_chunk(
             x.shape[0], n_pad, hidden, cell, itemsize, stash_budget,
+            len(layers),
         )
     assert time_chunk % 8 == 0, "time_chunk must be a multiple of 8"
     return _train_vjp_fn(row_tile, row_tile, interpret, time_chunk, split_dw)(
-        x, l1, l2, fc
+        x, layers, fc
     )

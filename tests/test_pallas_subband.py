@@ -429,20 +429,20 @@ def test_auto_bwd_row_tile():
 
     p = lstm_init(jax.random.PRNGKey(0), 32, 384, num_layers=2)
     # flagship sub-band stage, many rows: the big tile (measured +8%)
-    assert auto_bwd_row_tile(p[0][0], p[1][0], 2, 16384) == 512
+    assert auto_bwd_row_tile((p[0][0], p[1][0]), 2, 16384) == 512
     # row-count bound: small stages stay at small tiles
-    assert auto_bwd_row_tile(p[0][0], p[1][0], 2, 100) == 128
-    assert auto_bwd_row_tile(p[0][0], p[1][0], 2, 200) == 256
+    assert auto_bwd_row_tile((p[0][0], p[1][0]), 2, 100) == 128
+    assert auto_bwd_row_tile((p[0][0], p[1][0]), 2, 200) == 256
     # NO-EXTRA-PADDING rule: a bigger tile is taken only when it pads
     # nothing beyond the 128-tile baseline (n=640 at tile 512 would pad
     # to 1024, 1.6x the work for ~8%) — this is also what makes the
     # 128-padded stash accounting in train_stash_bytes exact
-    assert auto_bwd_row_tile(p[0][0], p[1][0], 2, 640) == 128
-    assert auto_bwd_row_tile(p[0][0], p[1][0], 2, 768) == 256
+    assert auto_bwd_row_tile((p[0][0], p[1][0]), 2, 640) == 128
+    assert auto_bwd_row_tile((p[0][0], p[1][0]), 2, 768) == 256
     assert train_stash_bytes(16, 640, 384) < train_stash_bytes(16, 1024, 384)
     # wide f32 split layers: the VMEM cap pushes the tile down
     pw = lstm_init(jax.random.PRNGKey(0), 512, 512, num_layers=2)
-    tw = auto_bwd_row_tile(pw[0][0], pw[1][0], 4, 16384)
+    tw = auto_bwd_row_tile((pw[0][0], pw[1][0]), 4, 16384)
     assert tw < 512
     assert (
         _bwd_vmem_estimate(512, 512, 2048, tw, 4, "lstm", True)
@@ -450,7 +450,7 @@ def test_auto_bwd_row_tile():
     )
     # a caller-forced split_dw is honored in the tile sizing
     assert auto_bwd_row_tile(
-        pw[0][0], pw[1][0], 4, 16384, split_dw=False
+        (pw[0][0], pw[1][0]), 4, 16384, split_dw=False
     ) <= tw
 
 
