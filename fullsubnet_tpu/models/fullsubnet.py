@@ -90,6 +90,11 @@ class FullSubNet:
     # input [T, unit, B·F] is materialized feature-major (unpadded layout),
     # so cap it by element count.
     use_pallas_subband = True
+    # Set True to admit the kernel path on a CPU backend, running it in
+    # the Pallas interpreter — lets CPU-mesh tests and the scaling
+    # harness compile the REAL shard_map'd sub-band SPMD program
+    # (TPU execution is unaffected: interpret stays off there).
+    pallas_interpret = False
     _PALLAS_SB_MAX_ELEMENTS = 2**31  # ~4 GB bf16
     # Training stashes 4 (LSTM) / 2 (GRU) [T, B*F', H] state tensors for
     # the backward kernels; above this budget the kernel's custom VJP
@@ -470,6 +475,27 @@ class FullSubNet:
         # mu is [B,1,1,1] (offline) or [B,F',1,T] (cumulative); both squeeze
         # to a broadcastable [1, B, F', T]
         sb_in = sb_in / mu[None, :, :, 0, :]
+        hint_mesh = getattr(sharding_hint, "mesh", None)
+        if hint_mesh is not None:
+            # Pin the builder's layout BEFORE the [B,F']->rows merge:
+            # without it the partitioner can replicate the whole
+            # stack/normalize chain (all-gathering the global batch onto
+            # every device) and only re-slice at the row constraint
+            # below. B-major rows over (data, subband) == B by data,
+            # F' by subband, so this is the same sharding, stated where
+            # propagation can't miss it.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axes = getattr(sharding_hint, "row_axes", ("data", "subband"))
+            if (
+                len(axes) == 2
+                and b % hint_mesh.shape[axes[0]] == 0
+                and f % hint_mesh.shape[axes[1]] == 0
+            ):
+                sb_in = jax.lax.with_sharding_constraint(
+                    sb_in,
+                    NamedSharding(hint_mesh, P(None, axes[0], axes[1], None)),
+                )
         # -> [T, unit, B·F']
         sb_in = jnp.transpose(sb_in, (3, 0, 1, 2)).reshape(t, unit, b * f)
         sb_in = sb_in.astype(noisy_pad.dtype)
@@ -641,7 +667,7 @@ class FullSubNet:
         if (
             self.use_pallas_subband
             and len(params["sb_model"]["rnn"]) == 2
-            and jax.default_backend() != "cpu"
+            and (jax.default_backend() != "cpu" or self.pallas_interpret)
             # the kernel input materializes PER ROW GROUP, so the element
             # cap applies to one group's slice, not the full batch
             and (b // max(row_groups, 1)) * f_eff * unit * t
@@ -650,6 +676,8 @@ class FullSubNet:
         ):
             return self._pallas_subband(
                 params, noisy_pad, fb_pad, f, mu, mu_is_scalar, sharding_hint,
+                interpret=self.pallas_interpret
+                and jax.default_backend() == "cpu",
                 drop_groups=drop_groups, training=training,
                 row_groups=row_groups, time_chunk=group_chunk,
             )

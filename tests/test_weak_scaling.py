@@ -1,0 +1,59 @@
+"""Smoke test for the multi-chip weak/strong-scaling harness.
+
+The full sweep (1/2/4/8 devices x two mesh axes) is run out-of-band and
+committed as MULTICHIP_SCALING.json; here we only check that the harness
+machinery works — one subprocess record per axis at n=2 — and that the
+committed artifact satisfies the scaling invariants it claims.
+
+Mirrors the scaling story the reference gets from NCCL DDP
+(reference recipes/dns_interspeech_2020/train.py:29,
+audio_zen/trainer/base_trainer.py:32).
+"""
+
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import __graft_entry__ as graft  # noqa: E402
+
+
+def test_scaling_record_subprocess():
+    rec = graft._scaling_record(2, "data")
+    assert rec["n_devices"] == 2
+    assert rec["mesh"] == [2, 1]
+    assert rec["flops_per_device"] > 0
+    assert rec["collectives"]["all-reduce"] > 0  # gradient sync
+    assert np.isfinite(rec["loss"])
+
+
+def test_committed_scaling_artifact_invariants():
+    path = REPO / "MULTICHIP_SCALING.json"
+    assert path.exists(), "run `python -c 'import __graft_entry__ as g; g.weak_scaling(8)'`"
+    summary = json.loads(path.read_text())
+
+    data = summary["data_axis_weak_scaling"]
+    sub = summary["subband_axis_strong_scaling"]
+    assert [r["n_devices"] for r in data] == [1, 2, 4, 8]
+    assert [r["n_devices"] for r in sub] == [1, 2, 4, 8]
+
+    # weak scaling: per-device program ~constant at fixed per-device batch
+    flops = [r["flops_per_device"] for r in data]
+    assert max(flops) / min(flops) <= 1.15
+
+    # strong scaling: per-device flops fit a + s/n with a positive split
+    # component and a tight residual (the kernel divides exactly)
+    fit = summary["subband_axis_fit_a_plus_s_over_n"]
+    assert fit["split_flops"] > 0
+    assert fit["max_rel_residual"] <= 0.05
+
+    # scan structure unchanged by sharding; psum present whenever n > 1
+    for recs in (data, sub):
+        assert len({r["while_ops"] for r in recs}) == 1
+        for r in recs:
+            if r["n_devices"] > 1:
+                assert r["collectives"]["all-reduce"] > 0
