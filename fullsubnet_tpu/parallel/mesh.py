@@ -26,8 +26,24 @@ def make_mesh(
     num_data: int | None = None,
     num_subband: int = 1,
     devices=None,
+    num_slices: int = 1,
 ) -> Mesh:
-    """Build a (data, subband) mesh over the available devices."""
+    """Build a (data, subband) mesh over the available devices.
+
+    ``num_slices > 1`` builds a MULTI-SLICE (hybrid ICI+DCN) mesh: the
+    data axis is laid out slice-major, so its outermost ``num_slices``
+    stride crosses the data-center network while the ``subband`` axis
+    (and the intra-slice remainder of ``data``) stays on ICI. XLA then
+    decomposes the gradient all-reduce hierarchically — reduce within
+    each slice over ICI, combine once across slices over DCN — which is
+    the layout rule from the scaling playbook: only the
+    lowest-bandwidth-tolerant axis (pure data parallelism) may ride DCN.
+    On real multi-slice TPU backends the per-slice device grouping comes
+    from ``jax.experimental.mesh_utils.create_hybrid_device_mesh``; on
+    backends without slice topology (CPU-virtual meshes in tests) the
+    device list is chunked into equal pseudo-slices, which yields the
+    identical mesh ordering.
+    """
     devices = list(devices if devices is not None else jax.devices())
     if num_data is None:
         num_data = len(devices) // num_subband
@@ -39,6 +55,31 @@ def make_mesh(
         f"mesh {num_data}x{num_subband} needs {num_data * num_subband} "
         f"devices but only {len(devices)} are available"
     )
+    if num_slices > 1:
+        assert num_data % num_slices == 0, (
+            f"data axis ({num_data}) must be divisible by the slice count "
+            f"({num_slices}) — sub-band parallelism must not cross DCN"
+        )
+        per_slice_data = num_data // num_slices
+        if all(hasattr(d, "slice_index") for d in devices):
+            from jax.experimental import mesh_utils
+
+            grid = mesh_utils.create_hybrid_device_mesh(
+                (per_slice_data, num_subband),
+                (num_slices, 1),
+                devices=devices[: num_data * num_subband],
+            ).reshape(num_data, num_subband)
+        else:
+            per_slice = len(devices) // num_slices
+            chunks = [
+                devices[s * per_slice: s * per_slice
+                        + per_slice_data * num_subband]
+                for s in range(num_slices)
+            ]
+            grid = np.asarray(
+                [d for c in chunks for d in c]
+            ).reshape(num_data, num_subband)
+        return Mesh(grid, axis_names=("data", "subband"))
     grid = np.asarray(devices[: num_data * num_subband]).reshape(
         num_data, num_subband
     )

@@ -6,6 +6,22 @@ Twin of ``recipes/dns_interspeech_2020/train.py``:
 
 No torchrun: SPMD distribution is handled by the JAX runtime (one process
 per host on a pod; the trainer shards the batch over the mesh).
+
+Multi-host / multi-slice launch (replaces the reference's
+``torchrun ... train.py`` + NCCL rendezvous, ``train.py:29``):
+
+* Single TPU slice, N hosts — run this CLI once per host with
+  ``FULLSUBNET_DISTRIBUTED=1``. On TPU pods ``jax.distributed
+  .initialize()`` discovers coordinator/process_id/process_count from
+  the TPU metadata; elsewhere pass them explicitly via
+  ``--coordinator host:port --num-processes N --process-id I``.
+* Multiple slices over DCN — same launch, one process per host across
+  all slices, plus ``[trainer.mesh] slices = <num_slices>`` in the TOML.
+  The mesh lays the data axis out slice-major (sub-band parallelism
+  never crosses DCN); gradient all-reduce then reduces over ICI within
+  each slice and crosses DCN once (see ``parallel/mesh.py:make_mesh``).
+* Per-host data loading needs no sampler config: the loader shards by
+  ``jax.process_index()`` (see ``parallel/mesh.py:local_shard_info``).
 """
 
 import argparse
@@ -39,6 +55,19 @@ def main(argv=None):
         "-O", "--output_dir", type=str, default=None,
         help="Override meta.save_dir.",
     )
+    parser.add_argument(
+        "--coordinator", type=str, default=None,
+        help="Distributed coordinator address host:port (optional on TPU "
+        "pods, where it is discovered from the platform metadata).",
+    )
+    parser.add_argument(
+        "--num-processes", type=int, default=None,
+        help="Total process count for jax.distributed.initialize().",
+    )
+    parser.add_argument(
+        "--process-id", type=int, default=None,
+        help="This process's index for jax.distributed.initialize().",
+    )
     args = parser.parse_args(argv)
 
     if args.preloaded_model_path is not None:
@@ -48,10 +77,19 @@ def main(argv=None):
     # mesh (replaces torchrun + NCCL rendezvous)
     import os
 
-    if os.environ.get("FULLSUBNET_DISTRIBUTED", "").lower() in ("1", "true"):
+    if args.coordinator is not None or os.environ.get(
+        "FULLSUBNET_DISTRIBUTED", ""
+    ).lower() in ("1", "true"):
         import jax
 
-        jax.distributed.initialize()
+        kwargs = {}
+        if args.coordinator is not None:
+            kwargs["coordinator_address"] = args.coordinator
+        if args.num_processes is not None:
+            kwargs["num_processes"] = args.num_processes
+        if args.process_id is not None:
+            kwargs["process_id"] = args.process_id
+        jax.distributed.initialize(**kwargs)
 
     config = load_config(args.configuration)
     seed = int(config.get("meta", {}).get("seed", 0))

@@ -101,12 +101,16 @@ class Trainer:
         # devices on the data axis. `subband` > 1 spreads FullSubNet's
         # frequency-batched sub-band scan across chips (the reference can
         # only approximate this by *discarding* bands via drop_band).
+        # `slices` > 1 lays the data axis out slice-major for multi-slice
+        # pods: gradient sync reduces over ICI within each slice and
+        # crosses DCN only once (see parallel/mesh.py:make_mesh).
         mesh_cfg = trainer_cfg.get("mesh", {})
         self.mesh = make_mesh(
             num_data=(
                 int(mesh_cfg["data"]) if mesh_cfg.get("data") else None
             ),
             num_subband=int(mesh_cfg.get("subband", 1)),
+            num_slices=int(mesh_cfg.get("slices", 1)),
         )
         self.num_devices = int(np.prod(self.mesh.devices.shape))
 

@@ -260,3 +260,36 @@ def test_shard_mapped_row_group_remat_grads():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3
         )
+
+
+def test_multislice_mesh_layout_and_psum():
+    """[trainer.mesh] slices: the data axis is slice-major (pseudo-slices
+    on CPU), sub-band stays within a slice, and a data-axis psum runs."""
+    devs = jax.devices()[:8]
+    mesh = make_mesh(num_data=4, num_subband=2, devices=devs, num_slices=2)
+    assert mesh.devices.shape == (4, 2)
+    # slice-major data axis: rows 0-1 come from the first pseudo-slice
+    # (devices 0-3), rows 2-3 from the second (devices 4-7)
+    first = {d.id for d in mesh.devices[:2].ravel()}
+    second = {d.id for d in mesh.devices[2:].ravel()}
+    assert first == {d.id for d in devs[:4]}
+    assert second == {d.id for d in devs[4:]}
+
+    # the gradient-sync shape: mean over the data axis crosses slices
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x = jnp.arange(8.0).reshape(4, 2)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "subband")))
+    out = jax.jit(
+        lambda v: jnp.mean(v, axis=0),
+        out_shardings=NamedSharding(mesh, P("subband")),
+    )(xs)
+    np.testing.assert_allclose(np.asarray(out), np.mean(np.arange(8.0).reshape(4, 2), axis=0))
+
+
+def test_multislice_requires_data_divisible_by_slices():
+    import pytest
+
+    with pytest.raises(AssertionError, match="divisible by the slice count"):
+        make_mesh(num_data=3, num_subband=2, devices=jax.devices()[:6],
+                  num_slices=2)
