@@ -101,3 +101,100 @@ def test_improved_fullsubnet_training_converges():
     assert losses[-1] < 0.5 * losses[0], (
         f"no convergence: {losses[0]:.4f} -> {losses[-1]:.4f}"
     )
+
+
+def test_training_improves_enhancement_quality():
+    """VERDICT-r2 #5: a fixed training budget must IMPROVE perceptual
+    quality, not just the loss — enhanced STOI/SI-SDR beat the noisy
+    input on the train batch AND on a held-out mixture, with loss-curve
+    anchors pinned. Deterministic (fixed seeds, fixed step count)."""
+    from fullsubnet_tpu.acoustics.mask import decompress_cIRM
+    from fullsubnet_tpu.acoustics.stft import istft
+    from fullsubnet_tpu.metrics import SI_SDR, STOI
+
+    model = FullSubNet(
+        num_freqs=161, sb_num_neighbors=3,
+        fb_model_hidden_size=48, sb_model_hidden_size=32,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(1e-3))
+    opt = tx.init(params)
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    t = np.arange(9600) / sr
+    # speech-like: AM-modulated harmonic stacks at different f0s
+    def voice(f0):
+        x = sum(np.sin(2 * np.pi * f0 * k * t) / k for k in (1, 2, 3))
+        return (0.3 * x * (0.55 + 0.45 * np.sin(2 * np.pi * 2.5 * t)))
+
+    clean = np.stack([voice(170 + 25 * i) for i in range(8)]).astype(np.float32)
+    noise = 0.12 * rng.standard_normal(clean.shape).astype(np.float32)
+    noisy = clean + noise
+    noisy_j, clean_j = jnp.asarray(noisy), jnp.asarray(clean)
+
+    n_fft, hop = 320, 160
+
+    def loss_fn(p, nj, cj):
+        ns = stft_complex(nj, n_fft, hop, n_fft)
+        cs = stft_complex(cj, n_fft, hop, n_fft)
+        cirm = build_complex_ideal_ratio_mask(ns.real, ns.imag, cs.real, cs.imag)
+        cirm = jnp.transpose(
+            drop_band(jnp.transpose(cirm, (0, 3, 1, 2)), 2), (0, 2, 3, 1)
+        )
+        crm = model(p, jnp.abs(ns)[:, None])
+        return jnp.mean(jnp.square(jnp.transpose(crm, (0, 2, 3, 1)) - cirm))
+
+    @jax.jit
+    def step(p, o, nj, cj):
+        loss, grads = jax.value_and_grad(loss_fn)(p, nj, cj)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    losses = []
+    for _ in range(120):
+        params, opt, loss = step(params, opt, noisy_j, clean_j)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+
+    @jax.jit
+    def enhance(p, nj):
+        spec = stft_complex(nj, n_fft, hop, n_fft)
+        crm = model(p, jnp.abs(spec)[:, None], dropping_band=False)
+        crm = decompress_cIRM(jnp.transpose(crm, (0, 2, 3, 1)))
+        er = crm[..., 0] * spec.real - crm[..., 1] * spec.imag
+        ei = crm[..., 1] * spec.real + crm[..., 0] * spec.imag
+        return istft((er, ei), n_fft, hop, n_fft, length=nj.shape[-1],
+                     input_type="real_imag")
+
+    def scores(cl, no, en):
+        d = {}
+        d["stoi_noisy"] = float(np.mean([STOI(c, n, sr) for c, n in zip(cl, no)]))
+        d["stoi_enh"] = float(np.mean([STOI(c, e, sr) for c, e in zip(cl, en)]))
+        d["sisdr_noisy"] = float(np.mean([SI_SDR(c, n) for c, n in zip(cl, no)]))
+        d["sisdr_enh"] = float(np.mean([SI_SDR(c, e) for c, e in zip(cl, en)]))
+        return d
+
+    enh = np.asarray(enhance(params, noisy_j))
+    tr = scores(clean, noisy, enh)
+
+    # held-out: unseen f0 + fresh noise draw from the same distribution
+    ho_clean = np.stack([voice(182 + 25 * i) for i in range(4)]).astype(np.float32)
+    ho_noisy = ho_clean + 0.12 * rng.standard_normal(ho_clean.shape).astype(np.float32)
+    ho_enh = np.asarray(enhance(params, jnp.asarray(ho_noisy)))
+    ho = scores(ho_clean, ho_noisy, ho_enh)
+
+    print("LOSSES", losses[0], losses[-1])
+    print("TRAIN", tr)
+    print("HELDOUT", ho)
+
+    # quality must improve by a real margin (measured: +0.11/+0.12 STOI,
+    # +3.8/+3.1 dB SI-SDR — asserted at ~2/3 of that for robustness)
+    assert tr["stoi_enh"] > tr["stoi_noisy"] + 0.08, tr
+    assert tr["sisdr_enh"] > tr["sisdr_noisy"] + 3.0, tr
+    assert ho["stoi_enh"] > ho["stoi_noisy"] + 0.08, ho
+    assert ho["sisdr_enh"] > ho["sisdr_noisy"] + 2.5, ho
+    # loss-curve anchors (fixed seeds; generous band so only real
+    # training regressions trip)
+    assert 1.6 < losses[0] < 2.8, losses[0]
+    assert losses[-1] < 0.35 * losses[0], (losses[0], losses[-1])
