@@ -137,9 +137,11 @@ class FullSubNet:
         full-band output is masked past it, so outputs for the valid
         frames EXACTLY equal an unpadded run — one compile serves every
         utterance length in the bucket. The caller must zero the padded
-        input frames and discard outputs past ``valid_frames``. Only
-        offline/cumulative laplace norms are supported (others would need
-        masked second moments).
+        input frames and discard outputs past ``valid_frames``. Offline
+        norms (laplace/gaussian) get masked statistics; the causal norms
+        (cumulative laplace/layer, forgetting) are exact as-is. Requires
+        unidirectional stacks (the trainer's ``_bucketing_supported``
+        gate) — a bidirectional RNN would leak pad frames backward.
         """
         assert noisy_mag.ndim == 4
         x = jnp.pad(noisy_mag, ((0, 0), (0, 0), (0, 0), (0, self.look_ahead)))
@@ -150,13 +152,12 @@ class FullSubNet:
         frame_mask = None
         if valid_frames is not None:
             from fullsubnet_tpu.acoustics.norm import (
-                cumulative_laplace_norm,
+                offline_gaussian_norm,
                 offline_laplace_norm,
             )
 
-            assert self.norm in (offline_laplace_norm, cumulative_laplace_norm)
             # the model's own look-ahead zero-pad counts toward the offline
-            # mean, exactly as in an unpadded run
+            # statistics, exactly as in an unpadded run
             valid_total = (valid_frames + self.look_ahead).astype(jnp.float32)
             frame_mask = (
                 jnp.arange(num_frames) < valid_frames + self.look_ahead
@@ -171,8 +172,25 @@ class FullSubNet:
                         / count
                     )
                     return v / (mu + 1e-5)
-            # cumulative norm only looks backward: zero-padded tails leave
-            # valid frames untouched — use it as-is
+            elif self.norm is offline_gaussian_norm:
+                # masked mean + masked UNBIASED std (torch.std ddof=1):
+                # padded inputs are already zero, so plain sums give the
+                # masked first/second moments; only the (0 - mu)^2 terms
+                # of pad frames must be excluded, hence the count-based
+                # variance form
+                def norm(v):
+                    count = (
+                        np.prod([int(s) for s in v.shape[1:-1]]) * valid_total
+                    )
+                    axes = tuple(range(1, v.ndim))
+                    mu = jnp.sum(v, axis=axes, keepdims=True) / count
+                    sumsq = jnp.sum(jnp.square(v), axis=axes, keepdims=True)
+                    var = (sumsq - count * jnp.square(mu)) / (count - 1.0)
+                    return (v - mu) / (jnp.sqrt(var) + 1e-5)
+            # every other dispatchable norm (cumulative_laplace_norm,
+            # cumulative_layer_norm, forgetting_norm) is CAUSAL: frame t
+            # sees only frames <= t, so zero-padded tails leave the valid
+            # frames' outputs untouched — use them as-is
 
         # Full-band stage
         fb_input = norm(x).reshape(batch_size, num_freqs, num_frames)

@@ -504,16 +504,17 @@ class Trainer:
 
     def _bucketing_supported(self) -> bool:
         """Length-bucketed validation enhancement is exact only for models
-        that implement ``valid_frames`` (masked norm statistics)."""
-        from fullsubnet_tpu.acoustics.norm import (
-            cumulative_laplace_norm,
-            offline_laplace_norm,
-        )
+        that implement ``valid_frames``: offline norms get masked
+        statistics (mean / unbiased second moment over the true frame
+        count), the causal norms (cumulative/forgetting) are unaffected
+        by zero-padded tails by construction. Requires unidirectional
+        stacks — a bidirectional RNN would leak pad frames backward."""
         from fullsubnet_tpu.models import FullSubNet
 
-        return isinstance(self.model, FullSubNet) and self.model.norm in (
-            offline_laplace_norm,
-            cumulative_laplace_norm,
+        return (
+            isinstance(self.model, FullSubNet)
+            and not self.model.fb_model.bidirectional
+            and not self.model.sb_model.bidirectional
         )
 
     def _build_bucketed_enhance_fn(self):

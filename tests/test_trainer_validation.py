@@ -240,7 +240,14 @@ def test_validation_loss_logged(full_setup):
 
 
 @pytest.mark.parametrize(
-    "norm", ["offline_laplace_norm", "cumulative_laplace_norm"]
+    "norm",
+    [
+        "offline_laplace_norm",
+        "cumulative_laplace_norm",
+        "offline_gaussian_norm",
+        "cumulative_layer_norm",
+        "forgetting_norm",
+    ],
 )
 def test_bucketed_enhancement_exact(full_setup, norm):
     """Length-bucketed validation enhancement (one compile per bucket) is
