@@ -50,6 +50,31 @@ def test_calculate_metrics_cli(tmp_path):
     assert out.returncode == 0, out.stderr
     assert "SI_SDR" in out.stdout and "STOI" in out.stdout
     assert (tmp_path / "export" / "SI_SDR.csv").exists()
+    # the xlsx twin of the reference's tablib export: a real zip whose
+    # sheet XML round-trips names + scores (incl. the mean row)
+    import csv
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    with open(tmp_path / "export" / "STOI.csv", newline="") as f:
+        csv_rows = list(csv.reader(f))
+    with zipfile.ZipFile(tmp_path / "export" / "STOI.xlsx") as z:
+        assert not z.testzip()
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    xlsx_rows = []
+    for row in ET.fromstring(sheet).iter(f"{ns}row"):
+        cells = []
+        for c in row.iter(f"{ns}c"):
+            t = c.find(f"{ns}is/{ns}t")
+            cells.append(t.text if t is not None else float(c.find(f"{ns}v").text))
+        xlsx_rows.append(cells)
+    assert xlsx_rows[0] == ["Speech", "STOI"]
+    assert [r[0] for r in xlsx_rows[1:]] == [r[0] for r in csv_rows[1:]]
+    np.testing.assert_allclose(
+        [r[1] for r in xlsx_rows[1:]], [float(r[1]) for r in csv_rows[1:]]
+    )
+    assert xlsx_rows[-1][0] == "mean"
 
 
 def test_find_wavs_cli(tmp_path):

@@ -4,7 +4,8 @@
 Twin of the reference ``tools/calculate_metrics.py``: aligns
 estimated/reference wav lists (directory or scp; dns_1/dns_2 fileid
 matching), computes metrics in a parallel worker pool, prints means, and
-optionally exports CSV.
+optionally exports CSV + xlsx (dependency-free OOXML writer, matching
+the reference's tablib Excel export).
 
     python tools/calculate_metrics.py \
         -R /path/to/clean_dir_or_scp -E /path/to/enhanced_dir_or_scp \
@@ -148,6 +149,18 @@ def main(args):
                 writer.writerow(["filename", metric_type])
                 writer.writerows(rows)
                 writer.writerow(["mean", float(np.mean(values))])
+
+            # Excel workbook, matching the reference's tablib export
+            # surface (tools/calculate_metrics.py:184-196) — one
+            # <metric>.xlsx per metric with (Speech, metric) columns
+            from fullsubnet_tpu.xlsx import write_xlsx
+
+            write_xlsx(
+                export_dir / f"{metric_type}.xlsx",
+                rows + [("mean", float(np.mean(values)))],
+                headers=("Speech", metric_type),
+                sheet_name=metric_type,
+            )
 
 
 if __name__ == "__main__":
