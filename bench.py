@@ -323,6 +323,33 @@ def bench_streaming(args):
         )
     )
 
+    # wave-in/wave-out enhancer: the WHOLE hop (framing + rfft + model +
+    # mask + OLA) is one jitted device call
+    from fullsubnet_tpu.infer.streaming import StreamingEnhancer
+
+    enh = StreamingEnhancer(model, params, n_fft=512, hop_length=256)
+    est = enh.init_state()
+    hop_samples = (0.1 * rng.standard_normal(256)).astype(np.float32)
+    for _ in range(args.warmup + 6):  # warm-up covers priming + look-ahead
+        est, _ = enh.push(est, hop_samples)
+    times = []
+    for _ in range(args.iters * 20):
+        t0 = time.perf_counter()
+        est, out = enh.push(est, hop_samples)
+        assert out.shape == (256,)  # np output: already host-synced
+        times.append(time.perf_counter() - t0)
+    step_ms = float(np.median(times)) * 1e3
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_enhancer_hop_latency_fullsubnet",
+                "value": round(step_ms, 3),
+                "unit": "ms_per_16ms_hop",
+                "vs_baseline": round(hop_sec * 1e3 / step_ms, 4),
+            }
+        )
+    )
+
 
 def main():
     p = argparse.ArgumentParser()

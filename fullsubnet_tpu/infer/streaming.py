@@ -176,6 +176,14 @@ class StreamingEnhancer:
     algorithmic latency of ``(1 + look_ahead) · hop`` samples plus the
     OLA hop.
 
+    The whole per-hop pipeline — framing ring buffer, window, rfft,
+    engine step, look-ahead spectrum delay line, cIRM masking, OLA —
+    is ONE jitted program with device-carried state: each hop issues a
+    single device call with one host→device transfer (the hop samples)
+    and one device→host transfer (the enhanced hop). The reference's
+    real-time path re-enters torch per frame (inferencer.py:147-209);
+    here the per-hop host work is a numpy ring-buffer slice.
+
     Matches the offline ``full_band_crm_mask`` pipeline (cumulative-norm
     checkpoints) in the steady-state interior.
     """
@@ -186,64 +194,100 @@ class StreamingEnhancer:
         self.engine = make_streaming_engine(model, params)
         self.n_fft = n_fft
         self.hop = hop_length
-        # host copy once: the push loop windows every frame on the host,
-        # and a per-frame jnp->np transfer of a constant is pure latency
-        self.window = np.asarray(hann_window(n_fft))
+        self.F = n_fft // 2 + 1
+        self.window = jnp.asarray(np.asarray(hann_window(n_fft)))
         self.ola = StreamingISTFT(n_fft, hop_length)
         self._decompress = decompress_cIRM
         self.look_ahead = model.look_ahead
+        self._hop_step = jax.jit(self._hop_impl)
 
     def init_state(self):
         return {
-            "samples": np.zeros(0, np.float32),  # host-side frame buffer
+            "staging": np.zeros(0, np.float32),  # host-side sample buffer
             "started": False,
+            "frames_seen": 0,  # host mirror of the frame count (warm-up)
+            "device": None,  # filled once n_fft - hop samples are staged
+        }
+
+    def _init_device_state(self, buf: np.ndarray):
+        return {
+            # trailing n_fft - hop samples of the previous frame
+            "buf": jnp.asarray(buf, jnp.float32),
             "engine": self.engine.init_state(),
-            "spec_delay": [],  # complex frames awaiting their mask
+            # zero-initialized delay ring: for the first look_ahead steps
+            # the popped target is a zero spectrum, whose masked/OLA'd
+            # output is exactly zero — the host discards those hops, so
+            # post-warm-up output equals the list-based delay semantics.
+            # Stored as (real, imag) f32 planes: the axon tunnel backend
+            # cannot device_put/create complex buffers OUTSIDE a compiled
+            # program (UNIMPLEMENTED), so no complex array may live in
+            # the carried state
+            "spec_delay": jnp.zeros(
+                (self.look_ahead, 2, self.F), jnp.float32
+            ),
             "ola": self.ola.init_state(),
         }
 
-    def _emit(self, state, spec_frame):
-        """Advance the engine one frame; mask + OLA the delayed frame."""
-        state["spec_delay"].append(spec_frame)
-        eng, crm = self.engine.step(state["engine"], jnp.abs(spec_frame))
-        state["engine"] = eng
-        if len(state["spec_delay"]) <= self.look_ahead:
-            return None  # warm-up: masks so far belong to future frames
-        target = state["spec_delay"].pop(0)
-        crm = self._decompress(crm)  # [2, F]
-        er = crm[0] * target.real - crm[1] * target.imag
-        ei = crm[1] * target.real + crm[0] * target.imag
-        state["ola"], out = self.ola.push(
-            state["ola"], jax.lax.complex(er, ei)
+    def _hop_impl(self, params, dstate, hop_samples):
+        """One hop, fully on device: [hop] samples -> [hop] enhanced."""
+        samples = jnp.concatenate([dstate["buf"], hop_samples])  # [n_fft]
+        spec = jnp.fft.rfft(samples * self.window)  # [F]
+        eng, crm = self.engine._step_impl(
+            params, dstate["engine"], jnp.abs(spec)
         )
-        return np.asarray(out)
+        if self.look_ahead > 0:
+            target_r, target_i = dstate["spec_delay"][0]
+            spec_delay = jnp.concatenate(
+                [
+                    dstate["spec_delay"][1:],
+                    jnp.stack([spec.real, spec.imag])[None],
+                ]
+            )
+        else:
+            target_r, target_i = spec.real, spec.imag
+            spec_delay = dstate["spec_delay"]
+        crm = self._decompress(crm)  # [2, F]
+        er = crm[0] * target_r - crm[1] * target_i
+        ei = crm[1] * target_r + crm[0] * target_i
+        ola, out = self.ola.push(dstate["ola"], jax.lax.complex(er, ei))
+        new_state = {
+            "buf": samples[self.hop :],
+            "engine": eng,
+            "spec_delay": spec_delay,
+            "ola": ola,
+        }
+        return new_state, out
 
     def push(self, state, samples: np.ndarray):
         """Feed samples; returns (state, enhanced np.ndarray (maybe empty))."""
+        state["staging"] = np.concatenate(
+            [state["staging"], np.asarray(samples, np.float32)]
+        )
         if not state["started"]:
-            state["samples"] = np.concatenate(
-                [state["samples"], np.asarray(samples, np.float32)]
-            )
             pad = self.n_fft // 2
-            if len(state["samples"]) < pad + 1:  # reflect needs pad+1 samples
+            if len(state["staging"]) < pad + 1:  # reflect needs pad+1 samples
                 return state, np.zeros(0, np.float32)
             # offline center reflect-pad, reproduced causally at start
-            head = state["samples"][1 : pad + 1][::-1]
-            state["samples"] = np.concatenate([head, state["samples"]])
+            head = state["staging"][1 : pad + 1][::-1]
+            state["staging"] = np.concatenate([head, state["staging"]])
             state["started"] = True
-        else:
-            state["samples"] = np.concatenate(
-                [state["samples"], np.asarray(samples, np.float32)]
-            )
+        if state["device"] is None:
+            need = self.n_fft - self.hop
+            if len(state["staging"]) < need:
+                return state, np.zeros(0, np.float32)
+            state["device"] = self._init_device_state(state["staging"][:need])
+            state["staging"] = state["staging"][need:]
 
         outs = []
-        while len(state["samples"]) >= self.n_fft:
-            frame = state["samples"][: self.n_fft] * self.window
-            state["samples"] = state["samples"][self.hop :]
-            spec = jnp.fft.rfft(jnp.asarray(frame))
-            out = self._emit(state, spec)
-            if out is not None:
-                outs.append(out)
+        while len(state["staging"]) >= self.hop:
+            hop = jnp.asarray(state["staging"][: self.hop])
+            state["staging"] = state["staging"][self.hop :]
+            state["device"], out = self._hop_step(
+                self.engine.params, state["device"], hop
+            )
+            state["frames_seen"] += 1
+            if state["frames_seen"] > self.look_ahead:
+                outs.append(np.asarray(out))
         return state, (
             np.concatenate(outs) if outs else np.zeros(0, np.float32)
         )
