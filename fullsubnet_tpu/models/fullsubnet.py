@@ -537,7 +537,12 @@ class FullSubNet:
             # per-shard kernels compute exactly the unsharded result; the
             # custom VJP's weight grads are psummed by shard_map's
             # transpose of the replicated in_specs.
-            from jax.experimental.shard_map import shard_map
+            try:
+                from jax import shard_map  # jax >= 0.8 renamed the kwarg
+                _sm_kw = {"check_vma": False}
+            except ImportError:
+                from jax.experimental.shard_map import shard_map
+                _sm_kw = {"check_rep": False}
             from jax.sharding import PartitionSpec as P
 
             row_axes = getattr(sharding_hint, "row_axes", ("data", "subband"))
@@ -546,7 +551,7 @@ class FullSubNet:
                 mesh=mesh,
                 in_specs=(P(None, None, row_axes), P(), P(), P()),
                 out_specs=P(None, row_axes, None),
-                check_rep=False,
+                **_sm_kw,
             )
         out = call(
             sb_in,
