@@ -185,7 +185,11 @@ class FullSubNet:
                     axes = tuple(range(1, v.ndim))
                     mu = jnp.sum(v, axis=axes, keepdims=True) / count
                     sumsq = jnp.sum(jnp.square(v), axis=axes, keepdims=True)
-                    var = (sumsq - count * jnp.square(mu)) / (count - 1.0)
+                    # cancellation can push the f32 difference slightly
+                    # negative for near-constant inputs -> NaN sqrt
+                    var = jnp.maximum(
+                        (sumsq - count * jnp.square(mu)) / (count - 1.0), 0.0
+                    )
                     return (v - mu) / (jnp.sqrt(var) + 1e-5)
             # every other dispatchable norm (cumulative_laplace_norm,
             # cumulative_layer_norm, forgetting_norm) is CAUSAL: frame t

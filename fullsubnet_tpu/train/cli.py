@@ -33,6 +33,18 @@ from fullsubnet_tpu.config import experiment_name_from_config_path, load_config
 from fullsubnet_tpu.train.trainer import Trainer
 
 
+def _wants_distributed(args, environ) -> bool:
+    """Any explicit distributed-launch argument triggers initialization —
+    silently ignoring --num-processes/--process-id would train standalone
+    and write conflicting checkpoints from every process."""
+    return (
+        args.coordinator is not None
+        or args.num_processes is not None
+        or args.process_id is not None
+        or environ.get("FULLSUBNET_DISTRIBUTED", "").lower() in ("1", "true")
+    )
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="FullSubNet-TPU training")
     parser.add_argument(
@@ -77,9 +89,7 @@ def main(argv=None):
     # mesh (replaces torchrun + NCCL rendezvous)
     import os
 
-    if args.coordinator is not None or os.environ.get(
-        "FULLSUBNET_DISTRIBUTED", ""
-    ).lower() in ("1", "true"):
+    if _wants_distributed(args, os.environ):
         import jax
 
         kwargs = {}

@@ -430,8 +430,11 @@ class Trainer:
             )
             self.state, loss = self._train_step(self.state, *batch)
             losses.append(loss)
-            if len(losses) >= self._LOSS_FOLD_STEPS:
-                window = np.asarray(jax.device_get(losses), np.float64)
+            if len(losses) > self._LOSS_FOLD_STEPS:
+                # fold everything but the just-dispatched step's loss, so
+                # the device_get never waits on step k itself — step k+1's
+                # dispatch overlaps step k's execution
+                window = np.asarray(jax.device_get(losses[:-1]), np.float64)
                 if not np.isfinite(window).all():
                     bad = int(np.flatnonzero(~np.isfinite(window))[0])
                     raise FloatingPointError(
@@ -439,8 +442,8 @@ class Trainer:
                         f"~{loss_count + bad}: {window[bad]}"
                     )
                 loss_sum += float(window.sum())
-                loss_count += len(losses)
-                losses = []
+                loss_count += len(window)
+                losses = losses[-1:]
         if losses:
             loss_sum += float(np.sum(jax.device_get(losses)))
             loss_count += len(losses)

@@ -11,6 +11,8 @@ LibreOffice, pandas/openpyxl, and Google Sheets.
 
 from __future__ import annotations
 
+import math
+import numbers
 import zipfile
 from xml.sax.saxutils import escape
 
@@ -51,8 +53,15 @@ def _col_name(i: int) -> str:
 def _cell(ref: str, value) -> str:
     if isinstance(value, bool):  # bool is an int subclass: check first
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
-    if isinstance(value, (int, float)):
-        return f'<c r="{ref}"><v>{value!r}</v></c>'
+    if isinstance(value, numbers.Real):  # covers numpy scalars too
+        f = float(value)
+        # SpreadsheetML <v> must hold a finite decimal literal — numpy
+        # scalars repr as np.float64(...) and NaN/inf are invalid, so
+        # format explicitly and fall back to a string cell if non-finite
+        if math.isfinite(f):
+            v = repr(int(value)) if isinstance(value, numbers.Integral) \
+                else format(f, ".17g")
+            return f'<c r="{ref}"><v>{v}</v></c>'
     text = escape(str(value))
     return f'<c r="{ref}" t="inlineStr"><is><t>{text}</t></is></c>'
 

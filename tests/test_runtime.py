@@ -333,3 +333,25 @@ def test_trainer_subband_mesh_parity(train_setup, tmp_path):
         np.testing.assert_allclose(
             np.asarray(pa), np.asarray(pb), atol=5e-5, rtol=1e-4
         )
+
+
+def test_train_cli_distributed_gate():
+    # --num-processes/--process-id alone must trigger distributed init —
+    # silently training standalone would duplicate work and write
+    # conflicting checkpoints (review finding, round 3)
+    import argparse
+
+    from fullsubnet_tpu.train.cli import _wants_distributed
+
+    def ns(**kw):
+        base = dict(coordinator=None, num_processes=None, process_id=None)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    assert not _wants_distributed(ns(), {})
+    assert _wants_distributed(ns(coordinator="h:1234"), {})
+    assert _wants_distributed(ns(num_processes=4), {})
+    assert _wants_distributed(ns(process_id=2), {})
+    assert _wants_distributed(ns(), {"FULLSUBNET_DISTRIBUTED": "1"})
+    assert _wants_distributed(ns(), {"FULLSUBNET_DISTRIBUTED": "True"})
+    assert not _wants_distributed(ns(), {"FULLSUBNET_DISTRIBUTED": "0"})

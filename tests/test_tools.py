@@ -137,3 +137,33 @@ def test_delete_silence_cli(tmp_path):
 
     y, _ = read_wav(tmp_path / "dist" / "clean" / "single_AF01_x.wav")
     assert len(y) == 8000  # two kept segments of 4000
+
+
+def test_xlsx_numpy_scalars_and_nonfinite(tmp_path):
+    # SpreadsheetML <v> must be a finite decimal literal: numpy 2.x scalars
+    # repr as np.float64(...) and NaN/inf are invalid numeric cells — both
+    # must serialize to something Excel accepts (review finding, round 3)
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    from fullsubnet_tpu.xlsx import write_xlsx
+
+    p = tmp_path / "t.xlsx"
+    write_xlsx(
+        p,
+        [
+            ("a", np.float64(1.5), np.int64(7), 0.1),
+            ("b", float("nan"), float("inf"), True),
+        ],
+        headers=["name", "x", "y", "z"],
+    )
+    with zipfile.ZipFile(p) as z:
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+    assert "np.float64" not in sheet
+    assert "<v>nan</v>" not in sheet and "<v>inf</v>" not in sheet
+    root = ET.fromstring(sheet)  # must stay well-formed XML
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    rows = root.findall(".//m:row", ns)
+    vals = [c.find("m:v", ns) for c in rows[1].findall("m:c", ns)]
+    assert float(vals[1].text) == 1.5 and int(vals[2].text) == 7
+    assert float(vals[3].text) == 0.1  # round-trips exactly at .17g

@@ -344,3 +344,24 @@ def test_preload_from_other_experiment_dir(full_setup):
         jax.tree.leaves(src.state["params"]),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_masked_gaussian_norm_near_constant_input_finite():
+    # count-based masked variance (sumsq - count*mu^2)/(count-1) can go
+    # slightly negative in f32 for near-constant magnitudes (catastrophic
+    # cancellation) -> sqrt NaN poisoning the whole bucket; the clamp must
+    # keep the bucketed path finite (review finding, round 3)
+    import jax
+    import jax.numpy as jnp
+
+    from fullsubnet_tpu.models import FullSubNet
+
+    m = FullSubNet(
+        num_freqs=161, sb_num_neighbors=3, fb_model_hidden_size=16,
+        sb_model_hidden_size=12, norm_type="offline_gaussian_norm",
+    )
+    p = m.init(jax.random.PRNGKey(0), weight_init=False)
+    jitter = 1e-4 * jax.random.normal(jax.random.PRNGKey(1), (1, 1, 161, 200))
+    x = jnp.full((1, 1, 161, 200), 3.0, jnp.float32) * (1 + jitter)
+    out = m(p, x, valid_frames=jnp.asarray([180]))
+    assert np.isfinite(np.asarray(out)).all()
