@@ -11,6 +11,7 @@ import argparse
 
 from fullsubnet_tpu.config import load_config
 from fullsubnet_tpu.infer.inferencer import Inferencer
+from fullsubnet_tpu.utils import enable_compilation_cache
 
 
 def main(argv=None):
@@ -30,6 +31,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     config = load_config(args.configuration)
+    enable_compilation_cache(
+        config.get("meta", {}).get("compilation_cache_dir")
+    )
     inferencer = Inferencer(
         config, args.model_checkpoint_path, args.output_dir
     )

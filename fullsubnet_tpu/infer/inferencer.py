@@ -44,7 +44,9 @@ def _model_key_from_path(path: str) -> str:
 
 
 class Inferencer:
-    def __init__(self, config: dict, checkpoint_path: str, output_dir: str):
+    def __init__(
+        self, config: dict, checkpoint_path: str, output_dir: str | None
+    ):
         self.config = config
         self.acoustics = config_lib.acoustics_args(config)
         self.inference_config = config.get("inferencer", {})
@@ -52,19 +54,26 @@ class Inferencer:
         self.inference_args = self.inference_config.get("args", {}) or {}
         self.sr = self.acoustics["sr"]
 
-        # dataset
+        # dataset (optional: serving/export builds only the compute path)
         ds_section = config.get("dataset", config.get("inference_dataset"))
-        self.dataset = config_lib.build_dataset(ds_section, "inference")
+        self.dataset = (
+            config_lib.build_dataset(ds_section, "inference")
+            if ds_section is not None
+            else None
+        )
 
         # model + params
         self.model, _ = config_lib.build_model(config)
         self.params = self._load_params(checkpoint_path)
 
-        # output dirs
-        self.output_dir = Path(output_dir).expanduser().absolute()
-        self.enhanced_dir = self.output_dir / "enhanced"
-        self.noisy_dir = self.output_dir / "noisy"
-        prepare_empty_dir([self.enhanced_dir, self.noisy_dir])
+        # output dirs (optional, as above)
+        if output_dir is not None:
+            self.output_dir = Path(output_dir).expanduser().absolute()
+            self.enhanced_dir = self.output_dir / "enhanced"
+            self.noisy_dir = self.output_dir / "noisy"
+            prepare_empty_dir([self.enhanced_dir, self.noisy_dir])
+        else:
+            self.output_dir = self.enhanced_dir = self.noisy_dir = None
 
         self._jitted = {}
         from fullsubnet_tpu.models import FullSubNet
@@ -246,6 +255,11 @@ class Inferencer:
     def __call__(self):
         from tqdm import tqdm
 
+        if self.dataset is None or self.enhanced_dir is None:
+            raise RuntimeError(
+                "Inferencer was built without a dataset/output_dir "
+                "(serving mode); batch enhancement needs both"
+            )
         strategy = getattr(self, self.strategy, None)
         if strategy is None:
             raise NotImplementedError(

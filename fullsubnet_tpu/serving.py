@@ -1,0 +1,310 @@
+"""AOT model export for production serving (``jax.export``).
+
+The reference deploys enhancement by shipping Python + torch + a
+checkpoint and re-tracing the model in every serving process
+(``recipes/dns_interspeech_2020/inference.py``). A TPU serving fleet
+wants a *compiled artifact* instead: this module exports the whole
+inference compute path (STFT -> model -> cIRM decompress -> mask-mul ->
+iSTFT) as serialized StableHLO. The artifact
+
+* runs under any compatible JAX runtime WITHOUT the model source code
+  (``jax.export`` pins the calling-convention version and checks custom
+  calls against the stability allowlist),
+* is length-bucketed, so a handful of programs serves any utterance
+  length with zero retracing/recompiling in the serving process beyond
+  the initial AOT load.
+
+Two export modes, picked automatically:
+
+* ``bucketed`` — FullSubNet-family ``full_band_crm_mask`` with
+  unidirectional stacks: the exported program takes
+  ``(params, wave[1, bucket], true_len)`` and reproduces EXACTLY the
+  unpadded enhancement for any length in the bucket (masked offline-norm
+  statistics; same machinery as the trainer's bucketed validation,
+  ``train/trainer.py:_build_bucketed_enhance_fn``).
+* ``exact`` — every other model/strategy: one program per exact input
+  length.
+
+No upstream equivalent exists (the reference has no AOT/serving story);
+cited surface: ``audio_zen/inferencer/base_inferencer.py:147-209``.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fullsubnet_tpu import config as config_lib
+from fullsubnet_tpu.acoustics.mask import decompress_cIRM
+from fullsubnet_tpu.acoustics.stft import istft, stft_complex
+
+_MANIFEST = "manifest.json"
+_PARAMS_DIR = "params"
+
+
+def _normalize_tree(p):
+    """Tuples -> lists so the exported calling convention matches what an
+    Orbax restore produces (Orbax returns lists)."""
+    if isinstance(p, dict):
+        return {k: _normalize_tree(v) for k, v in p.items()}
+    if isinstance(p, (list, tuple)):
+        return [_normalize_tree(v) for v in p]
+    return p
+
+
+def _bucketed_capable(model, strategy: str) -> bool:
+    from fullsubnet_tpu.models import FullSubNet
+
+    return (
+        strategy == "full_band_crm_mask"
+        and isinstance(model, FullSubNet)
+        and not model.fb_model.bidirectional
+        and not model.sb_model.bidirectional
+    )
+
+
+def _build_bucketed_fn(model, acoustics: dict):
+    """(params, wave[1, bucket], true_len) -> enhanced[1, bucket]; the
+    first ``true_len`` samples equal the unpadded run exactly (offline
+    norms use masked statistics over the true frame count; causal norms
+    are tail-insensitive by construction)."""
+    n_fft = acoustics["n_fft"]
+    hop = acoustics["hop_length"]
+    win = acoustics["win_length"]
+    pad = n_fft // 2
+
+    def insert_tail_reflection(y, true_len):
+        # re-create torch's center-pad tail reflection at the true length:
+        # y_pad[L + i] = y[L - 2 - i]
+        tail = jax.lax.dynamic_slice(y, (0, true_len - pad - 1), (1, pad))[
+            :, ::-1
+        ]
+        return jax.lax.dynamic_update_slice(y, tail, (0, true_len))
+
+    def fn(params, noisy, true_len):
+        spec = stft_complex(
+            insert_tail_reflection(noisy, true_len), n_fft, hop, win
+        )
+        t_pad = spec.shape[-1]
+        frames_real = 1 + true_len // hop
+        tmask = (jnp.arange(t_pad) < frames_real).astype(jnp.float32)
+        noisy_mag = jnp.abs(spec)[:, None] * tmask
+        crm = model(
+            params, noisy_mag, dropping_band=False, valid_frames=frames_real
+        )
+        crm = jnp.transpose(crm, (0, 2, 3, 1))
+        crm = decompress_cIRM(crm)
+        er = (crm[..., 0] * spec.real - crm[..., 1] * spec.imag) * tmask
+        ei = (crm[..., 1] * spec.real + crm[..., 0] * spec.imag) * tmask
+        return istft(
+            (er, ei), n_fft, hop, win,
+            length=noisy.shape[-1], input_type="real_imag", frame_mask=tmask,
+        )
+
+    return fn
+
+
+def _export_one(fn, specs):
+    """jax.export with a retry that whitelists the custom-call targets the
+    error names (e.g. Mosaic's ``tpu_custom_call`` on kernel-path exports —
+    stable in practice, but not on every jax version's allowlist)."""
+    from jax import export as jexport
+
+    jitted = jax.jit(fn)
+    try:
+        return jexport.export(jitted)(*specs)
+    except ValueError as e:  # "Cannot serialize code with custom calls ..."
+        import re as _re
+
+        targets = _re.findall(r"custom_call_target.{0,3}['\"]([\w.]+)['\"]", str(e))
+        if not targets:
+            raise
+        checks = [jexport.DisabledSafetyCheck.custom_call(t) for t in targets]
+        return jexport.export(jitted, disabled_checks=checks)(*specs)
+
+
+def export_enhancer(
+    config: dict,
+    checkpoint_path: str,
+    out_dir: str | pathlib.Path,
+    seconds=(1, 2, 4, 8, 16, 30),
+    overwrite: bool = False,
+) -> dict:
+    """Export the config's inference strategy as AOT serving artifacts.
+
+    Writes to ``out_dir``: ``program_<L>.stablehlo`` per wave length L,
+    ``params/`` (Orbax), and ``manifest.json``. Returns the manifest.
+    """
+    from fullsubnet_tpu.infer.inferencer import Inferencer
+
+    out = pathlib.Path(out_dir).expanduser().absolute()
+    if out.exists() and any(out.iterdir()):
+        if not overwrite:
+            raise FileExistsError(f"{out} is not empty (pass overwrite=True)")
+        import shutil
+
+        shutil.rmtree(out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    cfg = dict(config)
+    cfg.pop("dataset", None)
+    cfg.pop("inference_dataset", None)
+    inf = Inferencer(cfg, checkpoint_path, output_dir=None)
+    params = _normalize_tree(jax.tree.map(np.asarray, inf.params))
+    a = inf.acoustics
+    sr = a["sr"]
+    n_fft = a["n_fft"]
+
+    mode = "bucketed" if _bucketed_capable(inf.model, inf.strategy) else "exact"
+    lengths = sorted({int(round(s * sr)) for s in seconds})
+    if mode == "bucketed":
+        fn = _build_bucketed_fn(inf.model, a)
+    else:
+        fn = getattr(inf, f"_{inf.strategy}_fn")
+
+    pspecs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), params
+    )
+    programs = {}
+    for L in lengths:
+        specs = [pspecs, jax.ShapeDtypeStruct((1, L), np.float32)]
+        if mode == "bucketed":
+            specs.append(jax.ShapeDtypeStruct((), np.int32))
+        exported = _export_one(fn, specs)
+        name = f"program_{L}.stablehlo"
+        (out / name).write_bytes(bytes(exported.serialize()))
+        programs[str(L)] = name
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(out / _PARAMS_DIR, params)
+    ckptr.wait_until_finished()
+
+    manifest = {
+        "format": "fullsubnet_tpu.serving/1",
+        "mode": mode,
+        "strategy": inf.strategy,
+        "sr": sr,
+        "n_fft": n_fft,
+        "hop_length": a["hop_length"],
+        "win_length": a["win_length"],
+        "lengths": lengths,
+        "programs": programs,
+        "model_path": config["model"].get("path", ""),
+        "jax_version": jax.__version__,
+        "export_platform": jax.default_backend(),
+    }
+    (out / _MANIFEST).write_text(json.dumps(manifest, indent=1) + "\n")
+    return manifest
+
+
+class ServingModel:
+    """Loads an exported artifact dir and serves enhancement without the
+    model source: ``ServingModel.load(dir).enhance(wave)``."""
+
+    def __init__(self, manifest: dict, programs: dict, params):
+        self.manifest = manifest
+        self._programs = programs  # length -> jax.export.Exported
+        self._params = params
+        self.sr = manifest["sr"]
+
+    @classmethod
+    def load(cls, artifact_dir) -> "ServingModel":
+        from jax import export as jexport
+
+        root = pathlib.Path(artifact_dir).expanduser().absolute()
+        manifest = json.loads((root / _MANIFEST).read_text())
+        if manifest.get("format") != "fullsubnet_tpu.serving/1":
+            raise ValueError(f"unknown artifact format in {root}")
+        programs = {
+            int(L): jexport.deserialize(
+                bytearray((root / name).read_bytes())
+            )
+            for L, name in manifest["programs"].items()
+        }
+        import orbax.checkpoint as ocp
+
+        params = ocp.StandardCheckpointer().restore(root / _PARAMS_DIR)
+        return cls(manifest, programs, params)
+
+    @property
+    def lengths(self):
+        return sorted(self._programs)
+
+    def enhance(self, noisy: np.ndarray) -> np.ndarray:
+        """wave [L] or [1, L] float32 -> enhanced [L] float32."""
+        wav = np.atleast_2d(np.asarray(noisy, np.float32))
+        if wav.shape[0] != 1:
+            raise ValueError(f"expected mono [L] or [1, L], got {wav.shape}")
+        L = wav.shape[-1]
+        if self.manifest["mode"] == "bucketed":
+            n_fft = self.manifest["n_fft"]
+            if L <= n_fft // 2:
+                raise ValueError(
+                    f"utterance too short for the bucketed artifact "
+                    f"({L} <= n_fft//2 = {n_fft // 2})"
+                )
+            # headroom for the tail reflection: true_len + n_fft//2 must
+            # fit inside the bucket
+            need = L + n_fft // 2
+            fits = [b for b in self.lengths if b >= need]
+            if not fits:
+                raise ValueError(
+                    f"no bucket >= {need} samples (available: {self.lengths})"
+                )
+            bucket = fits[0]
+            padded = np.zeros((1, bucket), np.float32)
+            padded[0, :L] = wav[0]
+            out = self._programs[bucket].call(
+                self._params, padded, np.int32(L)
+            )
+            return np.asarray(out)[0, :L]
+        if L not in self._programs:
+            raise ValueError(
+                f"exact-mode artifact has no program for length {L} "
+                f"(available: {self.lengths})"
+            )
+        out = self._programs[L].call(self._params, wav)
+        return np.asarray(out)[0]
+
+    __call__ = enhance
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Export an AOT serving artifact (StableHLO) for a "
+        "trained checkpoint"
+    )
+    parser.add_argument("-C", "--configuration", required=True)
+    parser.add_argument("-M", "--model_checkpoint_path", required=True)
+    parser.add_argument("-O", "--output_dir", required=True)
+    parser.add_argument(
+        "--seconds", type=str, default="1,2,4,8,16,30",
+        help="comma-separated bucket sizes in seconds",
+    )
+    parser.add_argument("--overwrite", action="store_true")
+    args = parser.parse_args(argv)
+
+    config = config_lib.load_config(args.configuration)
+    from fullsubnet_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache(
+        config.get("meta", {}).get("compilation_cache_dir")
+    )
+    seconds = [float(s) for s in args.seconds.split(",") if s]
+    manifest = export_enhancer(
+        config, args.model_checkpoint_path, args.output_dir,
+        seconds=seconds, overwrite=args.overwrite,
+    )
+    print(json.dumps(manifest, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -102,6 +102,11 @@ def main(argv=None):
         jax.distributed.initialize(**kwargs)
 
     config = load_config(args.configuration)
+    from fullsubnet_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache(
+        config.get("meta", {}).get("compilation_cache_dir")
+    )
     seed = int(config.get("meta", {}).get("seed", 0))
     random.seed(seed)
     np.random.seed(seed)

@@ -73,3 +73,31 @@ def print_tensor_info(tensor, flag: str = "Tensor"):
         f"{flag}\tmax: {t.max():.3e}, min: {t.min():.3e}, "
         f"mean: {t.mean():.3e}, std: {t.std():.3e}"
     )
+
+
+def enable_compilation_cache(
+    cache_dir: str | None = None, min_compile_seconds: float = 1.0
+) -> str | None:
+    """Turn on XLA's persistent compilation cache.
+
+    Through a remote-compile relay the first flagship compile takes
+    minutes; persisting compiled executables across processes makes
+    restarts, resumes, and repeated CLI invocations start hot. The
+    directory comes from (in priority order) the ``cache_dir`` argument
+    (CLIs pass ``config["meta"]["compilation_cache_dir"]``) or the
+    ``FULLSUBNET_COMPILE_CACHE`` environment variable; returns the
+    resolved path, or None when neither is set (cache stays off).
+    """
+    import jax
+
+    path = cache_dir or os.environ.get("FULLSUBNET_COMPILE_CACHE")
+    if not path:
+        return None
+    resolved = str(Path(path).expanduser().absolute())
+    os.makedirs(resolved, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", resolved)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", float(min_compile_seconds)
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return resolved

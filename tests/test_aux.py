@@ -74,3 +74,35 @@ def test_profiling_trace(tmp_path):
             jax.block_until_ready(jnp.ones((64, 64)) @ jnp.ones((64, 64)))
     # a trace directory should have been produced
     assert any((tmp_path / "trace").rglob("*"))
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from fullsubnet_tpu.utils import enable_compilation_cache
+
+    monkeypatch.delenv("FULLSUBNET_COMPILE_CACHE", raising=False)
+    assert enable_compilation_cache(None) is None  # unset -> stays off
+
+    monkeypatch.setenv("FULLSUBNET_COMPILE_CACHE", str(tmp_path / "env_cache"))
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    old_size = jax.config.jax_persistent_cache_min_entry_size_bytes
+    try:
+        p = enable_compilation_cache(None, min_compile_seconds=0.0)
+        assert p == str(tmp_path / "env_cache")
+
+        # explicit dir beats the env var; compiled executables persist
+        p = enable_compilation_cache(
+            str(tmp_path / "cache"), min_compile_seconds=0.0
+        )
+        f = jax.jit(lambda x: jnp.tanh(x @ x.T).sum())
+        f(jnp.ones((32, 32))).block_until_ready()
+        assert len(os.listdir(p)) > 0
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", old_min)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", old_size)

@@ -1,0 +1,165 @@
+"""AOT serving export: StableHLO artifacts round-trip without model code.
+
+The exported program must reproduce the Inferencer's enhancement exactly
+(bucketed mode: for ANY length in the bucket; exact mode: per length).
+"""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from fullsubnet_tpu.config import load_config
+
+SERVING_TOML = """
+[acoustics]
+n_fft = 320
+win_length = 320
+sr = 16000
+hop_length = 160
+
+[inferencer]
+path = "inferencer.Inferencer"
+type = "full_band_crm_mask"
+
+[model]
+path = "fullsubnet.model.Model"
+[model.args]
+sb_num_neighbors = 2
+fb_num_neighbors = 0
+num_freqs = 161
+look_ahead = 2
+sequence_model = "LSTM"
+fb_output_activate_function = "ReLU"
+sb_output_activate_function = false
+fb_model_hidden_size = 12
+sb_model_hidden_size = 8
+weight_init = false
+norm_type = "offline_laplace_norm"
+num_groups_in_drop_band = 2
+"""
+
+FULLBAND_TOML = """
+[acoustics]
+n_fft = 320
+win_length = 320
+sr = 16000
+hop_length = 160
+
+[inferencer]
+path = "inferencer.Inferencer"
+type = "scaled_mask"
+
+[model]
+path = "fullband_baseline.model.Model"
+[model.args]
+num_freqs = 161
+look_ahead = 2
+sequence_model = "LSTM"
+output_activate_function = false
+hidden_size = 24
+weight_init = false
+norm_type = "offline_laplace_norm"
+"""
+
+
+def _orbax_ckpt(tmp_path, config):
+    """Init params from the config's model and save an Orbax 'latest'."""
+    from fullsubnet_tpu import config as config_lib
+    from fullsubnet_tpu.checkpoint import CheckpointManager
+
+    model, _ = config_lib.build_model(config)
+    params = model.init(jax.random.PRNGKey(0), weight_init=False)
+    mgr = CheckpointManager(tmp_path / "ckpts")
+    mgr.save({"params": params}, epoch=0, keep_weights_history=False)
+    return tmp_path / "ckpts" / "latest"
+
+
+def _noisy(sr, seconds, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * seconds)) / sr
+    return (
+        0.3 * np.sin(2 * np.pi * 440 * t)
+        + 0.05 * rng.standard_normal(len(t))
+    ).astype(np.float32)
+
+
+def test_serving_bucketed_matches_inferencer(tmp_path):
+    from fullsubnet_tpu.infer.inferencer import Inferencer
+    from fullsubnet_tpu.serving import ServingModel, export_enhancer
+
+    cfg_path = tmp_path / "cfg.toml"
+    cfg_path.write_text(SERVING_TOML)
+    config = load_config(cfg_path)
+    ckpt = _orbax_ckpt(tmp_path, config)
+
+    manifest = export_enhancer(
+        config, str(ckpt), tmp_path / "artifact", seconds=(1.0, 2.0)
+    )
+    assert manifest["mode"] == "bucketed"
+    assert manifest["lengths"] == [16000, 32000]
+
+    served = ServingModel.load(tmp_path / "artifact")
+    inf = Inferencer(
+        {k: v for k, v in config.items()}, str(ckpt), output_dir=None
+    )
+    # two different lengths through the SAME 1 s bucket must both equal
+    # the exact unpadded Inferencer run
+    for seconds, seed in ((0.7, 0), (0.55, 1)):
+        wav = _noisy(16000, seconds, seed)
+        got = served.enhance(wav)
+        want = np.asarray(
+            inf._jit_for("full_band_crm_mask")(inf.params, wav[None])
+        )[0]
+        assert got.shape == wav.shape
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_serving_exact_mode_and_errors(tmp_path):
+    from fullsubnet_tpu.infer.inferencer import Inferencer
+    from fullsubnet_tpu.serving import ServingModel, export_enhancer
+
+    cfg_path = tmp_path / "cfg.toml"
+    cfg_path.write_text(FULLBAND_TOML)
+    config = load_config(cfg_path)
+    ckpt = _orbax_ckpt(tmp_path, config)
+
+    manifest = export_enhancer(
+        config, str(ckpt), tmp_path / "artifact", seconds=(1.0,)
+    )
+    assert manifest["mode"] == "exact"
+    served = ServingModel.load(tmp_path / "artifact")
+
+    wav = _noisy(16000, 1.0)
+    got = served.enhance(wav)
+    inf = Inferencer(
+        {k: v for k, v in config.items()}, str(ckpt), output_dir=None
+    )
+    want = np.asarray(inf._jit_for("scaled_mask")(inf.params, wav[None]))[0]
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    with pytest.raises(ValueError, match="no program for length"):
+        served.enhance(_noisy(16000, 0.5))
+
+
+def test_serving_cli_and_overwrite(tmp_path):
+    from fullsubnet_tpu.serving import export_enhancer, main
+
+    cfg_path = tmp_path / "cfg.toml"
+    cfg_path.write_text(SERVING_TOML)
+    config = load_config(cfg_path)
+    ckpt = _orbax_ckpt(tmp_path, config)
+
+    out = tmp_path / "artifact"
+    main([
+        "-C", str(cfg_path), "-M", str(ckpt), "-O", str(out),
+        "--seconds", "1",
+    ])
+    manifest = json.loads((out / "manifest.json").read_text())
+    assert manifest["programs"] == {"16000": "program_16000.stablehlo"}
+    assert (out / "program_16000.stablehlo").stat().st_size > 0
+
+    with pytest.raises(FileExistsError):
+        export_enhancer(config, str(ckpt), out, seconds=(1.0,))
+    export_enhancer(config, str(ckpt), out, seconds=(1.0,), overwrite=True)
