@@ -43,6 +43,65 @@ def _model_key_from_path(path: str) -> str:
     return max(matches, key=len) if matches else "fullsubnet"
 
 
+def bucketed_capable(model, strategy: str) -> bool:
+    """Length-bucketed enhancement is EXACT only for FullSubNet-family
+    ``full_band_crm_mask`` with unidirectional stacks: offline norms get
+    masked statistics over the true frame count, causal norms ignore
+    zero-padded tails by construction (same gate as the trainer's
+    bucketed validation, ``train/trainer.py:_bucketing_supported``)."""
+    from fullsubnet_tpu.models import FullSubNet
+
+    return (
+        strategy == "full_band_crm_mask"
+        and isinstance(model, FullSubNet)
+        and not model.fb_model.bidirectional
+        and not model.sb_model.bidirectional
+    )
+
+
+def build_bucketed_enhance_fn(model, acoustics: dict):
+    """(params, wave[1, bucket], true_len) -> enhanced[1, bucket]; the
+    first ``true_len`` samples equal the unpadded run exactly. One
+    compile serves every utterance length in the bucket — on a
+    remote-compile relay each new exact length would otherwise cost a
+    minutes-long compile. Shared by the Inferencer and the AOT serving
+    export (``fullsubnet_tpu/serving.py``)."""
+    n_fft = acoustics["n_fft"]
+    hop = acoustics["hop_length"]
+    win = acoustics["win_length"]
+    pad = n_fft // 2
+
+    def insert_tail_reflection(y, true_len):
+        # re-create torch's center-pad tail reflection at the true length:
+        # y_pad[L + i] = y[L - 2 - i]
+        tail = jax.lax.dynamic_slice(y, (0, true_len - pad - 1), (1, pad))[
+            :, ::-1
+        ]
+        return jax.lax.dynamic_update_slice(y, tail, (0, true_len))
+
+    def fn(params, noisy, true_len):
+        spec = stft_complex(
+            insert_tail_reflection(noisy, true_len), n_fft, hop, win
+        )
+        t_pad = spec.shape[-1]
+        frames_real = 1 + true_len // hop
+        tmask = (jnp.arange(t_pad) < frames_real).astype(jnp.float32)
+        noisy_mag = jnp.abs(spec)[:, None] * tmask
+        crm = model(
+            params, noisy_mag, dropping_band=False, valid_frames=frames_real
+        )
+        crm = jnp.transpose(crm, (0, 2, 3, 1))
+        crm = decompress_cIRM(crm)
+        er = (crm[..., 0] * spec.real - crm[..., 1] * spec.imag) * tmask
+        ei = (crm[..., 1] * spec.real + crm[..., 0] * spec.imag) * tmask
+        return istft(
+            (er, ei), n_fft, hop, win,
+            length=noisy.shape[-1], input_type="real_imag", frame_mask=tmask,
+        )
+
+    return fn
+
+
 class Inferencer:
     def __init__(
         self, config: dict, checkpoint_path: str, output_dir: str | None
@@ -205,7 +264,33 @@ class Inferencer:
     def sub_band_crm_mask(self, noisy, inference_args=None):
         return np.asarray(self._jit_for("sub_band_crm_mask")(self.params, noisy))[0]
 
+    # utterances are padded up to a multiple of this many seconds (+ one
+    # FFT frame of reflection headroom); override with
+    # [inferencer] bucket_seconds = 0 to force exact-length compiles
+    _BUCKET_SECONDS = 1.0
+
     def full_band_crm_mask(self, noisy, inference_args=None):
+        bucket_seconds = float(
+            self.inference_config.get("bucket_seconds", self._BUCKET_SECONDS)
+        )
+        n_fft = self.acoustics["n_fft"]
+        length = int(noisy.shape[-1])
+        if (
+            bucket_seconds > 0
+            and length > n_fft // 2  # tail reflection needs this headroom
+            and bucketed_capable(self.model, "full_band_crm_mask")
+        ):
+            if "bucketed" not in self._jitted:
+                self._jitted["bucketed"] = jax.jit(
+                    build_bucketed_enhance_fn(self.model, self.acoustics)
+                )
+            step = int(bucket_seconds * self.sr)
+            bucket = -(-(length + n_fft) // step) * step
+            padded = jnp.pad(noisy, ((0, 0), (0, bucket - length)))
+            out = self._jitted["bucketed"](
+                self.params, padded, jnp.asarray(length, jnp.int32)
+            )
+            return np.asarray(out)[0][:length]
         return np.asarray(self._jit_for("full_band_crm_mask")(self.params, noisy))[0]
 
     def time_domain(self, noisy, inference_args=None):

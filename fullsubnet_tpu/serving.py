@@ -35,12 +35,14 @@ import json
 import pathlib
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from fullsubnet_tpu import config as config_lib
-from fullsubnet_tpu.acoustics.mask import decompress_cIRM
-from fullsubnet_tpu.acoustics.stft import istft, stft_complex
+from fullsubnet_tpu.infer.inferencer import (
+    Inferencer,
+    bucketed_capable,
+    build_bucketed_enhance_fn,
+)
 
 _MANIFEST = "manifest.json"
 _PARAMS_DIR = "params"
@@ -54,58 +56,6 @@ def _normalize_tree(p):
     if isinstance(p, (list, tuple)):
         return [_normalize_tree(v) for v in p]
     return p
-
-
-def _bucketed_capable(model, strategy: str) -> bool:
-    from fullsubnet_tpu.models import FullSubNet
-
-    return (
-        strategy == "full_band_crm_mask"
-        and isinstance(model, FullSubNet)
-        and not model.fb_model.bidirectional
-        and not model.sb_model.bidirectional
-    )
-
-
-def _build_bucketed_fn(model, acoustics: dict):
-    """(params, wave[1, bucket], true_len) -> enhanced[1, bucket]; the
-    first ``true_len`` samples equal the unpadded run exactly (offline
-    norms use masked statistics over the true frame count; causal norms
-    are tail-insensitive by construction)."""
-    n_fft = acoustics["n_fft"]
-    hop = acoustics["hop_length"]
-    win = acoustics["win_length"]
-    pad = n_fft // 2
-
-    def insert_tail_reflection(y, true_len):
-        # re-create torch's center-pad tail reflection at the true length:
-        # y_pad[L + i] = y[L - 2 - i]
-        tail = jax.lax.dynamic_slice(y, (0, true_len - pad - 1), (1, pad))[
-            :, ::-1
-        ]
-        return jax.lax.dynamic_update_slice(y, tail, (0, true_len))
-
-    def fn(params, noisy, true_len):
-        spec = stft_complex(
-            insert_tail_reflection(noisy, true_len), n_fft, hop, win
-        )
-        t_pad = spec.shape[-1]
-        frames_real = 1 + true_len // hop
-        tmask = (jnp.arange(t_pad) < frames_real).astype(jnp.float32)
-        noisy_mag = jnp.abs(spec)[:, None] * tmask
-        crm = model(
-            params, noisy_mag, dropping_band=False, valid_frames=frames_real
-        )
-        crm = jnp.transpose(crm, (0, 2, 3, 1))
-        crm = decompress_cIRM(crm)
-        er = (crm[..., 0] * spec.real - crm[..., 1] * spec.imag) * tmask
-        ei = (crm[..., 1] * spec.real + crm[..., 0] * spec.imag) * tmask
-        return istft(
-            (er, ei), n_fft, hop, win,
-            length=noisy.shape[-1], input_type="real_imag", frame_mask=tmask,
-        )
-
-    return fn
 
 
 def _export_one(fn, specs):
@@ -139,8 +89,6 @@ def export_enhancer(
     Writes to ``out_dir``: ``program_<L>.stablehlo`` per wave length L,
     ``params/`` (Orbax), and ``manifest.json``. Returns the manifest.
     """
-    from fullsubnet_tpu.infer.inferencer import Inferencer
-
     out = pathlib.Path(out_dir).expanduser().absolute()
     if out.exists() and any(out.iterdir()):
         if not overwrite:
@@ -159,10 +107,10 @@ def export_enhancer(
     sr = a["sr"]
     n_fft = a["n_fft"]
 
-    mode = "bucketed" if _bucketed_capable(inf.model, inf.strategy) else "exact"
+    mode = "bucketed" if bucketed_capable(inf.model, inf.strategy) else "exact"
     lengths = sorted({int(round(s * sr)) for s in seconds})
     if mode == "bucketed":
-        fn = _build_bucketed_fn(inf.model, a)
+        fn = build_bucketed_enhance_fn(inf.model, a)
     else:
         fn = getattr(inf, f"_{inf.strategy}_fn")
 

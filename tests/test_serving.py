@@ -163,3 +163,37 @@ def test_serving_cli_and_overwrite(tmp_path):
     with pytest.raises(FileExistsError):
         export_enhancer(config, str(ckpt), out, seconds=(1.0,))
     export_enhancer(config, str(ckpt), out, seconds=(1.0,), overwrite=True)
+
+
+def test_inferencer_bucketed_matches_exact(tmp_path):
+    # the Inferencer's full_band_crm_mask now buckets utterance lengths
+    # (one compile per bucket instead of one per exact length); the
+    # bucketed result must equal the exact per-length run
+    import jax.numpy as jnp
+
+    from fullsubnet_tpu.infer.inferencer import Inferencer
+
+    cfg_path = tmp_path / "cfg.toml"
+    cfg_path.write_text(SERVING_TOML)
+    config = load_config(cfg_path)
+    ckpt = _orbax_ckpt(tmp_path, config)
+
+    inf = Inferencer(config, str(ckpt), output_dir=None)
+    for seconds, seed in ((0.7, 0), (0.9, 1)):
+        wav = _noisy(16000, seconds, seed)
+        got = inf.full_band_crm_mask(jnp.asarray(wav[None]))
+        want = np.asarray(
+            inf._jit_for("full_band_crm_mask")(inf.params, wav[None])
+        )[0]
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+    assert "bucketed" in inf._jitted
+
+    # bucket_seconds = 0 opts out: the strategy stays on exact compiles
+    config2 = dict(config)
+    config2["inferencer"] = dict(config.get("inferencer", {}))
+    config2["inferencer"]["bucket_seconds"] = 0
+    inf2 = Inferencer(config2, str(ckpt), output_dir=None)
+    wav = _noisy(16000, 0.7)
+    out = inf2.full_band_crm_mask(jnp.asarray(wav[None]))
+    assert np.isfinite(out).all()
+    assert "bucketed" not in inf2._jitted
