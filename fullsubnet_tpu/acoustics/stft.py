@@ -136,10 +136,12 @@ def istft(
     Overlap-add with squared-window envelope normalization, matching
     ``torch.istft`` (center trim + ``length`` cut).
 
-    ``frame_mask``: optional [T'] 0/1 (may be traced) — masked frames
-    contribute neither signal nor envelope, so the result over the valid
-    samples is EXACTLY the istft of the unmasked prefix. This is what
-    makes length-bucketed (padded) inference bit-equal to unpadded runs.
+    ``frame_mask``: optional 0/1 (may be traced), shaped [T'] or
+    batch_shape + [T'] (per-example valid lengths within one padded
+    batch) — masked frames contribute neither signal nor envelope, so the
+    result over the valid samples is EXACTLY the istft of the unmasked
+    prefix. This is what makes length-bucketed (padded) inference
+    bit-equal to unpadded runs.
     """
     if input_type == "real_imag":
         real, imag = features
@@ -161,15 +163,24 @@ def istft(
     frames = frames * window
 
     num_frames = frames.shape[-2]
+    # frame_mask may be [T'] (shared) or batch_shape + (T',) (per-example
+    # valid lengths in one padded batch); per-example masks make the OLA
+    # envelope per-example too
+    per_example_env = frame_mask is not None and frame_mask.ndim > 1
     if frame_mask is not None:
-        frames = frames * frame_mask.astype(frames.dtype)[:, None]
+        fm = frame_mask.astype(frames.dtype)
+        frames = frames * fm[..., :, None]
     out_len = n_fft + (num_frames - 1) * hop_length
 
     batch_shape = frames.shape[:-2]
     flat = frames.reshape((-1, num_frames, n_fft))
     wsq = jnp.broadcast_to(window**2, (num_frames, n_fft))
     if frame_mask is not None:
-        wsq = wsq * frame_mask.astype(window.dtype)[:, None]
+        wsq = wsq * fm.astype(window.dtype)[..., :, None]
+    if per_example_env:
+        wsq = jnp.broadcast_to(
+            wsq, batch_shape + (num_frames, n_fft)
+        ).reshape((-1, num_frames, n_fft))
 
     if n_fft % hop_length == 0:
         # strided OLA: k = n_fft/hop interleaved sets of NON-overlapping
@@ -197,7 +208,7 @@ def istft(
             return jnp.zeros(out_len, fr.dtype).at[idx].add(fr)
 
         out = jax.vmap(ola)(flat)  # [B*, out_len]
-        env = jnp.zeros(out_len, window.dtype).at[idx].add(wsq)
+        env = jax.vmap(ola)(wsq) if per_example_env else ola(wsq)
     out = out / jnp.maximum(env, epsilon)
     out = out.reshape(batch_shape + (out_len,))
 

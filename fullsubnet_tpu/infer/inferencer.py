@@ -60,43 +60,49 @@ def bucketed_capable(model, strategy: str) -> bool:
 
 
 def build_bucketed_enhance_fn(model, acoustics: dict):
-    """(params, wave[1, bucket], true_len) -> enhanced[1, bucket]; the
-    first ``true_len`` samples equal the unpadded run exactly. One
-    compile serves every utterance length in the bucket — on a
-    remote-compile relay each new exact length would otherwise cost a
-    minutes-long compile. Shared by the Inferencer and the AOT serving
-    export (``fullsubnet_tpu/serving.py``)."""
+    """(params, wave[B, bucket], true_len) -> enhanced[B, bucket]; each
+    example's first ``true_len[b]`` samples equal its unpadded run
+    exactly. ``true_len`` is a traced scalar (B=1, one shared length) or
+    a [B] int32 vector (batched bucketed inference: many utterances of
+    different lengths padded into ONE device call). One compile serves
+    every utterance length in the bucket — on a remote-compile relay each
+    new exact length would otherwise cost a minutes-long compile. Shared
+    by the Inferencer and the AOT serving export
+    (``fullsubnet_tpu/serving.py``)."""
     n_fft = acoustics["n_fft"]
     hop = acoustics["hop_length"]
     win = acoustics["win_length"]
     pad = n_fft // 2
 
-    def insert_tail_reflection(y, true_len):
+    def reflect_one(y, true_len):
         # re-create torch's center-pad tail reflection at the true length:
-        # y_pad[L + i] = y[L - 2 - i]
-        tail = jax.lax.dynamic_slice(y, (0, true_len - pad - 1), (1, pad))[
-            :, ::-1
-        ]
-        return jax.lax.dynamic_update_slice(y, tail, (0, true_len))
+        # y_pad[L + i] = y[L - 2 - i]   (y: [bucket], true_len: scalar)
+        tail = jax.lax.dynamic_slice(y, (true_len - pad - 1,), (pad,))[::-1]
+        return jax.lax.dynamic_update_slice(y, tail, (true_len,))
 
     def fn(params, noisy, true_len):
-        spec = stft_complex(
-            insert_tail_reflection(noisy, true_len), n_fft, hop, win
-        )
+        tl = jnp.asarray(true_len).reshape(-1)  # [1] or [B]
+        tlb = jnp.broadcast_to(tl, (noisy.shape[0],))
+        reflected = jax.vmap(reflect_one)(noisy, tlb)
+        spec = stft_complex(reflected, n_fft, hop, win)
         t_pad = spec.shape[-1]
-        frames_real = 1 + true_len // hop
-        tmask = (jnp.arange(t_pad) < frames_real).astype(jnp.float32)
-        noisy_mag = jnp.abs(spec)[:, None] * tmask
+        frames_real = 1 + tl // hop  # [1] or [B]
+        tmask = (
+            jnp.arange(t_pad)[None, :] < frames_real[:, None]
+        ).astype(jnp.float32)  # [b, T']
+        noisy_mag = jnp.abs(spec)[:, None] * tmask[:, None, None, :]
         crm = model(
             params, noisy_mag, dropping_band=False, valid_frames=frames_real
         )
         crm = jnp.transpose(crm, (0, 2, 3, 1))
         crm = decompress_cIRM(crm)
-        er = (crm[..., 0] * spec.real - crm[..., 1] * spec.imag) * tmask
-        ei = (crm[..., 1] * spec.real + crm[..., 0] * spec.imag) * tmask
+        m3 = tmask[:, None, :]
+        er = (crm[..., 0] * spec.real - crm[..., 1] * spec.imag) * m3
+        ei = (crm[..., 1] * spec.real + crm[..., 0] * spec.imag) * m3
+        fm = tmask if tmask.shape[0] > 1 else tmask[0]
         return istft(
             (er, ei), n_fft, hop, win,
-            length=noisy.shape[-1], input_type="real_imag", frame_mask=tmask,
+            length=noisy.shape[-1], input_type="real_imag", frame_mask=fm,
         )
 
     return fn
@@ -337,6 +343,80 @@ class Inferencer:
 
     # ------------------------------------------------------------------
 
+    def _write_outputs(self, enhanced: np.ndarray, noisy, name: str):
+        enhanced = np.asarray(enhanced, dtype=np.float32)
+        # UNCONDITIONAL peak normalization to 0.8 FS, exactly the
+        # reference's `0.8 * amp * enhanced / max(|enhanced|)`
+        # (base_inferencer.py:181-182) — every written file is
+        # peak-scaled, not just clipping ones
+        peak = np.max(np.abs(enhanced))
+        if peak > 0:
+            enhanced = enhanced / peak * 0.8
+        write_wav(self.enhanced_dir / f"{name}.wav", enhanced, self.sr)
+        # reference writes the first channel, trimmed to the
+        # enhanced length (base_inferencer.py:189-192)
+        noisy_out = np.asarray(noisy, np.float32)
+        if noisy_out.ndim > 1:
+            noisy_out = noisy_out[0]
+        noisy_out = noisy_out[: enhanced.shape[-1]]
+        write_wav(self.noisy_dir / f"{name}.wav", noisy_out, self.sr)
+
+    def _call_batched(self, batch_size: int):
+        """Batched bucketed enhancement: utterances are grouped by length
+        bucket and padded into [batch_size, bucket] device calls with a
+        per-example true-length vector (exact under padding). On an
+        accelerator this is the throughput path — a single utterance
+        leaves the chip almost idle."""
+        from tqdm import tqdm
+
+        bucket_seconds = float(
+            self.inference_config.get("bucket_seconds", self._BUCKET_SECONDS)
+        )
+        step = int(bucket_seconds * self.sr)
+        n_fft = self.acoustics["n_fft"]
+        if "bucketed" not in self._jitted:
+            self._jitted["bucketed"] = jax.jit(
+                build_bucketed_enhance_fn(self.model, self.acoustics)
+            )
+        fn = self._jitted["bucketed"]
+
+        def flush(bucket, items):
+            padded = np.zeros((batch_size, bucket), np.float32)
+            lengths = np.full(
+                batch_size, items[0][0].shape[-1], dtype=np.int32
+            )  # filler rows reuse a real length (outputs discarded)
+            for i, (y, _) in enumerate(items):
+                padded[i, : len(y)] = y
+                lengths[i] = len(y)
+            out = np.asarray(
+                fn(self.params, jnp.asarray(padded), jnp.asarray(lengths))
+            )
+            for i, (y, name) in enumerate(items):
+                self._write_outputs(out[i, : len(y)], y, name)
+
+        groups: dict[int, list] = {}
+        progress = tqdm(range(len(self.dataset)), desc="Inference (batched)")
+        for i in progress:
+            noisy, name = self.dataset[i]
+            noisy = np.asarray(noisy, np.float32)
+            if noisy.ndim > 1:
+                noisy = noisy[0]
+            if len(noisy) <= n_fft // 2:  # degenerate: exact path
+                enhanced = np.asarray(
+                    self._jit_for("full_band_crm_mask")(
+                        self.params, jnp.asarray(noisy[None])
+                    )
+                )[0]
+                self._write_outputs(enhanced, noisy, name)
+                continue
+            bucket = -(-(len(noisy) + n_fft) // step) * step
+            groups.setdefault(bucket, []).append((noisy, name))
+            if len(groups[bucket]) == batch_size:
+                flush(bucket, groups.pop(bucket))
+        for bucket in sorted(groups):
+            flush(bucket, groups[bucket])
+        return self.enhanced_dir
+
     def __call__(self):
         from tqdm import tqdm
 
@@ -352,23 +432,21 @@ class Inferencer:
                 "mag, scaled_mask, sub_band_crm_mask, full_band_crm_mask, "
                 "overlapped_chunk, time_domain."
             )
+        batch_size = int(self.inference_config.get("batch_size", 1))
+        if (
+            batch_size > 1
+            and self.strategy == "full_band_crm_mask"
+            and float(
+                self.inference_config.get(
+                    "bucket_seconds", self._BUCKET_SECONDS
+                )
+            )
+            > 0
+            and bucketed_capable(self.model, self.strategy)
+        ):
+            return self._call_batched(batch_size)
         for i in tqdm(range(len(self.dataset)), desc="Inference"):
             noisy, name = self.dataset[i]
             enhanced = strategy(jnp.asarray(noisy[None]))
-            enhanced = np.asarray(enhanced, dtype=np.float32)
-            # UNCONDITIONAL peak normalization to 0.8 FS, exactly the
-            # reference's `0.8 * amp * enhanced / max(|enhanced|)`
-            # (base_inferencer.py:181-182) — every written file is
-            # peak-scaled, not just clipping ones
-            peak = np.max(np.abs(enhanced))
-            if peak > 0:
-                enhanced = enhanced / peak * 0.8
-            write_wav(self.enhanced_dir / f"{name}.wav", enhanced, self.sr)
-            # reference writes the first channel, trimmed to the
-            # enhanced length (base_inferencer.py:189-192)
-            noisy_out = np.asarray(noisy, np.float32)
-            if noisy_out.ndim > 1:
-                noisy_out = noisy_out[0]
-            noisy_out = noisy_out[: enhanced.shape[-1]]
-            write_wav(self.noisy_dir / f"{name}.wav", noisy_out, self.sr)
+            self._write_outputs(enhanced, noisy, name)
         return self.enhanced_dir

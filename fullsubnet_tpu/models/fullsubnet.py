@@ -132,16 +132,18 @@ class FullSubNet:
         [B, F, 2N+1, T] unfold, so big-batch training stays in HBM.
 
         ``valid_frames``: optional (traced) count of real frames in a
-        length-bucketed (zero-padded) ``noisy_mag``. The offline norm
-        statistics are computed with the TRUE frame count and the
-        full-band output is masked past it, so outputs for the valid
-        frames EXACTLY equal an unpadded run — one compile serves every
-        utterance length in the bucket. The caller must zero the padded
-        input frames and discard outputs past ``valid_frames``. Offline
-        norms (laplace/gaussian) get masked statistics; the causal norms
-        (cumulative laplace/layer, forgetting) are exact as-is. Requires
-        unidirectional stacks (the trainer's ``_bucketing_supported``
-        gate) — a bidirectional RNN would leak pad frames backward.
+        length-bucketed (zero-padded) ``noisy_mag`` — a scalar (one
+        shared length) or a [B] vector (per-example lengths, for batched
+        bucketed inference). The offline norm statistics are computed
+        with the TRUE frame count and the full-band output is masked
+        past it, so outputs for the valid frames EXACTLY equal an
+        unpadded run — one compile serves every utterance length in the
+        bucket. The caller must zero the padded input frames and discard
+        outputs past ``valid_frames``. Offline norms (laplace/gaussian)
+        get masked statistics; the causal norms (cumulative laplace/
+        layer, forgetting) are exact as-is. Requires unidirectional
+        stacks (the trainer's ``_bucketing_supported`` gate) — a
+        bidirectional RNN would leak pad frames backward.
         """
         assert noisy_mag.ndim == 4
         x = jnp.pad(noisy_mag, ((0, 0), (0, 0), (0, 0), (0, self.look_ahead)))
@@ -150,18 +152,24 @@ class FullSubNet:
 
         norm = self.norm
         frame_mask = None
+        valid_total = None
         if valid_frames is not None:
             from fullsubnet_tpu.acoustics.norm import (
                 offline_gaussian_norm,
                 offline_laplace_norm,
             )
 
+            # scalar (one shared length) or [B] (per-example lengths in a
+            # padded batch) — normalize to a [b]-vector, b in {1, B}
+            vf = jnp.asarray(valid_frames).reshape(-1)
             # the model's own look-ahead zero-pad counts toward the offline
             # statistics, exactly as in an unpadded run
-            valid_total = (valid_frames + self.look_ahead).astype(jnp.float32)
+            valid_total = (vf + self.look_ahead).astype(jnp.float32)[
+                :, None, None, None
+            ]  # [b, 1, 1, 1]
             frame_mask = (
-                jnp.arange(num_frames) < valid_frames + self.look_ahead
-            ).astype(x.dtype)
+                jnp.arange(num_frames)[None, :] < (vf + self.look_ahead)[:, None]
+            ).astype(x.dtype)  # [b, T]
             if self.norm is offline_laplace_norm:
                 def norm(v):
                     count = (
@@ -203,7 +211,7 @@ class FullSubNet:
         if frame_mask is not None:
             # pad frames would otherwise leak (LSTM biases) into the
             # offline norm statistics of the sub-band stage
-            fb_output = fb_output * frame_mask
+            fb_output = fb_output * frame_mask[:, None, None, :]
 
         # Fused path: unfold + norm + sub-band scan without materializing
         # the [B, F, 2N+1, T] tensor. Used for big batches at inference and
@@ -224,9 +232,17 @@ class FullSubNet:
             * (2 * self.sb_num_neighbors + 2 * self.fb_num_neighbors + 2)
             * num_frames
         )
+        # the fused path handles valid_frames exactly for both fusable
+        # norms: offline laplace gets a masked mu denominator
+        # (_sb_norm_mu), cumulative laplace is causal (zero-pad tails
+        # leave valid frames untouched); the inputs are already zeroed
+        # past the valid region (caller contract + fb_output mask above)
+        assert valid_frames is None or not drop_applies, (
+            "bucketed (valid_frames) calls are inference-shaped; "
+            "drop_band grouping never applies"
+        )
         fusable = (
-            valid_frames is None
-            and not self.sb_model.output_activate_function
+            not self.sb_model.output_activate_function
             and self.norm in (self._norms_fusable())
             and (
                 not drop_applies
@@ -243,6 +259,10 @@ class FullSubNet:
                     self.num_groups_in_drop_band if drop_applies else 1
                 ),
                 training=training,
+                valid_total_frames=(
+                    None if valid_total is None
+                    else valid_total.reshape(-1)
+                ),
             )
             return sb_mask[:, :, :, self.look_ahead :]
 
@@ -293,7 +313,7 @@ class FullSubNet:
 
         return (offline_laplace_norm, cumulative_laplace_norm)
 
-    def _sb_norm_mu(self, noisy_pad, fb_pad, f):
+    def _sb_norm_mu(self, noisy_pad, fb_pad, f, valid_total_frames=None):
         """Normalization denominator of the concatenated sub-band input,
         computed WITHOUT materializing the unfold.
 
@@ -327,7 +347,11 @@ class FullSubNet:
             total = weighted_total(noisy_pad, n_sb) + weighted_total(
                 fb_pad, n_fb
             )
-            mu = total / (f * unit * t)  # [B]
+            # bucketed calls: inputs past the valid frames are zero, so
+            # the sums are already masked — only the denominator needs
+            # the true (per-example) frame count
+            frames = t if valid_total_frames is None else valid_total_frames
+            mu = total / (f * unit * frames)  # [B]
             return mu[:, None, None, None] + 1e-5
 
         # cumulative_laplace_norm: unit_sum[b,f,t] then running mean
@@ -647,7 +671,7 @@ class FullSubNet:
 
     def _fused_subband_stage(
         self, params, x, fb_output, sharding_hint=None, drop_groups=1,
-        training=False,
+        training=False, valid_total_frames=None,
     ):
         """Chunk-fused sub-band stage: per time chunk, gather the
         (2N+1)-bin units, concat the fb bin, normalize, and advance the
@@ -670,7 +694,9 @@ class FullSubNet:
             fb_pad = jnp.pad(
                 fb_pad, ((0, 0), (n_fb, n_fb), (0, 0)), mode="reflect"
             )
-        mu = self._sb_norm_mu(noisy_pad, fb_pad, f)  # [B,1,1,1] or [B,F,1,T]
+        mu = self._sb_norm_mu(
+            noisy_pad, fb_pad, f, valid_total_frames
+        )  # [B,1,1,1] or [B,F,1,T]
         mu_is_scalar = mu.shape[1] == 1
 
         # the kernel input materializes AFTER drop_band subsampling, so the

@@ -82,12 +82,18 @@ def export_enhancer(
     checkpoint_path: str,
     out_dir: str | pathlib.Path,
     seconds=(1, 2, 4, 8, 16, 30),
+    batch: int = 1,
     overwrite: bool = False,
 ) -> dict:
     """Export the config's inference strategy as AOT serving artifacts.
 
     Writes to ``out_dir``: ``program_<L>.stablehlo`` per wave length L,
     ``params/`` (Orbax), and ``manifest.json``. Returns the manifest.
+
+    ``batch`` > 1 (bucketed mode only) exports programs that enhance
+    ``batch`` utterances per call with a per-example true-length vector —
+    the accelerator throughput shape; ``ServingModel.enhance_batch``
+    drives it.
     """
     out = pathlib.Path(out_dir).expanduser().absolute()
     if out.exists() and any(out.iterdir()):
@@ -108,6 +114,12 @@ def export_enhancer(
     n_fft = a["n_fft"]
 
     mode = "bucketed" if bucketed_capable(inf.model, inf.strategy) else "exact"
+    if batch != 1 and mode != "bucketed":
+        raise ValueError(
+            "batch > 1 export needs the bucketed mode (per-example "
+            f"true-length masking); {inf.strategy!r} exports exact-length "
+            "programs only"
+        )
     lengths = sorted({int(round(s * sr)) for s in seconds})
     if mode == "bucketed":
         fn = build_bucketed_enhance_fn(inf.model, a)
@@ -119,9 +131,10 @@ def export_enhancer(
     )
     programs = {}
     for L in lengths:
-        specs = [pspecs, jax.ShapeDtypeStruct((1, L), np.float32)]
+        specs = [pspecs, jax.ShapeDtypeStruct((batch, L), np.float32)]
         if mode == "bucketed":
-            specs.append(jax.ShapeDtypeStruct((), np.int32))
+            tl_shape = () if batch == 1 else (batch,)
+            specs.append(jax.ShapeDtypeStruct(tl_shape, np.int32))
         exported = _export_one(fn, specs)
         name = f"program_{L}.stablehlo"
         (out / name).write_bytes(bytes(exported.serialize()))
@@ -136,6 +149,7 @@ def export_enhancer(
     manifest = {
         "format": "fullsubnet_tpu.serving/1",
         "mode": mode,
+        "batch": batch,
         "strategy": inf.strategy,
         "sr": sr,
         "n_fft": n_fft,
@@ -160,6 +174,7 @@ class ServingModel:
         self._programs = programs  # length -> jax.export.Exported
         self._params = params
         self.sr = manifest["sr"]
+        self.batch = int(manifest.get("batch", 1))
 
     @classmethod
     def load(cls, artifact_dir) -> "ServingModel":
@@ -184,6 +199,53 @@ class ServingModel:
     def lengths(self):
         return sorted(self._programs)
 
+    def _pick_bucket(self, L: int) -> int:
+        n_fft = self.manifest["n_fft"]
+        if L <= n_fft // 2:
+            raise ValueError(
+                f"utterance too short for the bucketed artifact "
+                f"({L} <= n_fft//2 = {n_fft // 2})"
+            )
+        # headroom for the tail reflection: true_len + n_fft//2 must
+        # fit inside the bucket
+        need = L + n_fft // 2
+        fits = [b for b in self.lengths if b >= need]
+        if not fits:
+            raise ValueError(
+                f"no bucket >= {need} samples (available: {self.lengths})"
+            )
+        return fits[0]
+
+    def enhance_batch(self, waves) -> list:
+        """List of float32 waves (any lengths) -> list of enhanced waves,
+        in order. Bucketed artifacts only: utterances are grouped by
+        bucket and run ``self.batch`` per program call (filler rows for
+        partial batches)."""
+        if self.manifest["mode"] != "bucketed":
+            raise ValueError("enhance_batch needs a bucketed artifact")
+        waves = [np.asarray(w, np.float32).reshape(-1) for w in waves]
+        out: list = [None] * len(waves)
+        groups: dict[int, list[int]] = {}
+        for i, w in enumerate(waves):
+            groups.setdefault(self._pick_bucket(len(w)), []).append(i)
+        for bucket, idxs in groups.items():
+            for c in range(0, len(idxs), self.batch):
+                chunk = idxs[c : c + self.batch]
+                padded = np.zeros((self.batch, bucket), np.float32)
+                lengths = np.full(
+                    self.batch, len(waves[chunk[0]]), np.int32
+                )  # filler rows reuse a real length (outputs discarded)
+                for r, i in enumerate(chunk):
+                    padded[r, : len(waves[i])] = waves[i]
+                    lengths[r] = len(waves[i])
+                tl = np.int32(lengths[0]) if self.batch == 1 else lengths
+                res = np.asarray(
+                    self._programs[bucket].call(self._params, padded, tl)
+                )
+                for r, i in enumerate(chunk):
+                    out[i] = res[r, : len(waves[i])]
+        return out
+
     def enhance(self, noisy: np.ndarray) -> np.ndarray:
         """wave [L] or [1, L] float32 -> enhanced [L] float32."""
         wav = np.atleast_2d(np.asarray(noisy, np.float32))
@@ -191,21 +253,9 @@ class ServingModel:
             raise ValueError(f"expected mono [L] or [1, L], got {wav.shape}")
         L = wav.shape[-1]
         if self.manifest["mode"] == "bucketed":
-            n_fft = self.manifest["n_fft"]
-            if L <= n_fft // 2:
-                raise ValueError(
-                    f"utterance too short for the bucketed artifact "
-                    f"({L} <= n_fft//2 = {n_fft // 2})"
-                )
-            # headroom for the tail reflection: true_len + n_fft//2 must
-            # fit inside the bucket
-            need = L + n_fft // 2
-            fits = [b for b in self.lengths if b >= need]
-            if not fits:
-                raise ValueError(
-                    f"no bucket >= {need} samples (available: {self.lengths})"
-                )
-            bucket = fits[0]
+            if self.batch != 1:
+                return self.enhance_batch([wav[0]])[0]
+            bucket = self._pick_bucket(L)
             padded = np.zeros((1, bucket), np.float32)
             padded[0, :L] = wav[0]
             out = self._programs[bucket].call(
@@ -237,6 +287,10 @@ def main(argv=None):
         "--seconds", type=str, default="1,2,4,8,16,30",
         help="comma-separated bucket sizes in seconds",
     )
+    parser.add_argument(
+        "--batch", type=int, default=1,
+        help="utterances per program call (bucketed mode only)",
+    )
     parser.add_argument("--overwrite", action="store_true")
     args = parser.parse_args(argv)
 
@@ -249,7 +303,7 @@ def main(argv=None):
     seconds = [float(s) for s in args.seconds.split(",") if s]
     manifest = export_enhancer(
         config, args.model_checkpoint_path, args.output_dir,
-        seconds=seconds, overwrite=args.overwrite,
+        seconds=seconds, batch=args.batch, overwrite=args.overwrite,
     )
     print(json.dumps(manifest, indent=1))
 

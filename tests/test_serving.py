@@ -197,3 +197,175 @@ def test_inferencer_bucketed_matches_exact(tmp_path):
     out = inf2.full_band_crm_mask(jnp.asarray(wav[None]))
     assert np.isfinite(out).all()
     assert "bucketed" not in inf2._jitted
+
+
+def test_batched_bucketed_fn_matches_per_utterance(tmp_path):
+    # many utterances of DIFFERENT lengths padded into one device call
+    # (per-example valid_frames vector) must each equal their unpadded
+    # per-utterance run — on the unfused path and on the fused sub-band
+    # path (masked _sb_norm_mu denominator)
+    import jax.numpy as jnp
+
+    from fullsubnet_tpu.infer.inferencer import (
+        Inferencer,
+        build_bucketed_enhance_fn,
+    )
+
+    cfg_path = tmp_path / "cfg.toml"
+    cfg_path.write_text(SERVING_TOML)
+    config = load_config(cfg_path)
+    ckpt = _orbax_ckpt(tmp_path, config)
+    inf = Inferencer(config, str(ckpt), output_dir=None)
+
+    lens = [11200, 8800, 14000]
+    wavs = [_noisy(16000, L / 16000, seed=i) for i, L in enumerate(lens)]
+    bucket = 16000  # covers max(L) + n_fft with step = 1 s
+    padded = np.zeros((4, bucket), np.float32)  # one filler row
+    lengths = np.full(4, lens[0], np.int32)
+    for i, w in enumerate(wavs):
+        padded[i, : len(w)] = w
+        lengths[i] = len(w)
+
+    wants = [
+        np.asarray(
+            inf._jit_for("full_band_crm_mask")(inf.params, w[None])
+        )[0]
+        for w in wavs
+    ]
+
+    fn = jax.jit(build_bucketed_enhance_fn(inf.model, inf.acoustics))
+    out = np.asarray(fn(inf.params, jnp.asarray(padded), jnp.asarray(lengths)))
+    for i, (L, want) in enumerate(zip(lens, wants)):
+        np.testing.assert_allclose(out[i, :L], want, atol=2e-5, rtol=1e-4)
+
+    # force the fused sub-band pipeline (never materializes the unfold)
+    inf.model._FUSED_SB_THRESHOLD = 0
+    fn2 = jax.jit(build_bucketed_enhance_fn(inf.model, inf.acoustics))
+    out2 = np.asarray(
+        fn2(inf.params, jnp.asarray(padded), jnp.asarray(lengths))
+    )
+    for i, (L, want) in enumerate(zip(lens, wants)):
+        np.testing.assert_allclose(out2[i, :L], want, atol=2e-5, rtol=1e-4)
+
+
+def test_batched_inference_cli_matches_serial(tmp_path):
+    # [inferencer] batch_size > 1 groups utterances into padded batches;
+    # written outputs must equal the serial per-utterance run
+    from fullsubnet_tpu.data.wavio import read_wav, write_wav
+    from fullsubnet_tpu.infer.inferencer import Inferencer
+
+    noisy_dir = tmp_path / "noisy"
+    noisy_dir.mkdir()
+    for i, seconds in enumerate((0.7, 0.55, 0.9, 1.3, 0.8)):
+        write_wav(
+            noisy_dir / f"utt{i}.wav", _noisy(16000, seconds, seed=i), 16000
+        )
+
+    dataset = f"""
+[dataset]
+path = "dataset_inference.Dataset"
+[dataset.args]
+dataset_dir_list = ["{noisy_dir}"]
+sr = 16000
+"""
+    cfg_path = tmp_path / "cfg.toml"
+    cfg_path.write_text(SERVING_TOML + dataset)
+    config = load_config(cfg_path)
+    ckpt = _orbax_ckpt(tmp_path, config)
+
+    serial = Inferencer(config, str(ckpt), str(tmp_path / "out_serial"))
+    serial_dir = serial()
+
+    config_b = load_config(cfg_path)
+    config_b["inferencer"]["batch_size"] = 2
+    batched = Inferencer(config_b, str(ckpt), str(tmp_path / "out_batched"))
+    batched_dir = batched()
+
+    for i in range(5):
+        a, _ = read_wav(serial_dir / f"utt{i}.wav")
+        b, _ = read_wav(batched_dir / f"utt{i}.wav")
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-4)  # int16 floor + 2e-5
+
+
+def test_batched_bucketed_through_pallas_kernel_interpret(tmp_path):
+    # batched inference on TPU routes the fused sub-band stage through the
+    # Pallas kernel; the per-example masked-mu path must hold there too
+    # (interpret mode on CPU)
+    import jax.numpy as jnp
+
+    from fullsubnet_tpu.infer.inferencer import (
+        Inferencer,
+        build_bucketed_enhance_fn,
+    )
+
+    cfg_path = tmp_path / "cfg.toml"
+    cfg_path.write_text(SERVING_TOML)
+    config = load_config(cfg_path)
+    ckpt = _orbax_ckpt(tmp_path, config)
+    inf = Inferencer(config, str(ckpt), output_dir=None)
+
+    lens = [5600, 4400]
+    wavs = [_noisy(16000, L / 16000, seed=i) for i, L in enumerate(lens)]
+    wants = [
+        np.asarray(
+            inf._jit_for("full_band_crm_mask")(inf.params, w[None])
+        )[0]
+        for w in wavs
+    ]
+
+    inf.model._FUSED_SB_THRESHOLD = 0
+    inf.model.pallas_interpret = True
+    padded = np.zeros((2, 8000), np.float32)
+    lengths = np.asarray(lens, np.int32)
+    for i, w in enumerate(wavs):
+        padded[i, : len(w)] = w
+    fn = jax.jit(build_bucketed_enhance_fn(inf.model, inf.acoustics))
+    out = np.asarray(fn(inf.params, jnp.asarray(padded), jnp.asarray(lengths)))
+    for i, (L, want) in enumerate(zip(lens, wants)):
+        np.testing.assert_allclose(out[i, :L], want, atol=2e-5, rtol=1e-4)
+
+
+def test_serving_batched_artifact(tmp_path):
+    # batch=3 artifact: enhance_batch groups by bucket, pads partial
+    # chunks with filler rows, and each result equals the unpadded
+    # Inferencer run
+    from fullsubnet_tpu.infer.inferencer import Inferencer
+    from fullsubnet_tpu.serving import ServingModel, export_enhancer
+
+    cfg_path = tmp_path / "cfg.toml"
+    cfg_path.write_text(SERVING_TOML)
+    config = load_config(cfg_path)
+    ckpt = _orbax_ckpt(tmp_path, config)
+
+    manifest = export_enhancer(
+        config, str(ckpt), tmp_path / "artifact", seconds=(1.0, 2.0), batch=3
+    )
+    assert manifest["batch"] == 3
+    served = ServingModel.load(tmp_path / "artifact")
+
+    inf = Inferencer(dict(config), str(ckpt), output_dir=None)
+    lens = [0.7, 0.55, 0.9, 1.3]  # 3 in the 1 s bucket + 1 in the 2 s
+    waves = [_noisy(16000, s, seed=i) for i, s in enumerate(lens)]
+    got = served.enhance_batch(waves)
+    for w, g in zip(waves, got):
+        want = np.asarray(
+            inf._jit_for("full_band_crm_mask")(inf.params, w[None])
+        )[0]
+        assert g.shape == w.shape
+        np.testing.assert_allclose(g, want, atol=2e-5, rtol=1e-4)
+
+    # single-wave enhance routes through the batched program too
+    one = served.enhance(waves[0])
+    np.testing.assert_allclose(one, got[0], atol=1e-7)
+
+    # exact-mode export refuses batch > 1
+    cfg2 = tmp_path / "cfg2.toml"
+    cfg2.write_text(FULLBAND_TOML)
+    config2 = load_config(cfg2)
+    ckpt2 = _orbax_ckpt(tmp_path / "fb", config2)
+    with pytest.raises(ValueError, match="bucketed"):
+        export_enhancer(
+            config2, str(ckpt2), tmp_path / "artifact2", seconds=(1.0,),
+            batch=2,
+        )
