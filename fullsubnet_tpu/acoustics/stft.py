@@ -241,3 +241,25 @@ def num_stft_frames(
         extra = 0 if n_fft is None else 2 * (n_fft // 2) - n_fft
         return 1 + (num_samples + extra) // hop_length
     raise NotImplementedError("non-centered frame math not needed yet")
+
+
+def traced_num_frames(true_len, hop_length: int, n_fft: int):
+    """Traced twin of :func:`num_stft_frames` (center=True): frame count
+    for a traced sample count. Handles odd ``n_fft`` (center padding adds
+    ``2*(n_fft//2)`` samples); for even ``n_fft`` this is
+    ``1 + true_len // hop``."""
+    extra = 2 * (n_fft // 2) - n_fft
+    return 1 + (true_len + extra) // hop_length
+
+
+def insert_tail_reflection(y, true_len, n_fft: int):
+    """Re-create torch's center-pad tail reflection of a zero-padded
+    [bucket]-length wave at its TRUE length: ``y_pad[L + i] = y[L - 2 - i]``
+    for ``i < n_fft//2``. ``y``: [bucket] (1-D); ``true_len``: traced
+    scalar with ``true_len > n_fft//2`` and
+    ``true_len + n_fft//2 <= bucket`` (caller-guaranteed). Shared by the
+    trainer's bucketed validation and the Inferencer/serving bucketed
+    enhancement."""
+    pad = n_fft // 2
+    tail = jax.lax.dynamic_slice(y, (true_len - pad - 1,), (pad,))[::-1]
+    return jax.lax.dynamic_update_slice(y, tail, (true_len,))

@@ -59,6 +59,21 @@ def bucketed_capable(model, strategy: str) -> bool:
     )
 
 
+def pad_bucket_batch(waves, batch_size: int, bucket: int):
+    """Stack 1-D float32 waves into ([batch_size, bucket] padded array,
+    [batch_size] int32 true lengths). Filler rows (when fewer waves than
+    ``batch_size``) reuse the first wave's length so the traced
+    tail-reflection indices stay in range — their outputs are discarded.
+    Shared by the Inferencer's batched CLI path and
+    ``ServingModel.enhance_batch``."""
+    padded = np.zeros((batch_size, bucket), np.float32)
+    lengths = np.full(batch_size, len(waves[0]), np.int32)
+    for i, w in enumerate(waves):
+        padded[i, : len(w)] = w
+        lengths[i] = len(w)
+    return padded, lengths
+
+
 def build_bucketed_enhance_fn(model, acoustics: dict):
     """(params, wave[B, bucket], true_len) -> enhanced[B, bucket]; each
     example's first ``true_len[b]`` samples equal its unpadded run
@@ -69,24 +84,24 @@ def build_bucketed_enhance_fn(model, acoustics: dict):
     new exact length would otherwise cost a minutes-long compile. Shared
     by the Inferencer and the AOT serving export
     (``fullsubnet_tpu/serving.py``)."""
+    from fullsubnet_tpu.acoustics.stft import (
+        insert_tail_reflection,
+        traced_num_frames,
+    )
+
     n_fft = acoustics["n_fft"]
     hop = acoustics["hop_length"]
     win = acoustics["win_length"]
-    pad = n_fft // 2
-
-    def reflect_one(y, true_len):
-        # re-create torch's center-pad tail reflection at the true length:
-        # y_pad[L + i] = y[L - 2 - i]   (y: [bucket], true_len: scalar)
-        tail = jax.lax.dynamic_slice(y, (true_len - pad - 1,), (pad,))[::-1]
-        return jax.lax.dynamic_update_slice(y, tail, (true_len,))
 
     def fn(params, noisy, true_len):
         tl = jnp.asarray(true_len).reshape(-1)  # [1] or [B]
         tlb = jnp.broadcast_to(tl, (noisy.shape[0],))
-        reflected = jax.vmap(reflect_one)(noisy, tlb)
+        reflected = jax.vmap(
+            lambda y, L: insert_tail_reflection(y, L, n_fft)
+        )(noisy, tlb)
         spec = stft_complex(reflected, n_fft, hop, win)
         t_pad = spec.shape[-1]
-        frames_real = 1 + tl // hop  # [1] or [B]
+        frames_real = traced_num_frames(tl, hop, n_fft)  # [1] or [B]
         tmask = (
             jnp.arange(t_pad)[None, :] < frames_real[:, None]
         ).astype(jnp.float32)  # [b, T']
@@ -275,10 +290,14 @@ class Inferencer:
     # [inferencer] bucket_seconds = 0 to force exact-length compiles
     _BUCKET_SECONDS = 1.0
 
-    def full_band_crm_mask(self, noisy, inference_args=None):
-        bucket_seconds = float(
+    @property
+    def bucket_seconds(self) -> float:
+        return float(
             self.inference_config.get("bucket_seconds", self._BUCKET_SECONDS)
         )
+
+    def full_band_crm_mask(self, noisy, inference_args=None):
+        bucket_seconds = self.bucket_seconds
         n_fft = self.acoustics["n_fft"]
         length = int(noisy.shape[-1])
         if (
@@ -369,10 +388,7 @@ class Inferencer:
         leaves the chip almost idle."""
         from tqdm import tqdm
 
-        bucket_seconds = float(
-            self.inference_config.get("bucket_seconds", self._BUCKET_SECONDS)
-        )
-        step = int(bucket_seconds * self.sr)
+        step = int(self.bucket_seconds * self.sr)
         n_fft = self.acoustics["n_fft"]
         if "bucketed" not in self._jitted:
             self._jitted["bucketed"] = jax.jit(
@@ -381,13 +397,9 @@ class Inferencer:
         fn = self._jitted["bucketed"]
 
         def flush(bucket, items):
-            padded = np.zeros((batch_size, bucket), np.float32)
-            lengths = np.full(
-                batch_size, items[0][0].shape[-1], dtype=np.int32
-            )  # filler rows reuse a real length (outputs discarded)
-            for i, (y, _) in enumerate(items):
-                padded[i, : len(y)] = y
-                lengths[i] = len(y)
+            padded, lengths = pad_bucket_batch(
+                [y for y, _ in items], batch_size, bucket
+            )
             out = np.asarray(
                 fn(self.params, jnp.asarray(padded), jnp.asarray(lengths))
             )
@@ -435,13 +447,7 @@ class Inferencer:
         batch_size = int(self.inference_config.get("batch_size", 1))
         if (
             batch_size > 1
-            and self.strategy == "full_band_crm_mask"
-            and float(
-                self.inference_config.get(
-                    "bucket_seconds", self._BUCKET_SECONDS
-                )
-            )
-            > 0
+            and self.bucket_seconds > 0
             and bucketed_capable(self.model, self.strategy)
         ):
             return self._call_batched(batch_size)

@@ -124,7 +124,14 @@ def export_enhancer(
     if mode == "bucketed":
         fn = build_bucketed_enhance_fn(inf.model, a)
     else:
-        fn = getattr(inf, f"_{inf.strategy}_fn")
+        fn = getattr(inf, f"_{inf.strategy}_fn", None)
+        if fn is None:  # e.g. overlapped_chunk: a host-side chunking loop
+            raise ValueError(
+                f"strategy {inf.strategy!r} is not exportable (it is a "
+                "host-side loop, not one jittable program); exportable: "
+                "mag, scaled_mask, sub_band_crm_mask, full_band_crm_mask, "
+                "time_domain"
+            )
 
     pspecs = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), params
@@ -228,16 +235,14 @@ class ServingModel:
         groups: dict[int, list[int]] = {}
         for i, w in enumerate(waves):
             groups.setdefault(self._pick_bucket(len(w)), []).append(i)
+        from fullsubnet_tpu.infer.inferencer import pad_bucket_batch
+
         for bucket, idxs in groups.items():
             for c in range(0, len(idxs), self.batch):
                 chunk = idxs[c : c + self.batch]
-                padded = np.zeros((self.batch, bucket), np.float32)
-                lengths = np.full(
-                    self.batch, len(waves[chunk[0]]), np.int32
-                )  # filler rows reuse a real length (outputs discarded)
-                for r, i in enumerate(chunk):
-                    padded[r, : len(waves[i])] = waves[i]
-                    lengths[r] = len(waves[i])
+                padded, lengths = pad_bucket_batch(
+                    [waves[i] for i in chunk], self.batch, bucket
+                )
                 tl = np.int32(lengths[0]) if self.batch == 1 else lengths
                 res = np.asarray(
                     self._programs[bucket].call(self._params, padded, tl)

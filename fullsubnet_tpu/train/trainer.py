@@ -423,6 +423,19 @@ class Trainer:
         # hot path stays async.
         losses = []
         loss_sum, loss_count = 0.0, 0
+
+        def fold(pending):
+            nonlocal loss_sum, loss_count
+            window = np.asarray(jax.device_get(pending), np.float64)
+            if not np.isfinite(window).all():
+                bad = int(np.flatnonzero(~np.isfinite(window))[0])
+                raise FloatingPointError(
+                    f"non-finite training loss at epoch {epoch} step "
+                    f"~{loss_count + bad}: {window[bad]}"
+                )
+            loss_sum += float(window.sum())
+            loss_count += len(window)
+
         self.train_loader.set_epoch(epoch)
         for noisy, clean in self.train_loader:
             batch = shard_batch(
@@ -434,19 +447,10 @@ class Trainer:
                 # fold everything but the just-dispatched step's loss, so
                 # the device_get never waits on step k itself — step k+1's
                 # dispatch overlaps step k's execution
-                window = np.asarray(jax.device_get(losses[:-1]), np.float64)
-                if not np.isfinite(window).all():
-                    bad = int(np.flatnonzero(~np.isfinite(window))[0])
-                    raise FloatingPointError(
-                        f"non-finite training loss at epoch {epoch} step "
-                        f"~{loss_count + bad}: {window[bad]}"
-                    )
-                loss_sum += float(window.sum())
-                loss_count += len(window)
+                fold(losses[:-1])
                 losses = losses[-1:]
         if losses:
-            loss_sum += float(np.sum(jax.device_get(losses)))
-            loss_count += len(losses)
+            fold(losses)  # epoch tail keeps the finiteness check too
         if loss_count:
             mean = loss_sum / loss_count
             self._log_scalar("Loss/Train", mean, epoch)
@@ -511,14 +515,11 @@ class Trainer:
         statistics (mean / unbiased second moment over the true frame
         count), the causal norms (cumulative/forgetting) are unaffected
         by zero-padded tails by construction. Requires unidirectional
-        stacks — a bidirectional RNN would leak pad frames backward."""
-        from fullsubnet_tpu.models import FullSubNet
+        stacks — a bidirectional RNN would leak pad frames backward.
+        One gate shared with the Inferencer/serving bucketed paths."""
+        from fullsubnet_tpu.infer.inferencer import bucketed_capable
 
-        return (
-            isinstance(self.model, FullSubNet)
-            and not self.model.fb_model.bidirectional
-            and not self.model.sb_model.bidirectional
-        )
+        return bucketed_capable(self.model, "full_band_crm_mask")
 
     def _build_bucketed_enhance_fn(self):
         """Bucketed twin of ``_build_enhance_fn``: inputs are zero-padded
@@ -535,25 +536,25 @@ class Trainer:
         * the masked iSTFT excludes padded frames from both signal and
           envelope, and the masked-MSE loss rescales to the true count.
         """
+        from fullsubnet_tpu.acoustics.stft import (
+            insert_tail_reflection,
+            traced_num_frames,
+        )
+
         a = self.acoustics
         model = self.model
         loss_fn_inner = self.loss_function
         n_fft, hop, win = a["n_fft"], a["hop_length"], a["win_length"]
-        pad = n_fft // 2
 
-        def insert_tail_reflection(y, true_len):
-            # torch reflect pad at the end: y_pad[L+i] = y[L-2-i]
-            tail = jax.lax.dynamic_slice(
-                y, (0, true_len - pad - 1), (1, pad)
-            )[:, ::-1]
-            return jax.lax.dynamic_update_slice(y, tail, (0, true_len))
+        def reflect(y, true_len):  # y: [1, bucket]
+            return insert_tail_reflection(y[0], true_len, n_fft)[None]
 
         def fn(params, noisy_j, clean_j, true_len):
             spec = stft_complex(
-                insert_tail_reflection(noisy_j, true_len), n_fft, hop, win
+                reflect(noisy_j, true_len), n_fft, hop, win
             )
             t_pad = spec.shape[-1]
-            frames_real = 1 + true_len // hop
+            frames_real = traced_num_frames(true_len, hop, n_fft)
             tmask = (jnp.arange(t_pad) < frames_real).astype(jnp.float32)
             noisy_mag = jnp.abs(spec)[:, None] * tmask
             crm = model(
@@ -562,7 +563,7 @@ class Trainer:
             )
             crm = jnp.transpose(crm, (0, 2, 3, 1))
             clean_spec = stft_complex(
-                insert_tail_reflection(clean_j, true_len), n_fft, hop, win
+                reflect(clean_j, true_len), n_fft, hop, win
             )
             cirm = build_complex_ideal_ratio_mask(
                 spec.real, spec.imag, clean_spec.real, clean_spec.imag

@@ -53,15 +53,16 @@ def _col_name(i: int) -> str:
 def _cell(ref: str, value) -> str:
     if isinstance(value, bool):  # bool is an int subclass: check first
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
-    if isinstance(value, numbers.Real):  # covers numpy scalars too
+    # numbers.* covers numpy scalars too. SpreadsheetML <v> must hold a
+    # decimal literal — numpy scalars repr as np.float64(...) and NaN/inf
+    # are invalid, so format explicitly; non-finite falls through to a
+    # string cell. Integral first: huge ints overflow float().
+    if isinstance(value, numbers.Integral):
+        return f'<c r="{ref}"><v>{int(value)}</v></c>'
+    if isinstance(value, numbers.Real):
         f = float(value)
-        # SpreadsheetML <v> must hold a finite decimal literal — numpy
-        # scalars repr as np.float64(...) and NaN/inf are invalid, so
-        # format explicitly and fall back to a string cell if non-finite
         if math.isfinite(f):
-            v = repr(int(value)) if isinstance(value, numbers.Integral) \
-                else format(f, ".17g")
-            return f'<c r="{ref}"><v>{v}</v></c>'
+            return f'<c r="{ref}"><v>{format(f, ".17g")}</v></c>'
     text = escape(str(value))
     return f'<c r="{ref}" t="inlineStr"><is><t>{text}</t></is></c>'
 

@@ -369,3 +369,45 @@ def test_serving_batched_artifact(tmp_path):
             config2, str(ckpt2), tmp_path / "artifact2", seconds=(1.0,),
             batch=2,
         )
+
+
+def test_bucketed_exact_with_odd_n_fft(tmp_path):
+    # odd n_fft: stft center-pads by 2*(n_fft//2) = n_fft - 1 samples, so
+    # the valid frame count is 1 + (L-1)//hop, not 1 + L//hop — the
+    # traced_num_frames helper must keep bucketed == exact (review
+    # finding, round 3)
+    import jax.numpy as jnp
+
+    from fullsubnet_tpu.infer.inferencer import Inferencer
+
+    toml = SERVING_TOML.replace("n_fft = 320", "n_fft = 321").replace(
+        "win_length = 320", "win_length = 321"
+    )
+    cfg_path = tmp_path / "cfg.toml"
+    cfg_path.write_text(toml)
+    config = load_config(cfg_path)
+    ckpt = _orbax_ckpt(tmp_path, config)
+    inf = Inferencer(config, str(ckpt), output_dir=None)
+
+    # hop | L is the case where the even-formula overcounts by one frame
+    wav = _noisy(16000, 11200 / 16000, seed=3)
+    assert len(wav) % 160 == 0
+    got = inf.full_band_crm_mask(jnp.asarray(wav[None]))
+    want = np.asarray(
+        inf._jit_for("full_band_crm_mask")(inf.params, wav[None])
+    )[0]
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_serving_unexportable_strategy_errors(tmp_path):
+    from fullsubnet_tpu.serving import export_enhancer
+
+    toml = FULLBAND_TOML.replace(
+        'type = "scaled_mask"', 'type = "overlapped_chunk"'
+    )
+    cfg_path = tmp_path / "cfg.toml"
+    cfg_path.write_text(toml)
+    config = load_config(cfg_path)
+    ckpt = _orbax_ckpt(tmp_path, config)
+    with pytest.raises(ValueError, match="not exportable"):
+        export_enhancer(config, str(ckpt), tmp_path / "artifact")

@@ -153,6 +153,7 @@ def test_xlsx_numpy_scalars_and_nonfinite(tmp_path):
         p,
         [
             ("a", np.float64(1.5), np.int64(7), 0.1),
+            ("c", 10**400, -(10**400), 2),
             ("b", float("nan"), float("inf"), True),
         ],
         headers=["name", "x", "y", "z"],
