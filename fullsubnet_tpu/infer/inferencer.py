@@ -74,7 +74,7 @@ def pad_bucket_batch(waves, batch_size: int, bucket: int):
     return padded, lengths
 
 
-def build_bucketed_enhance_fn(model, acoustics: dict):
+def build_bucketed_enhance_fn(model, acoustics: dict, sharding_hint=None):
     """(params, wave[B, bucket], true_len) -> enhanced[B, bucket]; each
     example's first ``true_len[b]`` samples equal its unpadded run
     exactly. ``true_len`` is a traced scalar (B=1, one shared length) or
@@ -82,8 +82,10 @@ def build_bucketed_enhance_fn(model, acoustics: dict):
     different lengths padded into ONE device call). One compile serves
     every utterance length in the bucket — on a remote-compile relay each
     new exact length would otherwise cost a minutes-long compile. Shared
-    by the Inferencer and the AOT serving export
-    (``fullsubnet_tpu/serving.py``)."""
+    by the Inferencer, the AOT serving export
+    (``fullsubnet_tpu/serving.py``), and the multi-chip enhancer
+    (``parallel/inference.py``, which passes ``sharding_hint`` to spread
+    the sub-band rows over the mesh)."""
     from fullsubnet_tpu.acoustics.stft import (
         insert_tail_reflection,
         traced_num_frames,
@@ -107,7 +109,8 @@ def build_bucketed_enhance_fn(model, acoustics: dict):
         ).astype(jnp.float32)  # [b, T']
         noisy_mag = jnp.abs(spec)[:, None] * tmask[:, None, None, :]
         crm = model(
-            params, noisy_mag, dropping_band=False, valid_frames=frames_real
+            params, noisy_mag, dropping_band=False,
+            valid_frames=frames_real, sharding_hint=sharding_hint,
         )
         crm = jnp.transpose(crm, (0, 2, 3, 1))
         crm = decompress_cIRM(crm)

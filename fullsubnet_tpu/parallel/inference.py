@@ -33,11 +33,19 @@ def make_parallel_enhancer(
     hop_length: int = 256,
     win_length: int = 512,
     compute_dtype=jnp.float32,
+    bucketed: bool = False,
 ):
     """Jitted sharded enhancement: (params, noisy [B, T]) -> enhanced [B, T].
 
     B must be divisible by the ``data`` axis size; the model's frequency
     count spreads over ``subband`` via an internal constraint.
+
+    ``bucketed=True`` returns the length-bucketed variant
+    ``(params, noisy [B, bucket], true_len [B]) -> enhanced [B, bucket]``
+    (per-example true lengths, exact under padding — the
+    ``infer.inferencer.build_bucketed_enhance_fn`` machinery with the
+    sub-band rows spread over the mesh): the multi-chip production shape
+    for enhancing many arbitrary-length utterances per call.
     """
     repl = NamedSharding(mesh, P())
     data_sh = NamedSharding(mesh, P("data"))
@@ -52,6 +60,21 @@ def make_parallel_enhancer(
     # without them the kernel would run replicated per chip
     shard_sb.mesh = mesh
     shard_sb.row_axes = ("data", "subband")
+
+    if bucketed:
+        from fullsubnet_tpu.infer.inferencer import build_bucketed_enhance_fn
+
+        bfn = build_bucketed_enhance_fn(
+            model,
+            {"n_fft": n_fft, "hop_length": hop_length,
+             "win_length": win_length},
+            sharding_hint=shard_sb,
+        )
+        return jax.jit(
+            bfn,
+            in_shardings=(None, data_sh, data_sh),
+            out_shardings=data_sh,
+        )
 
     def fn(params, noisy):
         spec = stft_complex(noisy, n_fft, hop_length, win_length)

@@ -293,3 +293,29 @@ def test_multislice_requires_data_divisible_by_slices():
     with pytest.raises(AssertionError, match="divisible by the slice count"):
         make_mesh(num_data=3, num_subband=2, devices=jax.devices()[:6],
                   num_slices=2)
+
+
+def test_parallel_bucketed_enhancer_matches_single_device():
+    # multi-chip x batched x per-example lengths: the production shape.
+    # Each padded row's valid prefix must equal the unsharded unpadded run.
+    mesh = make_mesh(num_data=4, num_subband=2)
+    model, params = _model()
+    fn = make_parallel_enhancer(
+        model, mesh, n_fft=64, hop_length=32, win_length=64, bucketed=True
+    )
+    rng = np.random.default_rng(1)
+    lens = [3000, 2600, 3900, 2100, 3500, 2800, 3100, 2400]
+    bucket = 4000  # covers max(L) + n_fft
+    padded = np.zeros((8, bucket), np.float32)
+    for i, L in enumerate(lens):
+        padded[i, :L] = rng.standard_normal(L).astype(np.float32)
+    out = np.asarray(
+        fn(params, jnp.asarray(padded), jnp.asarray(lens, jnp.int32))
+    )
+    for i, L in enumerate(lens):
+        ref = _single_device_reference(
+            model, params, jnp.asarray(padded[i:i + 1, :L])
+        )
+        np.testing.assert_allclose(
+            out[i, :L], np.asarray(ref)[0], atol=1e-4, rtol=1e-3
+        )
