@@ -411,3 +411,47 @@ def test_serving_unexportable_strategy_errors(tmp_path):
     ckpt = _orbax_ckpt(tmp_path, config)
     with pytest.raises(ValueError, match="not exportable"):
         export_enhancer(config, str(ckpt), tmp_path / "artifact")
+
+
+def test_batched_bucketed_cumulative_norm(tmp_path):
+    # cumulative-norm recipes (the released cum checkpoint path) are
+    # causal, so the batched bucketed path must be exact there too —
+    # both on the unfused and the fused (masked-mu bypassed) pipeline
+    import jax.numpy as jnp
+
+    from fullsubnet_tpu.infer.inferencer import (
+        Inferencer,
+        build_bucketed_enhance_fn,
+    )
+
+    toml = SERVING_TOML.replace(
+        'norm_type = "offline_laplace_norm"',
+        'norm_type = "cumulative_laplace_norm"',
+    )
+    cfg_path = tmp_path / "cfg.toml"
+    cfg_path.write_text(toml)
+    config = load_config(cfg_path)
+    ckpt = _orbax_ckpt(tmp_path, config)
+    inf = Inferencer(config, str(ckpt), output_dir=None)
+
+    lens = [11200, 8800]
+    wavs = [_noisy(16000, L / 16000, seed=i) for i, L in enumerate(lens)]
+    wants = [
+        np.asarray(
+            inf._jit_for("full_band_crm_mask")(inf.params, w[None])
+        )[0]
+        for w in wavs
+    ]
+    padded = np.zeros((2, 16000), np.float32)
+    for i, w in enumerate(wavs):
+        padded[i, : len(w)] = w
+    lengths = np.asarray(lens, np.int32)
+    for threshold in (None, 0):  # unfused, then fused
+        if threshold is not None:
+            inf.model._FUSED_SB_THRESHOLD = threshold
+        fn = jax.jit(build_bucketed_enhance_fn(inf.model, inf.acoustics))
+        out = np.asarray(
+            fn(inf.params, jnp.asarray(padded), jnp.asarray(lengths))
+        )
+        for i, (L, want) in enumerate(zip(lens, wants)):
+            np.testing.assert_allclose(out[i, :L], want, atol=2e-5, rtol=1e-4)
