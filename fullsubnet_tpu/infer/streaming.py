@@ -164,7 +164,85 @@ def make_streaming_engine(model, params):
     )
 
 
-class StreamingEnhancer:
+class StreamingWaveHost:
+    """Host-side driver shared by the live :class:`StreamingEnhancer` and
+    the AOT-exported :class:`fullsubnet_tpu.serving.StreamingServingModel`.
+
+    Owns everything that happens OFF the device: the staging sample ring,
+    the stream-start reflect pad (reproducing the offline center pad),
+    the warm-up hop discard matching the model's look-ahead, and the
+    end-of-stream flush. Subclasses provide the two device entry points:
+
+    * ``_dev_init(buf)`` — ``n_fft - hop`` staged samples -> device state
+    * ``_dev_hop(dstate, hop_samples)`` -> ``(dstate, enhanced_hop)``
+
+    Requires attributes ``n_fft``, ``hop``, ``look_ahead``.
+    """
+
+    n_fft: int
+    hop: int
+    look_ahead: int
+
+    def _dev_init(self, buf: np.ndarray):
+        raise NotImplementedError
+
+    def _dev_hop(self, dstate, hop_samples):
+        raise NotImplementedError
+
+    def init_state(self):
+        return {
+            "staging": np.zeros(0, np.float32),  # host-side sample buffer
+            "started": False,
+            "frames_seen": 0,  # host mirror of the frame count (warm-up)
+            "device": None,  # filled once n_fft - hop samples are staged
+        }
+
+    def push(self, state, samples: np.ndarray):
+        """Feed samples; returns (state, enhanced np.ndarray (maybe empty))."""
+        state["staging"] = np.concatenate(
+            [state["staging"], np.asarray(samples, np.float32)]
+        )
+        if not state["started"]:
+            pad = self.n_fft // 2
+            if len(state["staging"]) < pad + 1:  # reflect needs pad+1 samples
+                return state, np.zeros(0, np.float32)
+            # offline center reflect-pad, reproduced causally at start
+            head = state["staging"][1 : pad + 1][::-1]
+            state["staging"] = np.concatenate([head, state["staging"]])
+            state["started"] = True
+        if state["device"] is None:
+            need = self.n_fft - self.hop
+            if len(state["staging"]) < need:
+                return state, np.zeros(0, np.float32)
+            state["device"] = self._dev_init(state["staging"][:need])
+            state["staging"] = state["staging"][need:]
+
+        outs = []
+        while len(state["staging"]) >= self.hop:
+            hop = state["staging"][: self.hop]
+            state["staging"] = state["staging"][self.hop :]
+            state["device"], out = self._dev_hop(state["device"], hop)
+            state["frames_seen"] += 1
+            if state["frames_seen"] > self.look_ahead:
+                outs.append(np.asarray(out))
+        return state, (
+            np.concatenate(outs) if outs else np.zeros(0, np.float32)
+        )
+
+    def flush(self, state):
+        """End of stream: push zeros until all buffered frames are emitted."""
+        outs = []
+        flush_blocks = 2 + self.look_ahead + self.n_fft // self.hop
+        for _ in range(flush_blocks):
+            state, out = self.push(state, np.zeros(self.hop, np.float32))
+            if len(out):
+                outs.append(out)
+        return state, (
+            np.concatenate(outs) if outs else np.zeros(0, np.float32)
+        )
+
+
+class StreamingEnhancer(StreamingWaveHost):
     """Push-based wave-in/wave-out real-time enhancer.
 
     Wires streaming STFT framing (with the offline pipeline's reflect
@@ -201,13 +279,13 @@ class StreamingEnhancer:
         self.look_ahead = model.look_ahead
         self._hop_step = jax.jit(self._hop_impl)
 
-    def init_state(self):
-        return {
-            "staging": np.zeros(0, np.float32),  # host-side sample buffer
-            "started": False,
-            "frames_seen": 0,  # host mirror of the frame count (warm-up)
-            "device": None,  # filled once n_fft - hop samples are staged
-        }
+    def _dev_init(self, buf: np.ndarray):
+        return self._init_device_state(buf)
+
+    def _dev_hop(self, dstate, hop_samples):
+        return self._hop_step(
+            self.engine.params, dstate, jnp.asarray(hop_samples)
+        )
 
     def _init_device_state(self, buf: np.ndarray):
         return {
@@ -257,52 +335,6 @@ class StreamingEnhancer:
             "ola": ola,
         }
         return new_state, out
-
-    def push(self, state, samples: np.ndarray):
-        """Feed samples; returns (state, enhanced np.ndarray (maybe empty))."""
-        state["staging"] = np.concatenate(
-            [state["staging"], np.asarray(samples, np.float32)]
-        )
-        if not state["started"]:
-            pad = self.n_fft // 2
-            if len(state["staging"]) < pad + 1:  # reflect needs pad+1 samples
-                return state, np.zeros(0, np.float32)
-            # offline center reflect-pad, reproduced causally at start
-            head = state["staging"][1 : pad + 1][::-1]
-            state["staging"] = np.concatenate([head, state["staging"]])
-            state["started"] = True
-        if state["device"] is None:
-            need = self.n_fft - self.hop
-            if len(state["staging"]) < need:
-                return state, np.zeros(0, np.float32)
-            state["device"] = self._init_device_state(state["staging"][:need])
-            state["staging"] = state["staging"][need:]
-
-        outs = []
-        while len(state["staging"]) >= self.hop:
-            hop = jnp.asarray(state["staging"][: self.hop])
-            state["staging"] = state["staging"][self.hop :]
-            state["device"], out = self._hop_step(
-                self.engine.params, state["device"], hop
-            )
-            state["frames_seen"] += 1
-            if state["frames_seen"] > self.look_ahead:
-                outs.append(np.asarray(out))
-        return state, (
-            np.concatenate(outs) if outs else np.zeros(0, np.float32)
-        )
-
-    def flush(self, state):
-        """End of stream: push zeros until all buffered frames are emitted."""
-        outs = []
-        flush_blocks = 2 + self.look_ahead + self.n_fft // self.hop
-        for _ in range(flush_blocks):
-            state, out = self.push(state, np.zeros(self.hop, np.float32))
-            if len(out):
-                outs.append(out)
-        return state, (
-            np.concatenate(outs) if outs else np.zeros(0, np.float32)
-        )
 
 
 class StreamingISTFT:

@@ -25,6 +25,14 @@ Two export modes, picked automatically:
 * ``exact`` — every other model/strategy: one program per exact input
   length.
 
+A third mode exports the REAL-TIME path (``--streaming``): the
+device-resident per-hop step of :class:`infer.streaming.StreamingEnhancer`
+(framing ring, window, rfft, engine step, look-ahead delay, cIRM mask,
+streaming OLA) as two programs — ``stream_init`` (staged samples ->
+device state) and ``stream_hop`` (state, hop samples -> state, enhanced
+hop) — driven by :class:`StreamingServingModel` with the exact same host
+semantics as the live enhancer.
+
 No upstream equivalent exists (the reference has no AOT/serving story);
 cited surface: ``audio_zen/inferencer/base_inferencer.py:147-209``.
 """
@@ -43,6 +51,7 @@ from fullsubnet_tpu.infer.inferencer import (
     bucketed_capable,
     build_bucketed_enhance_fn,
 )
+from fullsubnet_tpu.infer.streaming import StreamingWaveHost
 
 _MANIFEST = "manifest.json"
 _PARAMS_DIR = "params"
@@ -172,6 +181,85 @@ def export_enhancer(
     return manifest
 
 
+def export_streaming_enhancer(
+    config: dict,
+    checkpoint_path: str,
+    out_dir: str | pathlib.Path,
+    overwrite: bool = False,
+) -> dict:
+    """Export the real-time streaming path as AOT serving artifacts.
+
+    Writes ``stream_init.stablehlo`` (``buf[n_fft - hop] -> device
+    state``), ``stream_hop.stablehlo`` (``(params, state, hop[hop]) ->
+    (state, enhanced[hop])``), ``params/`` and ``manifest.json``; load
+    with :meth:`StreamingServingModel.load`. Requires a model family with
+    a magnitude streaming engine and a cumulative normalization (the
+    same eligibility as the live ``StreamingEnhancer``)."""
+    from fullsubnet_tpu.infer.streaming import StreamingEnhancer
+
+    out = pathlib.Path(out_dir).expanduser().absolute()
+    if out.exists() and any(out.iterdir()):
+        if not overwrite:
+            raise FileExistsError(f"{out} is not empty (pass overwrite=True)")
+        import shutil
+
+        shutil.rmtree(out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    cfg = dict(config)
+    cfg.pop("dataset", None)
+    cfg.pop("inference_dataset", None)
+    inf = Inferencer(cfg, checkpoint_path, output_dir=None)
+    a = inf.acoustics
+    try:
+        enh = StreamingEnhancer(
+            inf.model, inf.params,
+            n_fft=a["n_fft"], hop_length=a["hop_length"],
+        )
+    except (TypeError, AssertionError) as e:
+        raise ValueError(f"model is not streamable: {e}") from e
+    params = _normalize_tree(jax.tree.map(np.asarray, inf.params))
+
+    buf_spec = jax.ShapeDtypeStruct((enh.n_fft - enh.hop,), np.float32)
+    hop_spec = jax.ShapeDtypeStruct((enh.hop,), np.float32)
+    pspecs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        params,
+    )
+
+    def init_fn(buf):
+        return enh._init_device_state(buf)
+
+    state_specs = jax.eval_shape(init_fn, buf_spec)
+    init_exp = _export_one(init_fn, [buf_spec])
+    hop_exp = _export_one(enh._hop_impl, [pspecs, state_specs, hop_spec])
+    (out / "stream_init.stablehlo").write_bytes(bytes(init_exp.serialize()))
+    (out / "stream_hop.stablehlo").write_bytes(bytes(hop_exp.serialize()))
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(out / _PARAMS_DIR, params)
+    ckptr.wait_until_finished()
+
+    manifest = {
+        "format": "fullsubnet_tpu.serving-stream/1",
+        "sr": a["sr"],
+        "n_fft": a["n_fft"],
+        "hop_length": a["hop_length"],
+        "look_ahead": int(enh.look_ahead),
+        "programs": {
+            "init": "stream_init.stablehlo",
+            "hop": "stream_hop.stablehlo",
+        },
+        "model_path": config["model"].get("path", ""),
+        "jax_version": jax.__version__,
+        "export_platform": jax.default_backend(),
+    }
+    (out / _MANIFEST).write_text(json.dumps(manifest, indent=1) + "\n")
+    return manifest
+
+
 class ServingModel:
     """Loads an exported artifact dir and serves enhancement without the
     model source: ``ServingModel.load(dir).enhance(wave)``."""
@@ -278,6 +366,53 @@ class ServingModel:
     __call__ = enhance
 
 
+def _load_stream_artifacts(artifact_dir):
+    from jax import export as jexport
+
+    root = pathlib.Path(artifact_dir).expanduser().absolute()
+    manifest = json.loads((root / _MANIFEST).read_text())
+    if manifest.get("format") != "fullsubnet_tpu.serving-stream/1":
+        raise ValueError(f"not a streaming serving artifact: {root}")
+    programs = {
+        key: jexport.deserialize(bytearray((root / name).read_bytes()))
+        for key, name in manifest["programs"].items()
+    }
+    import orbax.checkpoint as ocp
+
+    params = ocp.StandardCheckpointer().restore(root / _PARAMS_DIR)
+    return manifest, programs, params
+
+
+class StreamingServingModel(StreamingWaveHost):
+    """Real-time enhancement from an exported streaming artifact — the
+    push/flush protocol of the live ``StreamingEnhancer`` (same host
+    semantics: start reflect pad, look-ahead warm-up discard), but every
+    device call goes through the serialized StableHLO programs, so no
+    model source code is needed in the serving process."""
+
+    def __init__(self, manifest: dict, programs: dict, params):
+        self.manifest = manifest
+        self._init_program = programs["init"]
+        self._hop_program = programs["hop"]
+        self._params = params
+        self.sr = manifest["sr"]
+        self.n_fft = manifest["n_fft"]
+        self.hop = manifest["hop_length"]
+        self.look_ahead = manifest["look_ahead"]
+
+    @classmethod
+    def load(cls, artifact_dir) -> "StreamingServingModel":
+        return cls(*_load_stream_artifacts(artifact_dir))
+
+    def _dev_init(self, buf):
+        return self._init_program.call(np.asarray(buf, np.float32))
+
+    def _dev_hop(self, dstate, hop_samples):
+        return self._hop_program.call(
+            self._params, dstate, np.asarray(hop_samples, np.float32)
+        )
+
+
 def main(argv=None):
     import argparse
 
@@ -296,6 +431,11 @@ def main(argv=None):
         "--batch", type=int, default=1,
         help="utterances per program call (bucketed mode only)",
     )
+    parser.add_argument(
+        "--streaming", action="store_true",
+        help="export the real-time per-hop streaming path instead of "
+        "whole-utterance programs (--seconds/--batch ignored)",
+    )
     parser.add_argument("--overwrite", action="store_true")
     args = parser.parse_args(argv)
 
@@ -305,11 +445,17 @@ def main(argv=None):
     enable_compilation_cache(
         config.get("meta", {}).get("compilation_cache_dir")
     )
-    seconds = [float(s) for s in args.seconds.split(",") if s]
-    manifest = export_enhancer(
-        config, args.model_checkpoint_path, args.output_dir,
-        seconds=seconds, batch=args.batch, overwrite=args.overwrite,
-    )
+    if args.streaming:
+        manifest = export_streaming_enhancer(
+            config, args.model_checkpoint_path, args.output_dir,
+            overwrite=args.overwrite,
+        )
+    else:
+        seconds = [float(s) for s in args.seconds.split(",") if s]
+        manifest = export_enhancer(
+            config, args.model_checkpoint_path, args.output_dir,
+            seconds=seconds, batch=args.batch, overwrite=args.overwrite,
+        )
     print(json.dumps(manifest, indent=1))
 
 

@@ -413,6 +413,73 @@ def test_serving_unexportable_strategy_errors(tmp_path):
         export_enhancer(config, str(ckpt), tmp_path / "artifact")
 
 
+def test_streaming_serving_export_matches_live_enhancer(tmp_path):
+    # the exported stream_init/stream_hop programs driven by
+    # StreamingServingModel must reproduce the live StreamingEnhancer's
+    # wave output exactly (same host protocol, same device math) —
+    # real-time serving without the model source
+    from fullsubnet_tpu import config as config_lib
+    from fullsubnet_tpu.infer.streaming import StreamingEnhancer
+    from fullsubnet_tpu.serving import (
+        StreamingServingModel,
+        export_streaming_enhancer,
+    )
+
+    toml = SERVING_TOML.replace(
+        'norm_type = "offline_laplace_norm"',
+        'norm_type = "cumulative_laplace_norm"',
+    )
+    cfg_path = tmp_path / "cfg.toml"
+    cfg_path.write_text(toml)
+    config = load_config(cfg_path)
+    ckpt = _orbax_ckpt(tmp_path, config)
+
+    manifest = export_streaming_enhancer(
+        config, str(ckpt), tmp_path / "artifact"
+    )
+    assert manifest["format"] == "fullsubnet_tpu.serving-stream/1"
+    assert manifest["look_ahead"] == 2
+    served = StreamingServingModel.load(tmp_path / "artifact")
+
+    model, _ = config_lib.build_model(config)
+    import jax as _jax
+
+    params = model.init(_jax.random.PRNGKey(0), weight_init=False)
+    live = StreamingEnhancer(model, params, n_fft=320, hop_length=160)
+
+    wav = _noisy(16000, 0.45, seed=7)
+    st_l, st_s = live.init_state(), served.init_state()
+    got_l, got_s = [], []
+    i, rng = 0, np.random.default_rng(3)
+    while i < len(wav):  # ragged push sizes exercise the staging ring
+        n = int(rng.integers(40, 400))
+        chunk = wav[i : i + n]
+        i += n
+        st_l, out_l = live.push(st_l, chunk)
+        st_s, out_s = served.push(st_s, chunk)
+        got_l.append(out_l)
+        got_s.append(out_s)
+    st_l, out_l = live.flush(st_l)
+    st_s, out_s = served.flush(st_s)
+    got_l.append(out_l)
+    got_s.append(out_s)
+    a = np.concatenate(got_l)
+    b = np.concatenate(got_s)
+    assert a.shape == b.shape and a.size > len(wav) // 2
+    np.testing.assert_allclose(b, a, atol=1e-6, rtol=1e-6)
+
+
+def test_streaming_export_rejects_offline_norm(tmp_path):
+    from fullsubnet_tpu.serving import export_streaming_enhancer
+
+    cfg_path = tmp_path / "cfg.toml"
+    cfg_path.write_text(SERVING_TOML)  # offline norm: not streamable
+    config = load_config(cfg_path)
+    ckpt = _orbax_ckpt(tmp_path, config)
+    with pytest.raises(ValueError, match="not streamable"):
+        export_streaming_enhancer(config, str(ckpt), tmp_path / "artifact")
+
+
 def test_batched_bucketed_cumulative_norm(tmp_path):
     # cumulative-norm recipes (the released cum checkpoint path) are
     # causal, so the batched bucketed path must be exact there too —
