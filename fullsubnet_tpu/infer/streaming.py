@@ -147,9 +147,10 @@ class StreamingFullSubNet:
 
 def make_streaming_engine(model, params):
     """Frame-in/cRM-out streaming engine for any magnitude-masking model
-    of the family (dispatch on the model class). Improved FullSubNet is
-    wave-to-wave — use :class:`StreamingImprovedFullSubNet.enhance_wave`
-    directly instead."""
+    of the family (dispatch on the model class). Improved FullSubNet masks
+    internally at the spectrum level (:class:`StreamingImprovedFullSubNet`)
+    — :class:`StreamingEnhancer` wraps it directly in its spectrum-domain
+    mode."""
     from fullsubnet_tpu.models.fast_fullsubnet import FastFullSubNet
     from fullsubnet_tpu.models.fullband import FullBandModel
 
@@ -247,8 +248,9 @@ class StreamingEnhancer(StreamingWaveHost):
 
     Wires streaming STFT framing (with the offline pipeline's reflect
     center-pad reproduced at stream start), a frame-level streaming
-    engine (any magnitude-masking family model, via
-    :func:`make_streaming_engine`), the look-ahead delay, cIRM
+    engine (any magnitude-masking family model via
+    :func:`make_streaming_engine`, or Improved FullSubNet's
+    spectrum-domain engine), the look-ahead delay, cIRM
     decompression/masking, and the streaming OLA iSTFT. Feed hop-sized
     sample blocks; receive hop-sized enhanced blocks after an
     algorithmic latency of ``(1 + look_ahead) · hop`` samples plus the
@@ -268,15 +270,33 @@ class StreamingEnhancer(StreamingWaveHost):
 
     def __init__(self, model, params, n_fft=512, hop_length=256):
         from fullsubnet_tpu.acoustics.mask import decompress_cIRM
+        from fullsubnet_tpu.models.improved_fullsubnet import (
+            ImprovedFullSubNet,
+        )
 
-        self.engine = make_streaming_engine(model, params)
+        # Improved FullSubNet masks inside its engine (spectrum-frame in,
+        # enhanced spectrum out, zero look-ahead); the magnitude families
+        # emit a cRM that this wrapper decompresses/applies
+        self._spec_domain = isinstance(model, ImprovedFullSubNet)
+        if self._spec_domain:
+            assert n_fft == model.n_fft and hop_length == model.hop_length, (
+                "streaming STFT shape must match the model's "
+                f"({model.n_fft}/{model.hop_length})"
+            )
+            assert model.win_length == model.n_fft, (
+                "streaming requires win_length == n_fft"
+            )
+            self.engine = StreamingImprovedFullSubNet(model, params)
+            self.look_ahead = 0
+        else:
+            self.engine = make_streaming_engine(model, params)
+            self.look_ahead = model.look_ahead
         self.n_fft = n_fft
         self.hop = hop_length
         self.F = n_fft // 2 + 1
         self.window = jnp.asarray(np.asarray(hann_window(n_fft)))
         self.ola = StreamingISTFT(n_fft, hop_length)
         self._decompress = decompress_cIRM
-        self.look_ahead = model.look_ahead
         self._hop_step = jax.jit(self._hop_impl)
 
     def _dev_init(self, buf: np.ndarray):
@@ -288,6 +308,12 @@ class StreamingEnhancer(StreamingWaveHost):
         )
 
     def _init_device_state(self, buf: np.ndarray):
+        if self._spec_domain:
+            return {
+                "buf": jnp.asarray(buf, jnp.float32),
+                "engine": self.engine.init_state(),
+                "ola": self.ola.init_state(),
+            }
         return {
             # trailing n_fft - hop samples of the previous frame
             "buf": jnp.asarray(buf, jnp.float32),
@@ -310,6 +336,14 @@ class StreamingEnhancer(StreamingWaveHost):
         """One hop, fully on device: [hop] samples -> [hop] enhanced."""
         samples = jnp.concatenate([dstate["buf"], hop_samples])  # [n_fft]
         spec = jnp.fft.rfft(samples * self.window)  # [F]
+        if self._spec_domain:  # engine masks internally (improved family)
+            eng, enhanced = self.engine._step_impl(
+                params, dstate["engine"], spec
+            )
+            ola, out = self.ola.push(dstate["ola"], enhanced)
+            return {
+                "buf": samples[self.hop :], "engine": eng, "ola": ola
+            }, out
         eng, crm = self.engine._step_impl(
             params, dstate["engine"], jnp.abs(spec)
         )

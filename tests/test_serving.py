@@ -469,6 +469,80 @@ def test_streaming_serving_export_matches_live_enhancer(tmp_path):
     np.testing.assert_allclose(b, a, atol=1e-6, rtol=1e-6)
 
 
+IMPROVED_TOML = """
+[acoustics]
+n_fft = 64
+win_length = 64
+sr = 16000
+hop_length = 16
+
+[inferencer]
+path = "inferencer.Inferencer"
+type = "time_domain"
+
+[model]
+path = "improved_fullsubnet.model.Model"
+[model.args]
+n_fft = 64
+hop_length = 16
+win_length = 64
+num_freqs = 33
+freq_cutoffs = [8, 16]
+sb_num_center_freqs = [1, 2, 4]
+sb_num_neighbor_freqs = [3, 3, 3]
+fb_num_center_freqs = [1, 2, 4]
+fb_num_neighbor_freqs = [3, 3, 3]
+fb_hidden_size = 16
+sb_hidden_size = 12
+norm_type = "cumulative_laplace_norm"
+"""
+
+
+def test_streaming_serving_export_improved_family(tmp_path):
+    # the improved family streams through the wave host's spectrum-domain
+    # mode; its exported artifact must match the live enhancer
+    from fullsubnet_tpu import config as config_lib
+    from fullsubnet_tpu.infer.streaming import StreamingEnhancer
+    from fullsubnet_tpu.serving import (
+        StreamingServingModel,
+        export_streaming_enhancer,
+    )
+
+    cfg_path = tmp_path / "cfg.toml"
+    cfg_path.write_text(IMPROVED_TOML)
+    config = load_config(cfg_path)
+    ckpt = _orbax_ckpt(tmp_path, config)
+
+    manifest = export_streaming_enhancer(
+        config, str(ckpt), tmp_path / "artifact"
+    )
+    assert manifest["look_ahead"] == 0
+    served = StreamingServingModel.load(tmp_path / "artifact")
+
+    model, _ = config_lib.build_model(config)
+    import jax as _jax
+
+    params = model.init(_jax.random.PRNGKey(0), weight_init=False)
+    live = StreamingEnhancer(model, params, n_fft=64, hop_length=16)
+
+    wav = _noisy(16000, 1600 / 16000, seed=2)
+    st_l, st_s = live.init_state(), served.init_state()
+    got_l, got_s = [], []
+    for i in range(0, len(wav), 100):
+        st_l, a = live.push(st_l, wav[i : i + 100])
+        st_s, b = served.push(st_s, wav[i : i + 100])
+        got_l.append(a)
+        got_s.append(b)
+    _, a = live.flush(st_l)
+    _, b = served.flush(st_s)
+    got_l.append(a)
+    got_s.append(b)
+    a = np.concatenate(got_l)
+    b = np.concatenate(got_s)
+    assert a.shape == b.shape and a.size >= len(wav)
+    np.testing.assert_allclose(b, a, atol=1e-6, rtol=1e-6)
+
+
 def test_streaming_export_rejects_offline_norm(tmp_path):
     from fullsubnet_tpu.serving import export_streaming_enhancer
 

@@ -167,6 +167,37 @@ def test_streaming_enhancer_matches_offline_pipeline():
     np.testing.assert_allclose(a[200:], b[200:3800], atol=1e-3)
 
 
+def test_streaming_enhancer_improved_matches_offline():
+    """The push-based wave host wraps the Improved family too (spectrum-
+    domain engine, zero look-ahead): stream == offline wave-to-wave
+    forward in the interior."""
+    from fullsubnet_tpu.infer.streaming import StreamingEnhancer
+
+    model, params = _tiny_improved()
+    rng = np.random.default_rng(11)
+    wave = (0.2 * rng.standard_normal(2048)).astype(np.float32)
+    offline = np.asarray(model(params, jnp.asarray(wave)[None])[0, 0])
+
+    enh = StreamingEnhancer(model, params, n_fft=64, hop_length=16)
+    assert enh.look_ahead == 0
+    state = enh.init_state()
+    chunks = []
+    for i in range(0, 2048, 160):  # ragged vs hop: exercises staging
+        state, out = enh.push(state, wave[i : i + 160])
+        if len(out):
+            chunks.append(out)
+    state, out = enh.flush(state)
+    if len(out):
+        chunks.append(out)
+    stream = np.concatenate(chunks)
+
+    pad = 32  # n_fft // 2: the offline center trim
+    n = 1800
+    np.testing.assert_allclose(
+        stream[pad + 200 : pad + n], offline[200:n], atol=1e-3
+    )
+
+
 def test_streaming_fullband_matches_offline():
     """StreamingFullBand frame loop == FullBandModel offline forward."""
     from fullsubnet_tpu.infer.streaming import StreamingFullBand
