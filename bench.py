@@ -351,6 +351,71 @@ def bench_streaming(args):
     )
 
 
+def bench_serving(args):
+    """AOT serving-artifact throughput: export the flagship bucketed
+    program (random weights), load it back through ServingModel, and
+    time ``enhance_batch`` end-to-end (host pad -> program call -> host
+    trim) on ``--batch`` utterances of ``--seconds`` each."""
+    import tempfile
+
+    from fullsubnet_tpu.checkpoint import CheckpointManager
+    from fullsubnet_tpu.config import build_model
+    from fullsubnet_tpu.serving import ServingModel, export_enhancer
+
+    config = {
+        "acoustics": {
+            "n_fft": 512, "win_length": 512,
+            "sr": args.sr, "hop_length": 256,
+        },
+        "inferencer": {
+            "path": "inferencer.Inferencer", "type": "full_band_crm_mask",
+        },
+        "model": {"path": "fullsubnet.model.Model", "args": {}},
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        model, _ = build_model(config)
+        params = model.init(jax.random.PRNGKey(0), weight_init=False)
+        mgr = CheckpointManager(f"{tmp}/ckpts")
+        mgr.save({"params": params}, epoch=0, keep_weights_history=False)
+        export_enhancer(
+            config, f"{tmp}/ckpts/latest", f"{tmp}/artifact",
+            seconds=(args.seconds,), batch=args.batch,
+        )
+        served = ServingModel.load(f"{tmp}/artifact")
+
+        rng = np.random.default_rng(0)
+        # slightly-short utterances: the artifact pads into the bucket
+        # (the production shape; exactly-bucket-length waves would not
+        # leave headroom for the tail reflection)
+        n = int(args.sr * args.seconds) - 512
+        waves = [
+            (0.1 * rng.standard_normal(n)).astype(np.float32)
+            for _ in range(args.batch)
+        ]
+        for _ in range(args.warmup):
+            out = served.enhance_batch(waves)
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            out = served.enhance_batch(waves)
+            times.append(time.perf_counter() - t0)
+        assert all(np.isfinite(o).all() for o in out)
+        sec_per_iter = float(np.median(times))
+        audio_sec = args.batch * n / args.sr
+        rtf = audio_sec / sec_per_iter
+        print(
+            json.dumps(
+                {
+                    "metric": "serving_rtf_fullsubnet_"
+                    f"{args.sr // 1000}khz_b{args.batch}",
+                    "value": round(rtf, 2),
+                    "unit": "audio_sec_per_sec_per_chip",
+                    "vs_baseline": round(rtf / 500.0, 4),
+                }
+            )
+        )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=128)
@@ -381,6 +446,11 @@ def main():
         help="benchmark host-side synthesis throughput (loader + mixer)",
     )
     p.add_argument(
+        "--serving", action="store_true",
+        help="benchmark the AOT serving-artifact path (export + "
+        "ServingModel.enhance_batch end-to-end)",
+    )
+    p.add_argument(
         "--data-workers", type=int, default=16,
         help="with --data: loader worker processes",
     )
@@ -394,6 +464,9 @@ def main():
         return
     if args.data:
         bench_data(args)
+        return
+    if args.serving:
+        bench_serving(args)
         return
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
