@@ -362,6 +362,11 @@ def bench_serving(args):
     from fullsubnet_tpu.config import build_model
     from fullsubnet_tpu.serving import ServingModel, export_enhancer
 
+    if args.model != "fullsubnet":
+        raise SystemExit(
+            "--serving benches the batched bucketed artifact, which is "
+            "FullSubNet-only (other families export exact-length programs)"
+        )
     config = {
         "acoustics": {
             "n_fft": 512, "win_length": 512,

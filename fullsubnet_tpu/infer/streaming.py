@@ -195,11 +195,17 @@ class StreamingWaveHost:
             "staging": np.zeros(0, np.float32),  # host-side sample buffer
             "started": False,
             "frames_seen": 0,  # host mirror of the frame count (warm-up)
+            # the first emitted samples reconstruct the synthetic center
+            # reflect-pad; dropping them aligns enhanced[j] with input[j]
+            # (the offline pipeline's center trim)
+            "pad_left": self.n_fft // 2,
             "device": None,  # filled once n_fft - hop samples are staged
         }
 
     def push(self, state, samples: np.ndarray):
-        """Feed samples; returns (state, enhanced np.ndarray (maybe empty))."""
+        """Feed samples; returns (state, enhanced np.ndarray (maybe empty)).
+        Output is aligned with the input: concatenating all pushed returns
+        yields ``enhanced[0:]`` matching the offline pipeline."""
         state["staging"] = np.concatenate(
             [state["staging"], np.asarray(samples, np.float32)]
         )
@@ -225,7 +231,13 @@ class StreamingWaveHost:
             state["device"], out = self._dev_hop(state["device"], hop)
             state["frames_seen"] += 1
             if state["frames_seen"] > self.look_ahead:
-                outs.append(np.asarray(out))
+                out = np.asarray(out)
+                if state["pad_left"]:
+                    cut = min(state["pad_left"], len(out))
+                    state["pad_left"] -= cut
+                    out = out[cut:]
+                if len(out):
+                    outs.append(out)
         return state, (
             np.concatenate(outs) if outs else np.zeros(0, np.float32)
         )
@@ -233,7 +245,7 @@ class StreamingWaveHost:
     def flush(self, state):
         """End of stream: push zeros until all buffered frames are emitted."""
         outs = []
-        flush_blocks = 2 + self.look_ahead + self.n_fft // self.hop
+        flush_blocks = 2 + self.look_ahead + 2 * (self.n_fft // self.hop)
         for _ in range(flush_blocks):
             state, out = self.push(state, np.zeros(self.hop, np.float32))
             if len(out):
@@ -251,10 +263,12 @@ class StreamingEnhancer(StreamingWaveHost):
     engine (any magnitude-masking family model via
     :func:`make_streaming_engine`, or Improved FullSubNet's
     spectrum-domain engine), the look-ahead delay, cIRM
-    decompression/masking, and the streaming OLA iSTFT. Feed hop-sized
-    sample blocks; receive hop-sized enhanced blocks after an
-    algorithmic latency of ``(1 + look_ahead) · hop`` samples plus the
-    OLA hop.
+    decompression/masking, and the streaming OLA iSTFT. Feed sample
+    blocks of any size; the concatenated output is ``enhanced[0:]``,
+    sample-aligned with the input (the synthetic center-pad prefix is
+    dropped, like the offline pipeline's center trim). Enhanced sample
+    ``j`` emerges once ``j + n_fft//2 + (1 + look_ahead) · hop`` input
+    samples have been pushed — the algorithmic latency.
 
     The whole per-hop pipeline — framing ring buffer, window, rfft,
     engine step, look-ahead spectrum delay line, cIRM masking, OLA —
@@ -386,23 +400,37 @@ class StreamingISTFT:
         self.ratio = n_fft // hop_length
         w = np.asarray(hann_window(n_fft))
         self.window = jnp.asarray(w)
-        env = np.zeros(n_fft)
+        # output hop k sums frames k-r, r = 0..min(k, ratio-1): the first
+        # ratio-1 hops see a PARTIAL envelope (matters when hop < n_fft/2;
+        # at 50% overlap only the very first hop is partial). envelopes[r]
+        # normalizes a hop with frames 0..r accumulated; the last row is
+        # the steady state.
         wsq = w**2
+        envs = np.empty((self.ratio, hop_length))
+        acc = np.zeros(hop_length)
         for r in range(self.ratio):
-            env += np.roll(wsq, r * hop_length)
-        self.envelope = jnp.asarray(np.maximum(env[: hop_length], 1e-11))
+            acc = acc + wsq[r * hop_length : (r + 1) * hop_length]
+            envs[r] = acc
+        self.envelopes = jnp.asarray(np.maximum(envs, 1e-11))
 
     def init_state(self):
-        return jnp.zeros((self.n_fft,), jnp.float32)
+        return {
+            "acc": jnp.zeros((self.n_fft,), jnp.float32),
+            "k": jnp.zeros((), jnp.int32),
+        }
 
     def push(self, state, spec_frame):
         """spec_frame: [F] complex -> (state, hop_samples [hop])."""
         frame = jnp.fft.irfft(spec_frame, n=self.n_fft) * self.window
-        acc = state + frame
-        out = acc[: self.hop] / self.envelope
-        new_state = jnp.concatenate(
-            [acc[self.hop :], jnp.zeros((self.hop,), acc.dtype)]
-        )
+        acc = state["acc"] + frame
+        env = self.envelopes[jnp.minimum(state["k"], self.ratio - 1)]
+        out = acc[: self.hop] / env
+        new_state = {
+            "acc": jnp.concatenate(
+                [acc[self.hop :], jnp.zeros((self.hop,), acc.dtype)]
+            ),
+            "k": state["k"] + 1,
+        }
         return new_state, out
 
 

@@ -86,6 +86,69 @@ def _export_one(fn, specs):
         return jexport.export(jitted, disabled_checks=checks)(*specs)
 
 
+def _prepare_out_dir(out_dir, overwrite: bool) -> pathlib.Path:
+    out = pathlib.Path(out_dir).expanduser().absolute()
+    if out.exists() and any(out.iterdir()):
+        if not overwrite:
+            raise FileExistsError(f"{out} is not empty (pass overwrite=True)")
+        import shutil
+
+        shutil.rmtree(out)
+    out.mkdir(parents=True, exist_ok=True)
+    return out
+
+
+def _build_inferencer(config: dict, checkpoint_path: str):
+    """Inferencer (model+params+acoustics only — datasets dropped) plus
+    the export-ready normalized host params tree."""
+    cfg = dict(config)
+    cfg.pop("dataset", None)
+    cfg.pop("inference_dataset", None)
+    inf = Inferencer(cfg, checkpoint_path, output_dir=None)
+    params = _normalize_tree(jax.tree.map(np.asarray, inf.params))
+    return inf, params
+
+
+def _save_params(out: pathlib.Path, params) -> None:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(out / _PARAMS_DIR, params)
+    ckptr.wait_until_finished()
+
+
+def _manifest_tail(config: dict) -> dict:
+    return {
+        "model_path": config["model"].get("path", ""),
+        "jax_version": jax.__version__,
+        "export_platform": jax.default_backend(),
+    }
+
+
+def _load_artifacts(artifact_dir, expected_format: str):
+    """(manifest, programs-by-key, device-resident params) from an
+    exported artifact directory."""
+    from jax import export as jexport
+
+    root = pathlib.Path(artifact_dir).expanduser().absolute()
+    manifest = json.loads((root / _MANIFEST).read_text())
+    if manifest.get("format") != expected_format:
+        raise ValueError(
+            f"artifact format {manifest.get('format')!r} in {root} "
+            f"(expected {expected_format!r})"
+        )
+    programs = {
+        key: jexport.deserialize(bytearray((root / name).read_bytes()))
+        for key, name in manifest["programs"].items()
+    }
+    import orbax.checkpoint as ocp
+
+    params = ocp.StandardCheckpointer().restore(root / _PARAMS_DIR)
+    # upload once: program calls must not re-transfer the weight tree
+    params = jax.device_put(params)
+    return manifest, programs, params
+
+
 def export_enhancer(
     config: dict,
     checkpoint_path: str,
@@ -104,20 +167,8 @@ def export_enhancer(
     the accelerator throughput shape; ``ServingModel.enhance_batch``
     drives it.
     """
-    out = pathlib.Path(out_dir).expanduser().absolute()
-    if out.exists() and any(out.iterdir()):
-        if not overwrite:
-            raise FileExistsError(f"{out} is not empty (pass overwrite=True)")
-        import shutil
-
-        shutil.rmtree(out)
-    out.mkdir(parents=True, exist_ok=True)
-
-    cfg = dict(config)
-    cfg.pop("dataset", None)
-    cfg.pop("inference_dataset", None)
-    inf = Inferencer(cfg, checkpoint_path, output_dir=None)
-    params = _normalize_tree(jax.tree.map(np.asarray, inf.params))
+    out = _prepare_out_dir(out_dir, overwrite)
+    inf, params = _build_inferencer(config, checkpoint_path)
     a = inf.acoustics
     sr = a["sr"]
     n_fft = a["n_fft"]
@@ -156,12 +207,7 @@ def export_enhancer(
         (out / name).write_bytes(bytes(exported.serialize()))
         programs[str(L)] = name
 
-    import orbax.checkpoint as ocp
-
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(out / _PARAMS_DIR, params)
-    ckptr.wait_until_finished()
-
+    _save_params(out, params)
     manifest = {
         "format": "fullsubnet_tpu.serving/1",
         "mode": mode,
@@ -173,9 +219,7 @@ def export_enhancer(
         "win_length": a["win_length"],
         "lengths": lengths,
         "programs": programs,
-        "model_path": config["model"].get("path", ""),
-        "jax_version": jax.__version__,
-        "export_platform": jax.default_backend(),
+        **_manifest_tail(config),
     }
     (out / _MANIFEST).write_text(json.dumps(manifest, indent=1) + "\n")
     return manifest
@@ -192,25 +236,19 @@ def export_streaming_enhancer(
     Writes ``stream_init.stablehlo`` (``buf[n_fft - hop] -> device
     state``), ``stream_hop.stablehlo`` (``(params, state, hop[hop]) ->
     (state, enhanced[hop])``), ``params/`` and ``manifest.json``; load
-    with :meth:`StreamingServingModel.load`. Requires a model family with
-    a magnitude streaming engine and a cumulative normalization (the
-    same eligibility as the live ``StreamingEnhancer``)."""
+    with :meth:`StreamingServingModel.load`. Eligibility is the live
+    ``StreamingEnhancer``'s: any of the four model families, with a
+    cumulative normalization."""
     from fullsubnet_tpu.infer.streaming import StreamingEnhancer
 
-    out = pathlib.Path(out_dir).expanduser().absolute()
-    if out.exists() and any(out.iterdir()):
-        if not overwrite:
-            raise FileExistsError(f"{out} is not empty (pass overwrite=True)")
-        import shutil
-
-        shutil.rmtree(out)
-    out.mkdir(parents=True, exist_ok=True)
-
-    cfg = dict(config)
-    cfg.pop("dataset", None)
-    cfg.pop("inference_dataset", None)
-    inf = Inferencer(cfg, checkpoint_path, output_dir=None)
+    out = _prepare_out_dir(out_dir, overwrite)
+    inf, params = _build_inferencer(config, checkpoint_path)
     a = inf.acoustics
+    if a["win_length"] != a["n_fft"]:
+        raise ValueError(
+            "streaming uses a full-length analysis window; export needs "
+            f"win_length == n_fft (got {a['win_length']} != {a['n_fft']})"
+        )
     try:
         enh = StreamingEnhancer(
             inf.model, inf.params,
@@ -218,7 +256,6 @@ def export_streaming_enhancer(
         )
     except (TypeError, AssertionError) as e:
         raise ValueError(f"model is not streamable: {e}") from e
-    params = _normalize_tree(jax.tree.map(np.asarray, inf.params))
 
     buf_spec = jax.ShapeDtypeStruct((enh.n_fft - enh.hop,), np.float32)
     hop_spec = jax.ShapeDtypeStruct((enh.hop,), np.float32)
@@ -236,12 +273,7 @@ def export_streaming_enhancer(
     (out / "stream_init.stablehlo").write_bytes(bytes(init_exp.serialize()))
     (out / "stream_hop.stablehlo").write_bytes(bytes(hop_exp.serialize()))
 
-    import orbax.checkpoint as ocp
-
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(out / _PARAMS_DIR, params)
-    ckptr.wait_until_finished()
-
+    _save_params(out, params)
     manifest = {
         "format": "fullsubnet_tpu.serving-stream/1",
         "sr": a["sr"],
@@ -252,9 +284,7 @@ def export_streaming_enhancer(
             "init": "stream_init.stablehlo",
             "hop": "stream_hop.stablehlo",
         },
-        "model_path": config["model"].get("path", ""),
-        "jax_version": jax.__version__,
-        "export_platform": jax.default_backend(),
+        **_manifest_tail(config),
     }
     (out / _MANIFEST).write_text(json.dumps(manifest, indent=1) + "\n")
     return manifest
@@ -273,22 +303,10 @@ class ServingModel:
 
     @classmethod
     def load(cls, artifact_dir) -> "ServingModel":
-        from jax import export as jexport
-
-        root = pathlib.Path(artifact_dir).expanduser().absolute()
-        manifest = json.loads((root / _MANIFEST).read_text())
-        if manifest.get("format") != "fullsubnet_tpu.serving/1":
-            raise ValueError(f"unknown artifact format in {root}")
-        programs = {
-            int(L): jexport.deserialize(
-                bytearray((root / name).read_bytes())
-            )
-            for L, name in manifest["programs"].items()
-        }
-        import orbax.checkpoint as ocp
-
-        params = ocp.StandardCheckpointer().restore(root / _PARAMS_DIR)
-        return cls(manifest, programs, params)
+        manifest, programs, params = _load_artifacts(
+            artifact_dir, "fullsubnet_tpu.serving/1"
+        )
+        return cls(manifest, {int(L): p for L, p in programs.items()}, params)
 
     @property
     def lengths(self):
@@ -366,23 +384,6 @@ class ServingModel:
     __call__ = enhance
 
 
-def _load_stream_artifacts(artifact_dir):
-    from jax import export as jexport
-
-    root = pathlib.Path(artifact_dir).expanduser().absolute()
-    manifest = json.loads((root / _MANIFEST).read_text())
-    if manifest.get("format") != "fullsubnet_tpu.serving-stream/1":
-        raise ValueError(f"not a streaming serving artifact: {root}")
-    programs = {
-        key: jexport.deserialize(bytearray((root / name).read_bytes()))
-        for key, name in manifest["programs"].items()
-    }
-    import orbax.checkpoint as ocp
-
-    params = ocp.StandardCheckpointer().restore(root / _PARAMS_DIR)
-    return manifest, programs, params
-
-
 class StreamingServingModel(StreamingWaveHost):
     """Real-time enhancement from an exported streaming artifact — the
     push/flush protocol of the live ``StreamingEnhancer`` (same host
@@ -402,7 +403,9 @@ class StreamingServingModel(StreamingWaveHost):
 
     @classmethod
     def load(cls, artifact_dir) -> "StreamingServingModel":
-        return cls(*_load_stream_artifacts(artifact_dir))
+        return cls(
+            *_load_artifacts(artifact_dir, "fullsubnet_tpu.serving-stream/1")
+        )
 
     def _dev_init(self, buf):
         return self._init_program.call(np.asarray(buf, np.float32))
