@@ -350,6 +350,50 @@ def bench_streaming(args):
         )
     )
 
+    if args.streams > 1:
+        bench_multistream(args, model, params, rng)
+
+
+def bench_multistream(args, model, params, rng):
+    """Concurrent-stream serving capacity: B live streams advanced one
+    hop per tick in ONE batched device call (MultiStreamEnhancer).
+    Capacity = B * hop_time / tick_time concurrent real-time streams."""
+    from fullsubnet_tpu.infer.streaming import MultiStreamEnhancer
+
+    B = args.streams
+    ms = MultiStreamEnhancer(
+        model, params, n_fft=512, hop_length=256, max_streams=B
+    )
+    state = ms.init_state()
+    slots = [ms.open_stream(state) for _ in range(B)]
+    hop_samples = (0.1 * rng.standard_normal(256)).astype(np.float32)
+    for _ in range(args.warmup + 6):  # covers priming + look-ahead warm-up
+        for s in slots:
+            ms.push(state, s, hop_samples)
+        ms.poll(state)
+
+    times = []
+    for _ in range(args.iters * 20):
+        for s in slots:
+            ms.push(state, s, hop_samples)
+        t0 = time.perf_counter()
+        out = ms.poll(state)  # np outputs: host-synced
+        times.append(time.perf_counter() - t0)
+        assert len(out) == B
+    tick_ms = float(np.median(times)) * 1e3
+    hop_ms = 256 / args.sr * 1e3
+    capacity = B * hop_ms / tick_ms
+    print(
+        json.dumps(
+            {
+                "metric": f"multistream_capacity_b{B}_fullsubnet",
+                "value": round(capacity, 1),
+                "unit": "concurrent_realtime_streams_per_chip",
+                "vs_baseline": round(tick_ms, 3),
+            }
+        )
+    )
+
 
 def bench_serving(args):
     """AOT serving-artifact throughput: export the flagship bucketed
@@ -433,6 +477,11 @@ def main():
     p.add_argument(
         "--streaming", action="store_true",
         help="benchmark the single-frame streaming step (latency per hop)",
+    )
+    p.add_argument(
+        "--streams", type=int, default=1,
+        help="with --streaming: also bench B concurrent streams per "
+        "batched device call (MultiStreamEnhancer serving capacity)",
     )
     p.add_argument(
         "--train", action="store_true",

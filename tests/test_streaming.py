@@ -374,3 +374,153 @@ def test_streaming_enhancer_fast_model():
     stream = np.concatenate(chunks)
 
     np.testing.assert_allclose(stream[:3800], offline[:3800], atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# MultiStreamEnhancer: batched concurrent streams == per-stream single path
+# ---------------------------------------------------------------------------
+
+
+def _single_stream_reference(model, params, wave, n_fft, hop):
+    """Run one wave through the single-stream StreamingEnhancer."""
+    from fullsubnet_tpu.infer.streaming import StreamingEnhancer
+
+    enh = StreamingEnhancer(model, params, n_fft, hop)
+    state = enh.init_state()
+    chunks = []
+    for i in range(0, len(wave), hop):
+        state, out = enh.push(state, wave[i : i + hop])
+        if len(out):
+            chunks.append(out)
+    _, out = enh.flush(state)
+    if len(out):
+        chunks.append(out)
+    return np.concatenate(chunks)
+
+
+def test_multistream_matches_single_stream():
+    """3 concurrent streams, interleaved unequal pushes -> each stream's
+    output matches its own single-stream run."""
+    from fullsubnet_tpu.infer.streaming import MultiStreamEnhancer
+
+    n_fft, hop = 64, 32
+    model, params = _tiny_model()
+    rng = np.random.default_rng(11)
+    waves = [
+        (0.3 * rng.standard_normal(2048)).astype(np.float32) for _ in range(3)
+    ]
+    singles = [
+        _single_stream_reference(model, params, w, n_fft, hop) for w in waves
+    ]
+
+    ms = MultiStreamEnhancer(model, params, n_fft, hop, max_streams=4)
+    state = ms.init_state()
+    slots = [ms.open_stream(state) for _ in range(3)]
+    got = {s: [] for s in slots}
+    # interleave pushes with deliberately unequal chunk sizes
+    sizes = [hop, 3 * hop, 2 * hop]
+    pos = [0, 0, 0]
+    while any(p < 2048 for p in pos):
+        for j, slot in enumerate(slots):
+            if pos[j] < 2048:
+                ms.push(state, slot, waves[j][pos[j] : pos[j] + sizes[j]])
+                pos[j] += sizes[j]
+        for slot, out in ms.poll(state).items():
+            got[slot].append(out)
+    for j, slot in enumerate(slots):
+        got[slot].append(ms.drain(state, slot))
+        stream = np.concatenate(got[slot])
+        n = min(len(stream), len(singles[j]))
+        assert n >= 2048
+        np.testing.assert_allclose(
+            stream[:n], singles[j][:n], atol=1e-5,
+            err_msg=f"stream {j} diverged from its single-stream run",
+        )
+
+
+def test_multistream_slot_reuse_and_laggy_stream():
+    """A slot closed mid-run and reopened serves a fresh stream exactly;
+    a stream fed nothing while others tick stays intact."""
+    from fullsubnet_tpu.infer.streaming import MultiStreamEnhancer
+
+    n_fft, hop = 64, 32
+    model, params = _tiny_model()
+    rng = np.random.default_rng(12)
+    w_a = (0.3 * rng.standard_normal(1024)).astype(np.float32)
+    w_b = (0.3 * rng.standard_normal(1024)).astype(np.float32)
+    w_lag = (0.3 * rng.standard_normal(1024)).astype(np.float32)
+
+    ms = MultiStreamEnhancer(model, params, n_fft, hop, max_streams=2)
+    state = ms.init_state()
+    s_a = ms.open_stream(state)
+    s_lag = ms.open_stream(state)
+
+    # feed only the first half of stream A while the laggy slot gets a
+    # head start then goes silent
+    ms.push(state, s_lag, w_lag[: 4 * hop])
+    got_lag = [ms.poll(state).get(s_lag, np.zeros(0, np.float32))]
+    ms.push(state, s_a, w_a)
+    out = ms.poll(state)
+    got_a = [out.get(s_a, np.zeros(0, np.float32))]
+    got_lag.append(out.get(s_lag, np.zeros(0, np.float32)))
+    got_a.append(ms.drain(state, s_a))
+    stream_a = np.concatenate(got_a)
+
+    single_a = _single_stream_reference(model, params, w_a, n_fft, hop)
+    n = min(len(stream_a), len(single_a))
+    np.testing.assert_allclose(stream_a[:n], single_a[:n], atol=1e-5)
+
+    # reuse A's slot for a brand-new stream; the laggy stream resumes
+    s_b = ms.open_stream(state)
+    assert s_b == s_a, "freed slot should be reused"
+    ms.push(state, s_b, w_b)
+    ms.push(state, s_lag, w_lag[4 * hop :])
+    out = ms.poll(state)
+    got_b = [out.get(s_b, np.zeros(0, np.float32))]
+    got_lag.append(out.get(s_lag, np.zeros(0, np.float32)))
+    got_b.append(ms.drain(state, s_b))
+    got_lag.append(ms.drain(state, s_lag))
+
+    stream_b = np.concatenate(got_b)
+    single_b = _single_stream_reference(model, params, w_b, n_fft, hop)
+    n = min(len(stream_b), len(single_b))
+    np.testing.assert_allclose(
+        stream_b[:n], single_b[:n], atol=1e-5,
+        err_msg="reused slot not reset to a fresh stream",
+    )
+
+    stream_lag = np.concatenate(got_lag)
+    single_lag = _single_stream_reference(model, params, w_lag, n_fft, hop)
+    n = min(len(stream_lag), len(single_lag))
+    np.testing.assert_allclose(
+        stream_lag[:n], single_lag[:n], atol=1e-5,
+        err_msg="pausing a stream while others tick corrupted its state",
+    )
+
+
+def test_multistream_improved_spectrum_domain():
+    """The spectrum-domain (Improved) family works batched too."""
+    from fullsubnet_tpu.infer.streaming import MultiStreamEnhancer
+
+    model, params = _tiny_improved()
+    rng = np.random.default_rng(13)
+    waves = [
+        (0.3 * rng.standard_normal(1024)).astype(np.float32) for _ in range(2)
+    ]
+    singles = [
+        _single_stream_reference(model, params, w, 64, 16) for w in waves
+    ]
+    ms = MultiStreamEnhancer(model, params, 64, 16, max_streams=2)
+    state = ms.init_state()
+    slots = [ms.open_stream(state) for _ in range(2)]
+    got = {s: [] for s in slots}
+    for j, slot in enumerate(slots):
+        ms.push(state, slot, waves[j])
+    for slot, out in ms.poll(state).items():
+        got[slot].append(out)
+    for j, slot in enumerate(slots):
+        got[slot].append(ms.drain(state, slot))
+        stream = np.concatenate(got[slot])
+        n = min(len(stream), len(singles[j]))
+        assert n >= 1024
+        np.testing.assert_allclose(stream[:n], singles[j][:n], atol=1e-5)
