@@ -385,26 +385,25 @@ class StreamingEnhancer(StreamingWaveHost):
         return new_state, out
 
 
-class MultiStreamEnhancer:
-    """Serve up to ``max_streams`` concurrent real-time streams with ONE
-    device call per tick.
+class MultiStreamHost:
+    """Host-side slot manager shared by the live
+    :class:`MultiStreamEnhancer` and the AOT-exported
+    :class:`fullsubnet_tpu.serving.MultiStreamServingModel`.
 
-    The single-stream :class:`StreamingEnhancer` is dispatch-bound on a
-    real deployment (one small device call per hop); a serving host with
-    many live callers amortizes that dispatch by advancing every stream's
-    hop in one batched program: the per-hop pipeline is ``vmap``-ed over a
-    leading stream axis with a per-lane ``active`` mask (inactive lanes
-    keep their state and emit zeros — ``jnp.where`` selects, so the
-    program shape never changes and it compiles once). Stream join/leave
-    never recompiles either: a slot is (re)initialized in place by a
-    jitted scatter (``dynamic_update_index_in_dim`` over every state
-    leaf).
+    Owns everything off the device: per-slot staging rings, the
+    stream-start reflect pad, warm-up/pad-prefix trimming, and the tick
+    loop that gathers one hop per ready slot into a single batched
+    device call. Subclasses provide three device entry points:
 
-    Per-stream output is the SAME as running that stream through its own
-    :class:`StreamingEnhancer` (tested bit-close): sample-aligned with
-    the input, the center-pad prefix dropped.
+    * ``_dev_init_batched()`` — fresh batched device state
+    * ``_dev_reset(bstate, slot, buf)`` — (re)initialize one slot's lane
+    * ``_dev_hop_batch(bstate, hops [B, hop], active [B])`` ->
+      ``(bstate, outs [B, hop])``
 
-    API (functional, like the other engines — the caller owns the state):
+    Requires attributes ``n_fft``, ``hop``, ``look_ahead``,
+    ``max_streams``.
+
+    API (functional — the caller owns the state):
 
     * ``state = init_state()``
     * ``slot = open_stream(state)`` — claim a free slot
@@ -414,60 +413,28 @@ class MultiStreamEnhancer:
     * ``tail = drain(state, slot)`` — end-of-stream flush; frees the slot
 
     Streams advance independently: a laggy stream simply sits masked
-    while others tick. The reference has no serving host at all; this is
-    the TPU answer to its per-utterance real-time claim
-    (inferencer.py:147-209) at production concurrency.
+    while others tick.
     """
 
-    def __init__(self, model, params, n_fft=512, hop_length=256,
-                 max_streams: int = 8):
-        self._enh = StreamingEnhancer(model, params, n_fft, hop_length)
-        self.n_fft = n_fft
-        self.hop = hop_length
-        self.look_ahead = self._enh.look_ahead
-        self.max_streams = int(max_streams)
-        self.params = self._enh.engine.params
+    n_fft: int
+    hop: int
+    look_ahead: int
+    max_streams: int
 
-        def hop_lane(params, dstate, hop_samples, active):
-            new_state, out = self._enh._hop_impl(params, dstate, hop_samples)
-            keep = lambda n, o: jnp.where(active, n, o)
-            return (
-                jax.tree.map(keep, new_state, dstate),
-                jnp.where(active, out, 0.0),
-            )
+    def _dev_init_batched(self):
+        raise NotImplementedError
 
-        self._hop_batch = jax.jit(
-            jax.vmap(hop_lane, in_axes=(None, 0, 0, 0))
-        )
+    def _dev_reset(self, bstate, slot: int, buf: np.ndarray):
+        raise NotImplementedError
 
-        def reset_impl(bstate, slot, buf):
-            fresh = self._enh._init_device_state(buf)
-            return jax.tree.map(
-                lambda full, one: jax.lax.dynamic_update_index_in_dim(
-                    full, one.astype(full.dtype), slot, 0
-                ),
-                bstate,
-                fresh,
-            )
-
-        self._reset = jax.jit(reset_impl)
-
-        def init_impl():
-            fresh = self._enh._init_device_state(
-                jnp.zeros(n_fft - hop_length, jnp.float32)
-            )
-            return jax.tree.map(
-                lambda x: jnp.tile(x[None], (self.max_streams,) + (1,) * x.ndim),
-                fresh,
-            )
-
-        self._init_batched = jax.jit(init_impl)
+    def _dev_hop_batch(self, bstate, hops: np.ndarray, active: np.ndarray):
+        raise NotImplementedError
 
     # -- lifecycle --------------------------------------------------------
 
     def init_state(self):
         return {
-            "device": self._init_batched(),
+            "device": self._dev_init_batched(),
             "slots": [None] * self.max_streams,
         }
 
@@ -516,8 +483,8 @@ class MultiStreamEnhancer:
             need = self.n_fft - self.hop
             if len(s["staging"]) < need:
                 return False
-            state["device"] = self._reset(
-                state["device"], slot, jnp.asarray(s["staging"][:need])
+            state["device"] = self._dev_reset(
+                state["device"], slot, s["staging"][:need]
             )
             s["staging"] = s["staging"][need:]
             s["dev_ready"] = True
@@ -548,9 +515,8 @@ class MultiStreamEnhancer:
                 hops[i] = s["staging"][: self.hop]
                 s["staging"] = s["staging"][self.hop :]
                 active[i] = True
-            state["device"], outs = self._hop_batch(
-                self.params, state["device"], jnp.asarray(hops),
-                jnp.asarray(active),
+            state["device"], outs = self._dev_hop_batch(
+                state["device"], hops, active
             )
             outs = np.asarray(outs)  # one device->host transfer per tick
             for i in ready:
@@ -577,6 +543,89 @@ class MultiStreamEnhancer:
         out = self.poll(state, only=slot)
         self.close_stream(state, slot)
         return out.get(slot, np.zeros(0, np.float32))
+
+
+class MultiStreamEnhancer(MultiStreamHost):
+    """Serve up to ``max_streams`` concurrent real-time streams with ONE
+    device call per tick.
+
+    The single-stream :class:`StreamingEnhancer` is dispatch-bound on a
+    real deployment (one small device call per hop); a serving host with
+    many live callers amortizes that dispatch by advancing every stream's
+    hop in one batched program: the per-hop pipeline is ``vmap``-ed over a
+    leading stream axis with a per-lane ``active`` mask (inactive lanes
+    keep their state and emit zeros — ``jnp.where`` selects, so the
+    program shape never changes and it compiles once). Stream join/leave
+    never recompiles either: a slot is (re)initialized in place by a
+    jitted scatter (``dynamic_update_index_in_dim`` over every state
+    leaf).
+
+    Per-stream output is the SAME as running that stream through its own
+    :class:`StreamingEnhancer` (tested bit-close): sample-aligned with
+    the input, the center-pad prefix dropped.
+
+    The reference has no serving host at all; this is the TPU answer to
+    its per-utterance real-time claim (inferencer.py:147-209) at
+    production concurrency.
+    """
+
+    def __init__(self, model, params, n_fft=512, hop_length=256,
+                 max_streams: int = 8):
+        self._enh = StreamingEnhancer(model, params, n_fft, hop_length)
+        self.n_fft = n_fft
+        self.hop = hop_length
+        self.look_ahead = self._enh.look_ahead
+        self.max_streams = int(max_streams)
+        self.params = self._enh.engine.params
+        self._hop_batch = jax.jit(
+            jax.vmap(self._hop_lane, in_axes=(None, 0, 0, 0))
+        )
+        self._reset = jax.jit(self._reset_impl)
+        self._init_impl = jax.jit(self._init_batched_impl)
+
+    # -- jittable bodies (also exported by serving.py) --------------------
+
+    def _hop_lane(self, params, dstate, hop_samples, active):
+        new_state, out = self._enh._hop_impl(params, dstate, hop_samples)
+        keep = lambda n, o: jnp.where(active, n, o)
+        return (
+            jax.tree.map(keep, new_state, dstate),
+            jnp.where(active, out, 0.0),
+        )
+
+    def _reset_impl(self, bstate, slot, buf):
+        fresh = self._enh._init_device_state(buf)
+        return jax.tree.map(
+            lambda full, one: jax.lax.dynamic_update_index_in_dim(
+                full, one.astype(full.dtype), slot, 0
+            ),
+            bstate,
+            fresh,
+        )
+
+    def _init_batched_impl(self):
+        fresh = self._enh._init_device_state(
+            jnp.zeros(self.n_fft - self.hop, jnp.float32)
+        )
+        return jax.tree.map(
+            lambda x: jnp.tile(
+                x[None], (self.max_streams,) + (1,) * x.ndim
+            ),
+            fresh,
+        )
+
+    # -- device plumbing ---------------------------------------------------
+
+    def _dev_init_batched(self):
+        return self._init_impl()
+
+    def _dev_reset(self, bstate, slot, buf):
+        return self._reset(bstate, slot, jnp.asarray(buf))
+
+    def _dev_hop_batch(self, bstate, hops, active):
+        return self._hop_batch(
+            self.params, bstate, jnp.asarray(hops), jnp.asarray(active)
+        )
 
 
 class StreamingISTFT:

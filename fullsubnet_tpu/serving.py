@@ -51,7 +51,7 @@ from fullsubnet_tpu.infer.inferencer import (
     bucketed_capable,
     build_bucketed_enhance_fn,
 )
-from fullsubnet_tpu.infer.streaming import StreamingWaveHost
+from fullsubnet_tpu.infer.streaming import MultiStreamHost, StreamingWaveHost
 
 _MANIFEST = "manifest.json"
 _PARAMS_DIR = "params"
@@ -230,6 +230,7 @@ def export_streaming_enhancer(
     checkpoint_path: str,
     out_dir: str | pathlib.Path,
     overwrite: bool = False,
+    streams: int = 1,
 ) -> dict:
     """Export the real-time streaming path as AOT serving artifacts.
 
@@ -238,8 +239,18 @@ def export_streaming_enhancer(
     (state, enhanced[hop])``), ``params/`` and ``manifest.json``; load
     with :meth:`StreamingServingModel.load`. Eligibility is the live
     ``StreamingEnhancer``'s: any of the four model families, with a
-    cumulative normalization."""
-    from fullsubnet_tpu.infer.streaming import StreamingEnhancer
+    cumulative normalization.
+
+    ``streams > 1`` exports the CONCURRENT serving host instead (load
+    with :meth:`MultiStreamServingModel.load`): ``stream_init`` takes no
+    input and returns the batched state, ``stream_reset`` re-initializes
+    one slot's lane, and ``stream_hop`` advances all ``streams`` lanes
+    under an active mask in one call — the AOT form of
+    :class:`fullsubnet_tpu.infer.streaming.MultiStreamEnhancer`."""
+    from fullsubnet_tpu.infer.streaming import (
+        MultiStreamEnhancer,
+        StreamingEnhancer,
+    )
 
     out = _prepare_out_dir(out_dir, overwrite)
     inf, params = _build_inferencer(config, checkpoint_path)
@@ -250,10 +261,18 @@ def export_streaming_enhancer(
             f"win_length == n_fft (got {a['win_length']} != {a['n_fft']})"
         )
     try:
-        enh = StreamingEnhancer(
-            inf.model, inf.params,
-            n_fft=a["n_fft"], hop_length=a["hop_length"],
-        )
+        if streams > 1:
+            menh = MultiStreamEnhancer(
+                inf.model, inf.params,
+                n_fft=a["n_fft"], hop_length=a["hop_length"],
+                max_streams=streams,
+            )
+            enh = menh._enh
+        else:
+            enh = StreamingEnhancer(
+                inf.model, inf.params,
+                n_fft=a["n_fft"], hop_length=a["hop_length"],
+            )
     except (TypeError, AssertionError) as e:
         raise ValueError(f"model is not streamable: {e}") from e
 
@@ -264,26 +283,63 @@ def export_streaming_enhancer(
         params,
     )
 
-    def init_fn(buf):
-        return enh._init_device_state(buf)
+    if streams > 1:
+        bstate_specs = jax.eval_shape(menh._init_batched_impl)
+        hops_spec = jax.ShapeDtypeStruct((streams, enh.hop), np.float32)
+        active_spec = jax.ShapeDtypeStruct((streams,), np.bool_)
+        slot_spec = jax.ShapeDtypeStruct((), np.int32)
 
-    state_specs = jax.eval_shape(init_fn, buf_spec)
-    init_exp = _export_one(init_fn, [buf_spec])
-    hop_exp = _export_one(enh._hop_impl, [pspecs, state_specs, hop_spec])
-    (out / "stream_init.stablehlo").write_bytes(bytes(init_exp.serialize()))
-    (out / "stream_hop.stablehlo").write_bytes(bytes(hop_exp.serialize()))
+        def hop_batch(params, bstate, hops, active):
+            return jax.vmap(menh._hop_lane, in_axes=(None, 0, 0, 0))(
+                params, bstate, hops, active
+            )
+
+        exports = {
+            "init": _export_one(menh._init_batched_impl, []),
+            "reset": _export_one(
+                menh._reset_impl, [bstate_specs, slot_spec, buf_spec]
+            ),
+            "hop": _export_one(
+                hop_batch, [pspecs, bstate_specs, hops_spec, active_spec]
+            ),
+        }
+        programs = {}
+        for key, exp in exports.items():
+            name = f"stream_{key}.stablehlo"
+            (out / name).write_bytes(bytes(exp.serialize()))
+            programs[key] = name
+        fmt = "fullsubnet_tpu.serving-multistream/1"
+    else:
+
+        def init_fn(buf):
+            return enh._init_device_state(buf)
+
+        state_specs = jax.eval_shape(init_fn, buf_spec)
+        init_exp = _export_one(init_fn, [buf_spec])
+        hop_exp = _export_one(
+            enh._hop_impl, [pspecs, state_specs, hop_spec]
+        )
+        (out / "stream_init.stablehlo").write_bytes(
+            bytes(init_exp.serialize())
+        )
+        (out / "stream_hop.stablehlo").write_bytes(
+            bytes(hop_exp.serialize())
+        )
+        programs = {
+            "init": "stream_init.stablehlo",
+            "hop": "stream_hop.stablehlo",
+        }
+        fmt = "fullsubnet_tpu.serving-stream/1"
 
     _save_params(out, params)
     manifest = {
-        "format": "fullsubnet_tpu.serving-stream/1",
+        "format": fmt,
         "sr": a["sr"],
         "n_fft": a["n_fft"],
         "hop_length": a["hop_length"],
         "look_ahead": int(enh.look_ahead),
-        "programs": {
-            "init": "stream_init.stablehlo",
-            "hop": "stream_hop.stablehlo",
-        },
+        "streams": int(streams),
+        "programs": programs,
         **_manifest_tail(config),
     }
     (out / _MANIFEST).write_text(json.dumps(manifest, indent=1) + "\n")
@@ -416,6 +472,51 @@ class StreamingServingModel(StreamingWaveHost):
         )
 
 
+class MultiStreamServingModel(MultiStreamHost):
+    """Concurrent real-time serving from an exported multi-stream
+    artifact — the slot/push/poll/drain protocol of the live
+    :class:`fullsubnet_tpu.infer.streaming.MultiStreamEnhancer` (one
+    batched device call per tick for all live streams), with every
+    device call going through the serialized StableHLO programs, so no
+    model source code is needed in the serving process."""
+
+    def __init__(self, manifest: dict, programs: dict, params):
+        self.manifest = manifest
+        self._init_program = programs["init"]
+        self._reset_program = programs["reset"]
+        self._hop_program = programs["hop"]
+        self._params = params
+        self.sr = manifest["sr"]
+        self.n_fft = manifest["n_fft"]
+        self.hop = manifest["hop_length"]
+        self.look_ahead = manifest["look_ahead"]
+        self.max_streams = int(manifest["streams"])
+
+    @classmethod
+    def load(cls, artifact_dir) -> "MultiStreamServingModel":
+        return cls(
+            *_load_artifacts(
+                artifact_dir, "fullsubnet_tpu.serving-multistream/1"
+            )
+        )
+
+    def _dev_init_batched(self):
+        return self._init_program.call()
+
+    def _dev_reset(self, bstate, slot, buf):
+        return self._reset_program.call(
+            bstate, np.int32(slot), np.asarray(buf, np.float32)
+        )
+
+    def _dev_hop_batch(self, bstate, hops, active):
+        return self._hop_program.call(
+            self._params,
+            bstate,
+            np.asarray(hops, np.float32),
+            np.asarray(active, bool),
+        )
+
+
 def main(argv=None):
     import argparse
 
@@ -439,6 +540,11 @@ def main(argv=None):
         help="export the real-time per-hop streaming path instead of "
         "whole-utterance programs (--seconds/--batch ignored)",
     )
+    parser.add_argument(
+        "--streams", type=int, default=1,
+        help="with --streaming: export the concurrent serving host "
+        "(N stream lanes advanced per batched device call)",
+    )
     parser.add_argument("--overwrite", action="store_true")
     args = parser.parse_args(argv)
 
@@ -451,7 +557,7 @@ def main(argv=None):
     if args.streaming:
         manifest = export_streaming_enhancer(
             config, args.model_checkpoint_path, args.output_dir,
-            overwrite=args.overwrite,
+            overwrite=args.overwrite, streams=args.streams,
         )
     else:
         seconds = [float(s) for s in args.seconds.split(",") if s]

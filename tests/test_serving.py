@@ -596,3 +596,72 @@ def test_batched_bucketed_cumulative_norm(tmp_path):
         )
         for i, (L, want) in enumerate(zip(lens, wants)):
             np.testing.assert_allclose(out[i, :L], want, atol=2e-5, rtol=1e-4)
+
+
+def test_multistream_serving_export_matches_live(tmp_path):
+    # the exported batched stream_init/stream_reset/stream_hop programs
+    # driven by MultiStreamServingModel must reproduce the live
+    # MultiStreamEnhancer slot-for-slot — concurrent real-time serving
+    # without the model source
+    from fullsubnet_tpu import config as config_lib
+    from fullsubnet_tpu.infer.streaming import MultiStreamEnhancer
+    from fullsubnet_tpu.serving import (
+        MultiStreamServingModel,
+        export_streaming_enhancer,
+    )
+
+    toml = SERVING_TOML.replace(
+        'norm_type = "offline_laplace_norm"',
+        'norm_type = "cumulative_laplace_norm"',
+    )
+    cfg_path = tmp_path / "cfg.toml"
+    cfg_path.write_text(toml)
+    config = load_config(cfg_path)
+    ckpt = _orbax_ckpt(tmp_path, config)
+
+    manifest = export_streaming_enhancer(
+        config, str(ckpt), tmp_path / "artifact", streams=3
+    )
+    assert manifest["format"] == "fullsubnet_tpu.serving-multistream/1"
+    assert manifest["streams"] == 3
+    served = MultiStreamServingModel.load(tmp_path / "artifact")
+
+    model, _ = config_lib.build_model(config)
+    import jax as _jax
+
+    params = model.init(_jax.random.PRNGKey(0), weight_init=False)
+    live = MultiStreamEnhancer(
+        model, params, n_fft=320, hop_length=160, max_streams=3
+    )
+
+    waves = [_noisy(16000, 0.3, seed=20 + k) for k in range(2)]
+    st_l, st_s = live.init_state(), served.init_state()
+    slots_l = [live.open_stream(st_l) for _ in waves]
+    slots_s = [served.open_stream(st_s) for _ in waves]
+    got_l = {s: [] for s in slots_l}
+    got_s = {s: [] for s in slots_s}
+    i, rng = 0, np.random.default_rng(5)
+    n_max = max(len(w) for w in waves)
+    while i < n_max:  # ragged interleaved pushes
+        n = int(rng.integers(100, 500))
+        for k, w in enumerate(waves):
+            chunk = w[i : i + n]
+            if len(chunk):
+                live.push(st_l, slots_l[k], chunk)
+                served.push(st_s, slots_s[k], chunk)
+        i += n
+        for slot, out in live.poll(st_l).items():
+            got_l[slot].append(out)
+        for slot, out in served.poll(st_s).items():
+            got_s[slot].append(out)
+    for k in range(len(waves)):
+        got_l[slots_l[k]].append(live.drain(st_l, slots_l[k]))
+        got_s[slots_s[k]].append(served.drain(st_s, slots_s[k]))
+        a = np.concatenate(got_l[slots_l[k]])
+        b = np.concatenate(got_s[slots_s[k]])
+        assert len(a) == len(b)
+        assert len(a) >= len(waves[k])
+        np.testing.assert_allclose(
+            b, a, atol=1e-5,
+            err_msg=f"served stream {k} != live multi-stream",
+        )
