@@ -389,7 +389,9 @@ def bench_multistream(args, model, params, rng):
                 "metric": f"multistream_capacity_b{B}_fullsubnet",
                 "value": round(capacity, 1),
                 "unit": "concurrent_realtime_streams_per_chip",
-                "vs_baseline": round(tick_ms, 3),
+                # per-stream real-time ratio (>1 = all B streams keep up)
+                "vs_baseline": round(hop_ms / tick_ms, 4),
+                "tick_ms": round(tick_ms, 3),
             }
         )
     )
@@ -510,6 +512,8 @@ def main():
     )
     args = p.parse_args()
 
+    if args.streams > 1 and not args.streaming:
+        raise SystemExit("--streams is a --streaming mode option")
     if args.streaming:
         bench_streaming(args)
         return

@@ -165,6 +165,56 @@ def make_streaming_engine(model, params):
     )
 
 
+def _stage_start_pad(s: dict, n_fft: int) -> bool:
+    """Apply the offline center reflect-pad to a stream's staging buffer
+    once ``n_fft//2 + 1`` samples are staged (reflect needs pad+1).
+    Returns True when the stream has started."""
+    if s["started"]:
+        return True
+    pad = n_fft // 2
+    if len(s["staging"]) < pad + 1:
+        return False
+    head = s["staging"][1 : pad + 1][::-1]
+    s["staging"] = np.concatenate([head, s["staging"]])
+    s["started"] = True
+    return True
+
+
+def _trim_startup(s: dict, out) -> np.ndarray:
+    """Warm-up hop discard (look-ahead) + center-pad prefix trim, so the
+    emitted stream is ``enhanced[0:]``, sample-aligned with the input.
+    Mutates the stream dict's ``frames_seen``/``pad_left`` counters."""
+    s["frames_seen"] += 1
+    if s["frames_seen"] <= s["look_ahead"]:
+        return np.zeros(0, np.float32)
+    out = np.asarray(out)
+    if s["pad_left"]:
+        cut = min(s["pad_left"], len(out))
+        s["pad_left"] -= cut
+        out = out[cut:]
+    return out
+
+
+def _flush_blocks(n_fft: int, hop: int, look_ahead: int) -> int:
+    """Zero hops needed to drain the pipeline at end of stream: the
+    look-ahead delay line, the OLA pipe (ratio hops twice over for the
+    center-pad tail), plus slack."""
+    return 2 + look_ahead + 2 * (n_fft // hop)
+
+
+def _new_stream_record(n_fft: int, look_ahead: int) -> dict:
+    return {
+        "staging": np.zeros(0, np.float32),  # host-side sample buffer
+        "started": False,
+        "frames_seen": 0,  # host mirror of the frame count (warm-up)
+        # the first emitted samples reconstruct the synthetic center
+        # reflect-pad; dropping them aligns enhanced[j] with input[j]
+        # (the offline pipeline's center trim)
+        "pad_left": n_fft // 2,
+        "look_ahead": look_ahead,
+    }
+
+
 class StreamingWaveHost:
     """Host-side driver shared by the live :class:`StreamingEnhancer` and
     the AOT-exported :class:`fullsubnet_tpu.serving.StreamingServingModel`.
@@ -191,16 +241,9 @@ class StreamingWaveHost:
         raise NotImplementedError
 
     def init_state(self):
-        return {
-            "staging": np.zeros(0, np.float32),  # host-side sample buffer
-            "started": False,
-            "frames_seen": 0,  # host mirror of the frame count (warm-up)
-            # the first emitted samples reconstruct the synthetic center
-            # reflect-pad; dropping them aligns enhanced[j] with input[j]
-            # (the offline pipeline's center trim)
-            "pad_left": self.n_fft // 2,
-            "device": None,  # filled once n_fft - hop samples are staged
-        }
+        state = _new_stream_record(self.n_fft, self.look_ahead)
+        state["device"] = None  # filled once n_fft - hop samples are staged
+        return state
 
     def push(self, state, samples: np.ndarray):
         """Feed samples; returns (state, enhanced np.ndarray (maybe empty)).
@@ -209,14 +252,8 @@ class StreamingWaveHost:
         state["staging"] = np.concatenate(
             [state["staging"], np.asarray(samples, np.float32)]
         )
-        if not state["started"]:
-            pad = self.n_fft // 2
-            if len(state["staging"]) < pad + 1:  # reflect needs pad+1 samples
-                return state, np.zeros(0, np.float32)
-            # offline center reflect-pad, reproduced causally at start
-            head = state["staging"][1 : pad + 1][::-1]
-            state["staging"] = np.concatenate([head, state["staging"]])
-            state["started"] = True
+        if not _stage_start_pad(state, self.n_fft):
+            return state, np.zeros(0, np.float32)
         if state["device"] is None:
             need = self.n_fft - self.hop
             if len(state["staging"]) < need:
@@ -229,15 +266,9 @@ class StreamingWaveHost:
             hop = state["staging"][: self.hop]
             state["staging"] = state["staging"][self.hop :]
             state["device"], out = self._dev_hop(state["device"], hop)
-            state["frames_seen"] += 1
-            if state["frames_seen"] > self.look_ahead:
-                out = np.asarray(out)
-                if state["pad_left"]:
-                    cut = min(state["pad_left"], len(out))
-                    state["pad_left"] -= cut
-                    out = out[cut:]
-                if len(out):
-                    outs.append(out)
+            out = _trim_startup(state, out)
+            if len(out):
+                outs.append(out)
         return state, (
             np.concatenate(outs) if outs else np.zeros(0, np.float32)
         )
@@ -245,8 +276,7 @@ class StreamingWaveHost:
     def flush(self, state):
         """End of stream: push zeros until all buffered frames are emitted."""
         outs = []
-        flush_blocks = 2 + self.look_ahead + 2 * (self.n_fft // self.hop)
-        for _ in range(flush_blocks):
+        for _ in range(_flush_blocks(self.n_fft, self.hop, self.look_ahead)):
             state, out = self.push(state, np.zeros(self.hop, np.float32))
             if len(out):
                 outs.append(out)
@@ -442,13 +472,10 @@ class MultiStreamHost:
         """Claim a free slot for a new stream. Raises when full."""
         for i, s in enumerate(state["slots"]):
             if s is None:
-                state["slots"][i] = {
-                    "staging": np.zeros(0, np.float32),
-                    "started": False,
-                    "dev_ready": False,
-                    "frames_seen": 0,
-                    "pad_left": self.n_fft // 2,
-                }
+                rec = _new_stream_record(self.n_fft, self.look_ahead)
+                rec["dev_ready"] = False
+                rec["finishing"] = False
+                state["slots"][i] = rec
                 return i
         raise RuntimeError(f"all {self.max_streams} stream slots busy")
 
@@ -472,13 +499,8 @@ class MultiStreamHost:
         """Start pad + device slot init once enough samples are staged.
         Returns True when the slot can tick."""
         s = state["slots"][slot]
-        if not s["started"]:
-            pad = self.n_fft // 2
-            if len(s["staging"]) < pad + 1:
-                return False
-            head = s["staging"][1 : pad + 1][::-1]
-            s["staging"] = np.concatenate([head, s["staging"]])
-            s["started"] = True
+        if not _stage_start_pad(s, self.n_fft):
+            return False
         if not s["dev_ready"]:
             need = self.n_fft - self.hop
             if len(s["staging"]) < need:
@@ -520,28 +542,38 @@ class MultiStreamHost:
             )
             outs = np.asarray(outs)  # one device->host transfer per tick
             for i in ready:
-                s = state["slots"][i]
-                s["frames_seen"] += 1
-                if s["frames_seen"] <= self.look_ahead:
-                    continue
-                out = outs[i]
-                if s["pad_left"]:
-                    cut = min(s["pad_left"], len(out))
-                    s["pad_left"] -= cut
-                    out = out[cut:]
+                out = _trim_startup(state["slots"][i], outs[i])
                 if len(out):
                     out_chunks.setdefault(i, []).append(out)
+            # finishing streams are freed once their staged tail is gone
+            for i in ready:
+                s = state["slots"][i]
+                if s["finishing"] and len(s["staging"]) < self.hop:
+                    self.close_stream(state, i)
         return {i: np.concatenate(c) for i, c in out_chunks.items()}
 
+    def finish(self, state, slot: int):
+        """Mark end-of-stream WITHOUT stalling other streams: stages the
+        flush-tail zeros so they ride the normal batched ticks. Subsequent
+        :meth:`poll` calls emit the stream's remaining samples under
+        ``slot`` and free it once drained."""
+        s = state["slots"][slot]
+        if s is None:
+            raise ValueError(f"slot {slot} is not open")
+        n = _flush_blocks(self.n_fft, self.hop, self.look_ahead)
+        self.push(state, slot, np.zeros(n * self.hop, np.float32))
+        s["finishing"] = True
+
     def drain(self, state, slot: int) -> np.ndarray:
-        """End of stream: zero-feed until the pipeline is empty, free the
-        slot, and return the tail samples."""
-        flush_blocks = 2 + self.look_ahead + 2 * (self.n_fft // self.hop)
-        self.push(
-            state, slot, np.zeros(flush_blocks * self.hop, np.float32)
-        )
+        """End of stream, synchronous: zero-feed until the pipeline is
+        empty, free the slot, and return the tail samples. This ticks ONLY
+        this slot (other streams' staged data stays put) across several
+        sequential device calls — a serving host with other live streams
+        should prefer :meth:`finish`, whose tail rides the shared ticks."""
+        self.finish(state, slot)
         out = self.poll(state, only=slot)
-        self.close_stream(state, slot)
+        if state["slots"][slot] is not None:  # defensive: force-free
+            self.close_stream(state, slot)
         return out.get(slot, np.zeros(0, np.float32))
 
 

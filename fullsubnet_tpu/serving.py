@@ -547,6 +547,9 @@ def main(argv=None):
     )
     parser.add_argument("--overwrite", action="store_true")
     args = parser.parse_args(argv)
+    if args.streams > 1 and not args.streaming:
+        parser.error("--streams requires --streaming (the concurrent "
+                     "host is a real-time streaming export)")
 
     config = config_lib.load_config(args.configuration)
     from fullsubnet_tpu.utils import enable_compilation_cache

@@ -524,3 +524,46 @@ def test_multistream_improved_spectrum_domain():
         n = min(len(stream), len(singles[j]))
         assert n >= 1024
         np.testing.assert_allclose(stream[:n], singles[j][:n], atol=1e-5)
+
+
+def test_multistream_finish_rides_shared_ticks():
+    """finish() stages the flush tail instead of stalling other streams;
+    poll() emits the remainder and frees the slot — total output equals
+    the synchronous drain() path."""
+    from fullsubnet_tpu.infer.streaming import MultiStreamEnhancer
+
+    n_fft, hop = 64, 32
+    model, params = _tiny_model()
+    rng = np.random.default_rng(14)
+    w_a = (0.3 * rng.standard_normal(1024)).astype(np.float32)
+    w_b = (0.3 * rng.standard_normal(2048)).astype(np.float32)
+
+    ms = MultiStreamEnhancer(model, params, n_fft, hop, max_streams=2)
+    state = ms.init_state()
+    s_a = ms.open_stream(state)
+    s_b = ms.open_stream(state)
+    ms.push(state, s_a, w_a)
+    ms.push(state, s_b, w_b[:1024])
+    out = ms.poll(state)
+    got_a = [out.get(s_a, np.zeros(0, np.float32))]
+    got_b = [out.get(s_b, np.zeros(0, np.float32))]
+
+    # finish A; its tail rides the same ticks that advance B's second half
+    ms.finish(state, s_a)
+    ms.push(state, s_b, w_b[1024:])
+    out = ms.poll(state)
+    got_a.append(out.get(s_a, np.zeros(0, np.float32)))
+    got_b.append(out.get(s_b, np.zeros(0, np.float32)))
+    assert state["slots"][s_a] is None, "finished slot should be freed"
+    got_b.append(ms.drain(state, s_b))
+
+    single_a = _single_stream_reference(model, params, w_a, n_fft, hop)
+    single_b = _single_stream_reference(model, params, w_b, n_fft, hop)
+    stream_a = np.concatenate(got_a)
+    stream_b = np.concatenate(got_b)
+    n = min(len(stream_a), len(single_a))
+    assert n >= 1024
+    np.testing.assert_allclose(stream_a[:n], single_a[:n], atol=1e-5)
+    n = min(len(stream_b), len(single_b))
+    assert n >= 2048
+    np.testing.assert_allclose(stream_b[:n], single_b[:n], atol=1e-5)
