@@ -410,8 +410,8 @@ def bench_serving(args):
 
     if args.model != "fullsubnet":
         raise SystemExit(
-            "--serving benches the batched bucketed artifact, which is "
-            "FullSubNet-only (other families export exact-length programs)"
+            "--serving benches the flagship FullSubNet bucketed artifact "
+            "(the fullband baseline buckets too, but is not wired here)"
         )
     config = {
         "acoustics": {

@@ -148,3 +148,56 @@ def norm_wrapper(norm_type: str):
         raise NotImplementedError(
             f"Unknown norm {norm_type!r}. Choose from {sorted(_NORMS)}."
         ) from None
+
+
+def masked_offline_norm(norm_fn, valid_total):
+    """Masked (true-count) variant of an offline norm for zero-padded,
+    length-bucketed inputs — the statistics are computed over the REAL
+    frames only, so normalized valid frames exactly equal an unpadded
+    run's. ``valid_total``: [b, 1, 1, 1] float true frame counts (b in
+    {1, B}). Returns ``None`` for causal norms (cumulative laplace/layer,
+    forgetting): frame t sees only frames <= t, so zero-padded tails
+    leave the valid frames untouched and the norm is exact as-is.
+
+    Shared by every model family's ``valid_frames`` path
+    (models/fullsubnet.py, models/fullband.py) — one copy of the masked
+    statistics, one set of tests.
+    """
+    import numpy as np
+
+    if norm_fn is offline_laplace_norm:
+
+        def masked(v):
+            # padded frames are zero, so plain sums ARE the masked sums;
+            # only the divisor must be the true count
+            count = np.prod([int(s) for s in v.shape[1:-1]]) * valid_total
+            mu = (
+                jnp.sum(v, axis=tuple(range(1, v.ndim)), keepdims=True)
+                / count
+            )
+            return v / (mu + 1e-5)
+
+        return masked
+
+    if norm_fn is offline_gaussian_norm:
+
+        def masked(v):
+            # masked mean + masked UNBIASED std (torch.std ddof=1):
+            # padded inputs are already zero, so plain sums give the
+            # masked first/second moments; only the (0 - mu)^2 terms of
+            # pad frames must be excluded, hence the count-based
+            # variance form
+            count = np.prod([int(s) for s in v.shape[1:-1]]) * valid_total
+            axes = tuple(range(1, v.ndim))
+            mu = jnp.sum(v, axis=axes, keepdims=True) / count
+            sumsq = jnp.sum(jnp.square(v), axis=axes, keepdims=True)
+            # cancellation can push the f32 difference slightly negative
+            # for near-constant inputs -> NaN sqrt
+            var = jnp.maximum(
+                (sumsq - count * jnp.square(mu)) / (count - 1.0), 0.0
+            )
+            return (v - mu) / (jnp.sqrt(var) + 1e-5)
+
+        return masked
+
+    return None

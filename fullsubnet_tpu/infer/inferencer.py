@@ -44,19 +44,24 @@ def _model_key_from_path(path: str) -> str:
 
 
 def bucketed_capable(model, strategy: str) -> bool:
-    """Length-bucketed enhancement is EXACT only for FullSubNet-family
+    """Length-bucketed enhancement is EXACT only for models implementing
+    ``valid_frames`` (FullSubNet, the fullband baseline) under
     ``full_band_crm_mask`` with unidirectional stacks: offline norms get
     masked statistics over the true frame count, causal norms ignore
     zero-padded tails by construction (same gate as the trainer's
     bucketed validation, ``train/trainer.py:_bucketing_supported``)."""
-    from fullsubnet_tpu.models import FullSubNet
+    from fullsubnet_tpu.models import FullBandModel, FullSubNet
 
-    return (
-        strategy == "full_band_crm_mask"
-        and isinstance(model, FullSubNet)
-        and not model.fb_model.bidirectional
-        and not model.sb_model.bidirectional
-    )
+    if strategy != "full_band_crm_mask":
+        return False
+    if isinstance(model, FullSubNet):
+        return (
+            not model.fb_model.bidirectional
+            and not model.sb_model.bidirectional
+        )
+    if isinstance(model, FullBandModel):
+        return not model.fullband_model.bidirectional
+    return False
 
 
 def pad_bucket_batch(waves, batch_size: int, bucket: int):
@@ -95,6 +100,21 @@ def build_bucketed_enhance_fn(model, acoustics: dict, sharding_hint=None):
     hop = acoustics["hop_length"]
     win = acoustics["win_length"]
 
+    # only FullSubNet takes drop_band/sharding kwargs; the fullband
+    # baseline's signature is (params, noisy_mag, training, valid_frames)
+    import inspect
+
+    sig = inspect.signature(model.__call__).parameters
+    extra_kwargs = {}
+    if "dropping_band" in sig:
+        extra_kwargs["dropping_band"] = False
+    if "sharding_hint" in sig:
+        extra_kwargs["sharding_hint"] = sharding_hint
+    elif sharding_hint is not None:
+        raise ValueError(
+            f"{type(model).__name__} does not support sharding_hint"
+        )
+
     def fn(params, noisy, true_len):
         tl = jnp.asarray(true_len).reshape(-1)  # [1] or [B]
         tlb = jnp.broadcast_to(tl, (noisy.shape[0],))
@@ -109,8 +129,7 @@ def build_bucketed_enhance_fn(model, acoustics: dict, sharding_hint=None):
         ).astype(jnp.float32)  # [b, T']
         noisy_mag = jnp.abs(spec)[:, None] * tmask[:, None, None, :]
         crm = model(
-            params, noisy_mag, dropping_band=False,
-            valid_frames=frames_real, sharding_hint=sharding_hint,
+            params, noisy_mag, valid_frames=frames_real, **extra_kwargs
         )
         crm = jnp.transpose(crm, (0, 2, 3, 1))
         crm = decompress_cIRM(crm)

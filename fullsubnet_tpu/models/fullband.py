@@ -46,15 +46,41 @@ class FullBandModel:
         }
 
     def __call__(
-        self, params: dict, noisy_mag: jax.Array, training: bool = False
+        self,
+        params: dict,
+        noisy_mag: jax.Array,
+        training: bool = False,
+        valid_frames: jax.Array | None = None,
     ) -> jax.Array:
-        """noisy_mag [B, 1, F, T] -> cRM [B, 2, F, T]."""
+        """noisy_mag [B, 1, F, T] -> cRM [B, 2, F, T].
+
+        ``valid_frames``: optional (traced) count of real frames in a
+        length-bucketed (zero-padded) input — a scalar or a [B] vector.
+        The offline norm statistics use the TRUE frame count, so valid
+        frames' outputs EXACTLY equal an unpadded run (causal norms are
+        exact under zero-padded tails as-is); the caller zeroes padded
+        input frames and discards outputs past ``valid_frames``. Same
+        contract as ``FullSubNet.__call__`` — requires a unidirectional
+        stack (``infer.inferencer.bucketed_capable``).
+        """
         assert noisy_mag.ndim == 4
         x = jnp.pad(noisy_mag, ((0, 0), (0, 0), (0, 0), (0, self.look_ahead)))
         b, c, f, t = x.shape
         assert c == 1, "FullBandModel takes the mag feature as input."
 
-        x = self.norm(x).reshape(b, c * f, t)
+        norm = self.norm
+        if valid_frames is not None:
+            from fullsubnet_tpu.acoustics.norm import masked_offline_norm
+
+            vf = jnp.asarray(valid_frames).reshape(-1)
+            # the model's own look-ahead zero-pad counts toward the
+            # offline statistics, exactly as in an unpadded run
+            valid_total = (vf + self.look_ahead).astype(jnp.float32)[
+                :, None, None, None
+            ]
+            norm = masked_offline_norm(self.norm, valid_total) or self.norm
+
+        x = norm(x).reshape(b, c * f, t)
         out = self.fullband_model(params["fullband_model"], x, training=training)
         out = out.reshape(b, 2, f, t)
         return out[:, :, :, self.look_ahead :]

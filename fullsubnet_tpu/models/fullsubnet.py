@@ -154,10 +154,7 @@ class FullSubNet:
         frame_mask = None
         valid_total = None
         if valid_frames is not None:
-            from fullsubnet_tpu.acoustics.norm import (
-                offline_gaussian_norm,
-                offline_laplace_norm,
-            )
+            from fullsubnet_tpu.acoustics.norm import masked_offline_norm
 
             # scalar (one shared length) or [B] (per-example lengths in a
             # padded batch) — normalize to a [b]-vector, b in {1, B}
@@ -170,39 +167,10 @@ class FullSubNet:
             frame_mask = (
                 jnp.arange(num_frames)[None, :] < (vf + self.look_ahead)[:, None]
             ).astype(x.dtype)  # [b, T]
-            if self.norm is offline_laplace_norm:
-                def norm(v):
-                    count = (
-                        np.prod([int(s) for s in v.shape[1:-1]]) * valid_total
-                    )
-                    mu = (
-                        jnp.sum(v, axis=tuple(range(1, v.ndim)), keepdims=True)
-                        / count
-                    )
-                    return v / (mu + 1e-5)
-            elif self.norm is offline_gaussian_norm:
-                # masked mean + masked UNBIASED std (torch.std ddof=1):
-                # padded inputs are already zero, so plain sums give the
-                # masked first/second moments; only the (0 - mu)^2 terms
-                # of pad frames must be excluded, hence the count-based
-                # variance form
-                def norm(v):
-                    count = (
-                        np.prod([int(s) for s in v.shape[1:-1]]) * valid_total
-                    )
-                    axes = tuple(range(1, v.ndim))
-                    mu = jnp.sum(v, axis=axes, keepdims=True) / count
-                    sumsq = jnp.sum(jnp.square(v), axis=axes, keepdims=True)
-                    # cancellation can push the f32 difference slightly
-                    # negative for near-constant inputs -> NaN sqrt
-                    var = jnp.maximum(
-                        (sumsq - count * jnp.square(mu)) / (count - 1.0), 0.0
-                    )
-                    return (v - mu) / (jnp.sqrt(var) + 1e-5)
-            # every other dispatchable norm (cumulative_laplace_norm,
-            # cumulative_layer_norm, forgetting_norm) is CAUSAL: frame t
-            # sees only frames <= t, so zero-padded tails leave the valid
-            # frames' outputs untouched — use them as-is
+            # causal norms (cumulative laplace/layer, forgetting) return
+            # None here: frame t sees only frames <= t, so zero-padded
+            # tails leave the valid frames' outputs untouched — use as-is
+            norm = masked_offline_norm(self.norm, valid_total) or self.norm
 
         # Full-band stage
         fb_input = norm(x).reshape(batch_size, num_freqs, num_frames)

@@ -536,11 +536,21 @@ class Trainer:
         * the masked iSTFT excludes padded frames from both signal and
           envelope, and the masked-MSE loss rescales to the true count.
         """
+        import inspect
+
         from fullsubnet_tpu.acoustics.stft import (
             insert_tail_reflection,
             traced_num_frames,
         )
 
+        # only FullSubNet takes dropping_band; the fullband baseline's
+        # bucketed path has no drop semantics
+        bucket_kwargs = (
+            {"dropping_band": False}
+            if "dropping_band"
+            in inspect.signature(self.model.__call__).parameters
+            else {}
+        )
         a = self.acoustics
         model = self.model
         loss_fn_inner = self.loss_function
@@ -557,10 +567,8 @@ class Trainer:
             frames_real = traced_num_frames(true_len, hop, n_fft)
             tmask = (jnp.arange(t_pad) < frames_real).astype(jnp.float32)
             noisy_mag = jnp.abs(spec)[:, None] * tmask
-            crm = model(
-                params, noisy_mag, dropping_band=False,
-                valid_frames=frames_real,
-            )
+            crm = model(params, noisy_mag, valid_frames=frames_real,
+                        **bucket_kwargs)
             crm = jnp.transpose(crm, (0, 2, 3, 1))
             clean_spec = stft_complex(
                 reflect(clean_j, true_len), n_fft, hop, win

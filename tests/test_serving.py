@@ -665,3 +665,40 @@ def test_multistream_serving_export_matches_live(tmp_path):
             b, a, atol=1e-5,
             err_msg=f"served stream {k} != live multi-stream",
         )
+
+
+def test_serving_fullband_bucketed_export(tmp_path):
+    # the fullband baseline's reference recipe is full_band_crm_mask
+    # (reference fullband_baseline/inference.toml:10) — it now exports in
+    # bucketed mode (valid_frames): any length in the bucket is exact
+    from fullsubnet_tpu.serving import ServingModel, export_enhancer
+
+    toml = FULLBAND_TOML.replace(
+        'type = "scaled_mask"', 'type = "full_band_crm_mask"'
+    )
+    cfg_path = tmp_path / "cfg.toml"
+    cfg_path.write_text(toml)
+    config = load_config(cfg_path)
+    ckpt = _orbax_ckpt(tmp_path, config)
+
+    manifest = export_enhancer(
+        config, str(ckpt), tmp_path / "artifact", seconds=[1.0], batch=2
+    )
+    assert manifest["mode"] == "bucketed"
+    served = ServingModel.load(tmp_path / "artifact")
+
+    # ground truth: the Inferencer's own (bucketed) enhancement
+    from fullsubnet_tpu.infer.inferencer import Inferencer
+
+    cfg2 = dict(config)
+    cfg2.pop("dataset", None)
+    inf = Inferencer(cfg2, str(ckpt), output_dir=None)
+
+    waves = [_noisy(16000, 0.61, seed=31), _noisy(16000, 0.37, seed=32)]
+    outs = served.enhance_batch(waves)
+    for w, got in zip(waves, outs):
+        ref = np.asarray(
+            inf._jit_for("full_band_crm_mask")(inf.params, w[None])
+        )[0]
+        assert got.shape == ref.shape == w.shape
+        np.testing.assert_allclose(got, ref, atol=1e-5)

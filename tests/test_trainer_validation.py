@@ -365,3 +365,53 @@ def test_masked_gaussian_norm_near_constant_input_finite():
     x = jnp.full((1, 1, 161, 200), 3.0, jnp.float32) * (1 + jitter)
     out = m(p, x, valid_frames=jnp.asarray([180]))
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize(
+    "norm",
+    [
+        "offline_laplace_norm",
+        "offline_gaussian_norm",
+        "cumulative_laplace_norm",
+    ],
+)
+def test_bucketed_enhancement_exact_fullband(full_setup, norm):
+    """The fullband baseline buckets too (valid_frames via the shared
+    masked_offline_norm helper): bucketed == unpadded, all norms."""
+    from fullsubnet_tpu.config import load_config
+    from fullsubnet_tpu.train.trainer import Trainer
+
+    cfg_path, tmp_path = full_setup
+    cfg = load_config(cfg_path)
+    cfg["model"]["path"] = "fullband_baseline.model.Model"
+    cfg["model"]["args"] = {
+        "num_freqs": 161,
+        "look_ahead": 2,
+        "sequence_model": "LSTM",
+        "output_activate_function": False,
+        "hidden_size": 24,
+        "weight_init": False,
+        "norm_type": norm,
+    }
+    trainer = Trainer(cfg, experiment_name=f"bucket_fb_{norm}")
+    assert trainer._bucketing_supported()
+
+    rng = np.random.default_rng(13)
+    for length in (16000, 15373):  # exact-bucket and ragged
+        noisy = (0.1 * rng.standard_normal(length)).astype(np.float32)
+        clean = (0.1 * rng.standard_normal(length)).astype(np.float32)
+
+        enhanced_b, loss_b = trainer._enhance_utterance(noisy, clean)
+
+        fn = trainer._build_enhance_fn()
+        import jax.numpy as jnp
+
+        enhanced_u, loss_u = fn(
+            trainer.state["params"], jnp.asarray(noisy)[None],
+            jnp.asarray(clean)[None],
+        )
+        enhanced_u = np.asarray(enhanced_u[0])
+
+        assert enhanced_b.shape == enhanced_u.shape == (length,)
+        np.testing.assert_allclose(enhanced_b, enhanced_u, atol=2e-5)
+        np.testing.assert_allclose(loss_b, float(loss_u), rtol=1e-4)
