@@ -43,6 +43,30 @@ def _model_key_from_path(path: str) -> str:
     return max(matches, key=len) if matches else "fullsubnet"
 
 
+def model_call_kwargs(model, sharding_hint=None) -> dict:
+    """Inference-shaped extra kwargs for ``model(params, mag, ...)``,
+    derived from the model's actual signature — the ONE source of truth
+    for 'which kwargs does this family's ``__call__`` take' (shared by
+    the Inferencer, the trainer's enhance paths, and the bucketed/
+    serving builders). Models with ``dropping_band`` must never drop at
+    inference; ``sharding_hint`` is forwarded when supported and an
+    error to request otherwise."""
+    import inspect
+
+    sig = inspect.signature(model.__call__).parameters
+    kwargs = {}
+    if "dropping_band" in sig:
+        kwargs["dropping_band"] = False
+    if "sharding_hint" in sig:
+        if sharding_hint is not None:
+            kwargs["sharding_hint"] = sharding_hint
+    elif sharding_hint is not None:
+        raise ValueError(
+            f"{type(model).__name__} does not support sharding_hint"
+        )
+    return kwargs
+
+
 def bucketed_capable(model, strategy: str) -> bool:
     """Length-bucketed enhancement is EXACT only for models implementing
     ``valid_frames`` (FullSubNet, the fullband baseline) under
@@ -100,20 +124,7 @@ def build_bucketed_enhance_fn(model, acoustics: dict, sharding_hint=None):
     hop = acoustics["hop_length"]
     win = acoustics["win_length"]
 
-    # only FullSubNet takes drop_band/sharding kwargs; the fullband
-    # baseline's signature is (params, noisy_mag, training, valid_frames)
-    import inspect
-
-    sig = inspect.signature(model.__call__).parameters
-    extra_kwargs = {}
-    if "dropping_band" in sig:
-        extra_kwargs["dropping_band"] = False
-    if "sharding_hint" in sig:
-        extra_kwargs["sharding_hint"] = sharding_hint
-    elif sharding_hint is not None:
-        raise ValueError(
-            f"{type(model).__name__} does not support sharding_hint"
-        )
+    extra_kwargs = model_call_kwargs(model, sharding_hint)
 
     def fn(params, noisy, true_len):
         tl = jnp.asarray(true_len).reshape(-1)  # [1] or [B]
@@ -178,12 +189,8 @@ class Inferencer:
             self.output_dir = self.enhanced_dir = self.noisy_dir = None
 
         self._jitted = {}
-        from fullsubnet_tpu.models import FullSubNet
-
         # inference never subsamples frequencies, even for batched inputs
-        self._model_kwargs = (
-            {"dropping_band": False} if isinstance(self.model, FullSubNet) else {}
-        )
+        self._model_kwargs = model_call_kwargs(self.model)
 
     # ------------------------------------------------------------------
     # checkpoint loading: torch (.tar/.pth) or orbax dir

@@ -17,8 +17,9 @@ program:
   single-frame latency path. Both have fixed shapes → compiled once.
 
 A streaming overlap-add iSTFT (``StreamingISTFT``) turns mask×spec frames
-back into waveform with one-hop latency using the steady-state squared-
-window envelope.
+back into waveform with one-hop latency, normalizing each hop by the
+squared-window envelope of the frames accumulated SO FAR (a per-warm-up-
+hop envelope table; the last row is the steady state).
 """
 
 from __future__ import annotations
@@ -247,8 +248,11 @@ class StreamingWaveHost:
 
     def push(self, state, samples: np.ndarray):
         """Feed samples; returns (state, enhanced np.ndarray (maybe empty)).
-        Output is aligned with the input: concatenating all pushed returns
-        yields ``enhanced[0:]`` matching the offline pipeline."""
+        Output is sample-aligned with the input: concatenating all pushed
+        (+ flushed) returns yields ``enhanced[0:]`` matching the offline
+        pipeline everywhere except the final ~``n_fft//2`` tail samples
+        (the stream drains with zeros where the offline pipeline
+        reflect-pads the utterance tail)."""
         state["staging"] = np.concatenate(
             [state["staging"], np.asarray(samples, np.float32)]
         )
@@ -296,9 +300,11 @@ class StreamingEnhancer(StreamingWaveHost):
     decompression/masking, and the streaming OLA iSTFT. Feed sample
     blocks of any size; the concatenated output is ``enhanced[0:]``,
     sample-aligned with the input (the synthetic center-pad prefix is
-    dropped, like the offline pipeline's center trim). Enhanced sample
-    ``j`` emerges once ``j + n_fft//2 + (1 + look_ahead) · hop`` input
-    samples have been pushed — the algorithmic latency.
+    dropped, like the offline pipeline's center trim) and offline-equal
+    except the final ~``n_fft//2`` tail samples (the stream drains with
+    zeros where the offline pipeline reflect-pads the tail). Enhanced
+    sample ``j`` emerges once ``j + n_fft//2 + (1 + look_ahead) · hop``
+    input samples have been pushed — the algorithmic latency.
 
     The whole per-hop pipeline — framing ring buffer, window, rfft,
     engine step, look-ahead spectrum delay line, cIRM masking, OLA —
@@ -312,11 +318,20 @@ class StreamingEnhancer(StreamingWaveHost):
     checkpoints) in the steady-state interior.
     """
 
-    def __init__(self, model, params, n_fft=512, hop_length=256):
+    def __init__(self, model, params, n_fft=512, hop_length=256,
+                 win_length=None):
         from fullsubnet_tpu.acoustics.mask import decompress_cIRM
         from fullsubnet_tpu.models.improved_fullsubnet import (
             ImprovedFullSubNet,
         )
+
+        # the streaming analysis window is a full-length hann(n_fft); a
+        # shorter (center-padded) offline window would silently diverge
+        if win_length is not None and win_length != n_fft:
+            raise ValueError(
+                "streaming uses a full-length analysis window; "
+                f"win_length must equal n_fft (got {win_length} != {n_fft})"
+            )
 
         # Improved FullSubNet masks inside its engine (spectrum-frame in,
         # enhanced spectrum out, zero look-ahead); the magnitude families
@@ -373,6 +388,10 @@ class StreamingEnhancer(StreamingWaveHost):
             "spec_delay": jnp.zeros(
                 (self.look_ahead, 2, self.F), jnp.float32
             ),
+            # hop counter: the first look_ahead hops feed the OLA a
+            # synthetic zero target and must not advance its warm-up
+            # envelope index
+            "hops": jnp.zeros((), jnp.int32),
             "ola": self.ola.init_state(),
         }
 
@@ -405,11 +424,15 @@ class StreamingEnhancer(StreamingWaveHost):
         crm = self._decompress(crm)  # [2, F]
         er = crm[0] * target_r - crm[1] * target_i
         ei = crm[1] * target_r + crm[0] * target_i
-        ola, out = self.ola.push(dstate["ola"], jax.lax.complex(er, ei))
+        ola, out = self.ola.push(
+            dstate["ola"], jax.lax.complex(er, ei),
+            advance=dstate["hops"] >= self.look_ahead,
+        )
         new_state = {
             "buf": samples[self.hop :],
             "engine": eng,
             "spec_delay": spec_delay,
+            "hops": dstate["hops"] + 1,
             "ola": ola,
         }
         return new_state, out
@@ -602,8 +625,10 @@ class MultiStreamEnhancer(MultiStreamHost):
     """
 
     def __init__(self, model, params, n_fft=512, hop_length=256,
-                 max_streams: int = 8):
-        self._enh = StreamingEnhancer(model, params, n_fft, hop_length)
+                 max_streams: int = 8, win_length=None):
+        self._enh = StreamingEnhancer(
+            model, params, n_fft, hop_length, win_length=win_length
+        )
         self.n_fft = n_fft
         self.hop = hop_length
         self.look_ahead = self._enh.look_ahead
@@ -663,9 +688,12 @@ class MultiStreamEnhancer(MultiStreamHost):
 class StreamingISTFT:
     """Streaming inverse STFT via overlap-add with hop-sized output chunks.
 
-    For 50% overlap (hop = n_fft/2) each output hop is the sum of exactly
-    two windowed frames; the steady-state envelope w²[n] + w²[n+hop] is
-    precomputed. Latency: one hop after the frame is available.
+    Output hop k sums windowed frames k-r, r = 0..min(k, ratio-1), so the
+    first ratio-1 hops see a PARTIAL squared-window envelope (at 50%
+    overlap only the very first hop; more at 75%). A per-warm-up-hop
+    envelope table normalizes each hop by exactly the frames accumulated
+    so far — the last row is the steady state. Latency: one hop after
+    the frame is available.
     """
 
     def __init__(self, n_fft: int, hop_length: int):
@@ -694,8 +722,17 @@ class StreamingISTFT:
             "k": jnp.zeros((), jnp.int32),
         }
 
-    def push(self, state, spec_frame):
-        """spec_frame: [F] complex -> (state, hop_samples [hop])."""
+    def push(self, state, spec_frame, advance=True):
+        """spec_frame: [F] complex -> (state, hop_samples [hop]).
+
+        ``advance`` (bool, may be traced): whether this frame counts
+        toward the warm-up envelope index. The enhancer's look-ahead
+        warm-up pushes synthetic ZERO spectra (their output is discarded
+        on the host) — those must NOT advance ``k``, or the first real
+        frame would be normalized by a too-full partial envelope
+        (wrong output scale whenever look_ahead > 0 and hop < n_fft/2).
+        Zero frames are harmless to the accumulator itself.
+        """
         frame = jnp.fft.irfft(spec_frame, n=self.n_fft) * self.window
         acc = state["acc"] + frame
         env = self.envelopes[jnp.minimum(state["k"], self.ratio - 1)]
@@ -704,7 +741,7 @@ class StreamingISTFT:
             "acc": jnp.concatenate(
                 [acc[self.hop :], jnp.zeros((self.hop,), acc.dtype)]
             ),
-            "k": state["k"] + 1,
+            "k": state["k"] + jnp.asarray(advance, jnp.int32),
         }
         return new_state, out
 

@@ -255,25 +255,23 @@ def export_streaming_enhancer(
     out = _prepare_out_dir(out_dir, overwrite)
     inf, params = _build_inferencer(config, checkpoint_path)
     a = inf.acoustics
-    if a["win_length"] != a["n_fft"]:
-        raise ValueError(
-            "streaming uses a full-length analysis window; export needs "
-            f"win_length == n_fft (got {a['win_length']} != {a['n_fft']})"
-        )
     try:
+        # win_length != n_fft raises in the enhancer (the live streaming
+        # path and this export share the full-length-window requirement)
         if streams > 1:
             menh = MultiStreamEnhancer(
                 inf.model, inf.params,
                 n_fft=a["n_fft"], hop_length=a["hop_length"],
-                max_streams=streams,
+                max_streams=streams, win_length=a["win_length"],
             )
             enh = menh._enh
         else:
             enh = StreamingEnhancer(
                 inf.model, inf.params,
                 n_fft=a["n_fft"], hop_length=a["hop_length"],
+                win_length=a["win_length"],
             )
-    except (TypeError, AssertionError) as e:
+    except (TypeError, AssertionError, ValueError) as e:
         raise ValueError(f"model is not streamable: {e}") from e
 
     buf_spec = jax.ShapeDtypeStruct((enh.n_fft - enh.hop,), np.float32)

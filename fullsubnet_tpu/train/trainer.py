@@ -467,15 +467,9 @@ class Trainer:
         model = self.model
         waveform = self._is_waveform_model()
         loss_fn_inner = self.loss_function
-        from fullsubnet_tpu.models import FullSubNet
+        from fullsubnet_tpu.infer.inferencer import model_call_kwargs
 
-        import inspect
-
-        kwargs = (
-            {"dropping_band": False}
-            if "dropping_band" in inspect.signature(model.__call__).parameters
-            else {}
-        )
+        kwargs = model_call_kwargs(model)
 
         def fn(params, noisy_j, clean_j):
             if waveform:
@@ -536,21 +530,13 @@ class Trainer:
         * the masked iSTFT excludes padded frames from both signal and
           envelope, and the masked-MSE loss rescales to the true count.
         """
-        import inspect
-
         from fullsubnet_tpu.acoustics.stft import (
             insert_tail_reflection,
             traced_num_frames,
         )
+        from fullsubnet_tpu.infer.inferencer import model_call_kwargs
 
-        # only FullSubNet takes dropping_band; the fullband baseline's
-        # bucketed path has no drop semantics
-        bucket_kwargs = (
-            {"dropping_band": False}
-            if "dropping_band"
-            in inspect.signature(self.model.__call__).parameters
-            else {}
-        )
+        bucket_kwargs = model_call_kwargs(self.model)
         a = self.acoustics
         model = self.model
         loss_fn_inner = self.loss_function

@@ -567,3 +567,50 @@ def test_multistream_finish_rides_shared_ticks():
     n = min(len(stream_b), len(single_b))
     assert n >= 2048
     np.testing.assert_allclose(stream_b[:n], single_b[:n], atol=1e-5)
+
+
+def test_streaming_enhancer_lookahead_with_deep_overlap():
+    """look_ahead > 0 combined with hop < n_fft/2: the look-ahead warm-up
+    pushes zero spectra through the OLA, which must NOT advance the
+    warm-up envelope index — regression for the first emitted hop being
+    normalized by a too-full partial envelope (was ~0.83-0.99x off)."""
+    from fullsubnet_tpu.acoustics.mask import decompress_cIRM
+    from fullsubnet_tpu.infer.streaming import StreamingEnhancer
+
+    n_fft, hop = 64, 16  # 75% overlap; model look_ahead = 2
+    model, params = _tiny_model()
+    rng = np.random.default_rng(21)
+    wave = (0.3 * rng.standard_normal(2048)).astype(np.float32)
+
+    spec = stft_complex(jnp.asarray(wave)[None], n_fft, hop, n_fft)
+    crm = model(params, jnp.abs(spec)[:, None], dropping_band=False)
+    crm = decompress_cIRM(jnp.transpose(crm, (0, 2, 3, 1)))
+    er = crm[..., 0] * spec.real - crm[..., 1] * spec.imag
+    ei = crm[..., 1] * spec.real + crm[..., 0] * spec.imag
+    offline = np.asarray(
+        istft((er, ei), n_fft, hop, n_fft, length=2048, input_type="real_imag")
+    )[0]
+
+    enh = StreamingEnhancer(model, params, n_fft, hop)
+    state = enh.init_state()
+    chunks = []
+    for i in range(0, 2048, 100):  # ragged pushes
+        state, out = enh.push(state, wave[i : i + 100])
+        if len(out):
+            chunks.append(out)
+    state, out = enh.flush(state)
+    if len(out):
+        chunks.append(out)
+    stream = np.concatenate(chunks)
+
+    np.testing.assert_allclose(stream[:1900], offline[:1900], atol=1e-3)
+
+
+def test_streaming_enhancer_rejects_short_window():
+    import pytest
+
+    model, params = _tiny_model()
+    from fullsubnet_tpu.infer.streaming import StreamingEnhancer
+
+    with pytest.raises(ValueError, match="win_length"):
+        StreamingEnhancer(model, params, 64, 32, win_length=40)
