@@ -88,6 +88,19 @@ def bucketed_capable(model, strategy: str) -> bool:
     return False
 
 
+def time_domain_bucketed_capable(model) -> bool:
+    """Wave-to-wave models implementing ``valid_samples`` (Improved
+    FullSubNet) bucket the ``time_domain`` strategy: the model re-creates
+    the tail reflection and masks its norms/iSTFT at the true length, so
+    one compile per bucket is exact for any length in it. Every
+    dispatchable norm is covered (offline norms via masked statistics,
+    causal norms exact under zero tails); the stacks are always
+    unidirectional in this family."""
+    import inspect
+
+    return "valid_samples" in inspect.signature(model.__call__).parameters
+
+
 def pad_bucket_batch(waves, batch_size: int, bucket: int):
     """Stack 1-D float32 waves into ([batch_size, bucket] padded array,
     [batch_size] int32 true lengths). Filler rows (when fewer waves than
@@ -348,6 +361,33 @@ class Inferencer:
         return np.asarray(self._jit_for("full_band_crm_mask")(self.params, noisy))[0]
 
     def time_domain(self, noisy, inference_args=None):
+        bucket_seconds = self.bucket_seconds
+        n_fft = self.acoustics["n_fft"]
+        length = int(noisy.shape[-1])
+        if (
+            bucket_seconds > 0
+            and length > n_fft // 2  # tail reflection needs this headroom
+            and time_domain_bucketed_capable(self.model)
+        ):
+            # wave-to-wave models (Improved FullSubNet) take the true
+            # sample count as a traced arg: one compile per bucket, exact
+            # for any length in it (minutes per distinct length otherwise
+            # on a remote-compile relay)
+            if "bucketed_td" not in self._jitted:
+                model = self.model
+                self._jitted["bucketed_td"] = jax.jit(
+                    lambda p, w, L: model(p, w, valid_samples=L)
+                )
+            step = int(bucket_seconds * self.sr)
+            bucket = -(-(length + n_fft) // step) * step
+            padded = jnp.pad(
+                jnp.atleast_2d(jnp.asarray(noisy)),
+                ((0, 0), (0, bucket - length)),
+            )
+            out = self._jitted["bucketed_td"](
+                self.params, padded, jnp.asarray(length, jnp.int32)
+            )
+            return np.squeeze(np.asarray(out), axis=(0, 1))[:length]
         out = np.asarray(self._jit_for("time_domain")(self.params, noisy))
         return np.squeeze(out)
 

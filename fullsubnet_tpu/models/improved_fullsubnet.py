@@ -127,11 +127,23 @@ class SubbandModel:
 
     def __call__(
         self, params, noisy_input: jax.Array, fb_output: jax.Array,
-        training: bool = False,
+        training: bool = False, valid_total=None,
     ):
-        """noisy_input/fb_output [B, 1, F, T] -> cRM [B, 2, F, T]."""
+        """noisy_input/fb_output [B, 1, F, T] -> cRM [B, 2, F, T].
+
+        ``valid_total``: optional [b, 1, 1, 1] true frame counts for a
+        zero-padded, length-bucketed input — offline section norms then
+        use masked (true-count) statistics; causal norms are exact
+        under zero tails as-is (``acoustics.norm.masked_offline_norm``).
+        """
         b, c, f, t = noisy_input.shape
         assert c == 1, "Only mono audio is supported."
+
+        norm = self.norm
+        if valid_total is not None:
+            from fullsubnet_tpu.acoustics.norm import masked_offline_norm
+
+            norm = masked_offline_norm(self.norm, valid_total) or self.norm
 
         section_outputs = []
         for sb_idx, sb_model in enumerate(self.sb_models):
@@ -147,7 +159,7 @@ class SubbandModel:
                 self.fb_num_neighbor_freqs[sb_idx],
             )
             sb_in = jnp.concatenate([noisy_sub, fb_sub], axis=-2)
-            sb_in = self.norm(sb_in.reshape(b, -1, sb_in.shape[-2], t)).reshape(
+            sb_in = norm(sb_in.reshape(b, -1, sb_in.shape[-2], t)).reshape(
                 sb_in.shape
             )
 
@@ -292,9 +304,25 @@ class ImprovedFullSubNet:
         }
 
     def __call__(
-        self, params: dict, y: jax.Array, training: bool = False
+        self,
+        params: dict,
+        y: jax.Array,
+        training: bool = False,
+        valid_samples: jax.Array | None = None,
     ) -> jax.Array:
-        """y [B, T] or [B, 1, T] noisy waveform -> enhanced [B, 1, T]."""
+        """y [B, T] or [B, 1, T] noisy waveform -> enhanced [B, 1, T].
+
+        ``valid_samples``: optional (traced) count of real samples in a
+        length-bucketed (zero-padded) ``y`` — a scalar or a [B] vector.
+        The model re-creates the offline tail reflection at the true
+        length, zeroes padded spectrum frames, computes every offline
+        norm's statistics with the TRUE frame count (causal norms are
+        exact under zero tails as-is), and masks the iSTFT — so the
+        first ``valid_samples`` output samples EXACTLY equal an unpadded
+        run. One compile then serves every utterance length in a bucket
+        (the stacks here are always unidirectional). The caller discards
+        output past ``valid_samples``.
+        """
         ndim = y.ndim
         assert ndim in (2, 3), "Input must be 2D (B, T) or 3D tensor (B, 1, T)"
         if ndim == 3:
@@ -302,9 +330,34 @@ class ImprovedFullSubNet:
             y = y[:, 0]
 
         num_samples = y.shape[-1]
+        frames_real = None
+        if valid_samples is not None:
+            from fullsubnet_tpu.acoustics.stft import (
+                insert_tail_reflection,
+                traced_num_frames,
+            )
+
+            vs = jnp.asarray(valid_samples).reshape(-1)  # [1] or [B]
+            vsb = jnp.broadcast_to(vs, (y.shape[0],))
+            y = jax.vmap(
+                lambda w, L: insert_tail_reflection(w, L, self.n_fft)
+            )(y, vsb)
+            frames_real = traced_num_frames(vs, self.hop_length, self.n_fft)
+
         spec = stft_complex(y, self.n_fft, self.hop_length, self.win_length)
         noisy_real, noisy_imag = spec.real, spec.imag  # [B, F, T]
         noisy_mag = jnp.abs(spec)[:, None]  # [B, 1, F, T]
+
+        tmask = None
+        valid_total = None
+        if frames_real is not None:
+            tmask = (
+                jnp.arange(spec.shape[-1])[None, :] < frames_real[:, None]
+            ).astype(jnp.float32)  # [b, T'], b in {1, B}
+            noisy_mag = noisy_mag * tmask[:, None, None, :]
+            valid_total = frames_real.astype(jnp.float32)[
+                :, None, None, None
+            ]
 
         # Fullband (on FDRC-compressed magnitudes, last bin dropped)
         noisy_mag = noisy_mag**self.fdrc
@@ -312,13 +365,25 @@ class ImprovedFullSubNet:
         if self.compute_dtype is not None:
             noisy_mag = noisy_mag.astype(self.compute_dtype)
         b, c, f, t = noisy_mag.shape
-        fb_input = self.norm(noisy_mag).reshape(b, f, t)
+        norm = self.norm
+        if valid_total is not None:
+            from fullsubnet_tpu.acoustics.norm import masked_offline_norm
+
+            norm = masked_offline_norm(self.norm, valid_total) or self.norm
+        fb_input = norm(noisy_mag).reshape(b, f, t)
         fb_output = self.fb_model(params["fb_model"], fb_input, training=training)
         fb_output = fb_output.reshape(b, 1, f, t)
+        if tmask is not None:
+            # pad frames would otherwise leak (LSTM biases) into the
+            # sub-band sections' offline norm statistics
+            fb_output = fb_output * tmask[:, None, None, :].astype(
+                fb_output.dtype
+            )
 
         # Subband sections -> cRM over F-1 bins, pad the last bin with 0
         cRM = self.sb_model(
-            params["sb_model"], noisy_mag, fb_output, training=training
+            params["sb_model"], noisy_mag, fb_output, training=training,
+            valid_total=valid_total,
         )
         cRM = cRM.astype(jnp.float32)
         cRM = jnp.pad(cRM, ((0, 0), (0, 0), (0, 1), (0, 0)))
@@ -329,6 +394,11 @@ class ImprovedFullSubNet:
         # replicated exactly for checkpoint parity.
         enhanced_real = cRM[:, 0] * noisy_real
         enhanced_imag = cRM[:, 1] * noisy_imag
+        frame_mask = None
+        if tmask is not None:
+            enhanced_real = enhanced_real * tmask[:, None, :]
+            enhanced_imag = enhanced_imag * tmask[:, None, :]
+            frame_mask = tmask if tmask.shape[0] > 1 else tmask[0]
         return istft(
             (enhanced_real, enhanced_imag),
             self.n_fft,
@@ -336,4 +406,5 @@ class ImprovedFullSubNet:
             self.win_length,
             length=num_samples,
             input_type="real_imag",
+            frame_mask=frame_mask,
         )[:, None, :]

@@ -50,6 +50,7 @@ from fullsubnet_tpu.infer.inferencer import (
     Inferencer,
     bucketed_capable,
     build_bucketed_enhance_fn,
+    time_domain_bucketed_capable,
 )
 from fullsubnet_tpu.infer.streaming import MultiStreamHost, StreamingWaveHost
 
@@ -173,7 +174,15 @@ def export_enhancer(
     sr = a["sr"]
     n_fft = a["n_fft"]
 
-    mode = "bucketed" if bucketed_capable(inf.model, inf.strategy) else "exact"
+    td_bucketed = (
+        inf.strategy == "time_domain"
+        and time_domain_bucketed_capable(inf.model)
+    )
+    mode = (
+        "bucketed"
+        if bucketed_capable(inf.model, inf.strategy) or td_bucketed
+        else "exact"
+    )
     if batch != 1 and mode != "bucketed":
         raise ValueError(
             "batch > 1 export needs the bucketed mode (per-example "
@@ -181,7 +190,16 @@ def export_enhancer(
             "programs only"
         )
     lengths = sorted({int(round(s * sr)) for s in seconds})
-    if mode == "bucketed":
+    if td_bucketed:
+        # wave-to-wave bucketed program (the model re-creates the tail
+        # reflection and masks its norms/iSTFT at the true length):
+        # (params, wave[B, bucket], true_len) -> enhanced[B, bucket]
+        model = inf.model
+
+        def fn(params, noisy, true_len):
+            return model(params, noisy, valid_samples=true_len)[:, 0]
+
+    elif mode == "bucketed":
         fn = build_bucketed_enhance_fn(inf.model, a)
     else:
         fn = getattr(inf, f"_{inf.strategy}_fn", None)

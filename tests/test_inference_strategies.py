@@ -125,3 +125,116 @@ def test_unknown_strategy_raises(setup):
     inf = Inferencer(load_config(cfg), str(ckpt), str(tmp_path / "out_x"))
     with pytest.raises(NotImplementedError):
         inf()
+
+
+# ---------------------------------------------------------------------------
+# Bucketed time_domain (Improved FullSubNet valid_samples)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_improved(norm):
+    import jax
+
+    from fullsubnet_tpu.models.improved_fullsubnet import ImprovedFullSubNet
+
+    model = ImprovedFullSubNet(
+        n_fft=64, hop_length=16, win_length=64, num_freqs=33,
+        freq_cutoffs=(8, 16), sb_num_center_freqs=(1, 2, 4),
+        sb_num_neighbor_freqs=(3, 3, 3), fb_num_center_freqs=(1, 2, 4),
+        fb_num_neighbor_freqs=(3, 3, 3), fb_hidden_size=16,
+        sb_hidden_size=12, norm_type=norm,
+    )
+    params = model.init(jax.random.PRNGKey(3), weight_init=False)
+    return model, params
+
+
+@pytest.mark.parametrize(
+    "norm",
+    [
+        "offline_laplace_norm",
+        "offline_gaussian_norm",
+        "cumulative_laplace_norm",
+    ],
+)
+def test_improved_valid_samples_exact(norm):
+    """Model-level: zero-padded wave + valid_samples == unpadded run, for
+    masked-offline and causal norms, ragged lengths."""
+    import jax.numpy as jnp
+
+    model, params = _tiny_improved(norm)
+    rng = np.random.default_rng(17)
+    for length in (1000, 1024, 777):
+        wave = (0.2 * rng.standard_normal(length)).astype(np.float32)
+        exact = np.asarray(model(params, jnp.asarray(wave)[None]))[0, 0]
+
+        bucket = 1600
+        padded = np.zeros((1, bucket), np.float32)
+        padded[0, :length] = wave
+        out = np.asarray(
+            model(
+                params, jnp.asarray(padded),
+                valid_samples=jnp.asarray(length, jnp.int32),
+            )
+        )[0, 0]
+        np.testing.assert_allclose(out[:length], exact, atol=2e-5)
+
+
+def test_improved_valid_samples_batched_vector():
+    """[B] per-example lengths in one padded batch: each row equals its
+    own unpadded run."""
+    import jax.numpy as jnp
+
+    model, params = _tiny_improved("offline_laplace_norm")
+    rng = np.random.default_rng(18)
+    lengths = [900, 1111]
+    waves = [
+        (0.2 * rng.standard_normal(L)).astype(np.float32) for L in lengths
+    ]
+    bucket = 1600
+    padded = np.zeros((2, bucket), np.float32)
+    for i, w in enumerate(waves):
+        padded[i, : len(w)] = w
+    out = np.asarray(
+        model(
+            params, jnp.asarray(padded),
+            valid_samples=jnp.asarray(lengths, jnp.int32),
+        )
+    )[:, 0]
+    for i, w in enumerate(waves):
+        exact = np.asarray(model(params, jnp.asarray(w)[None]))[0, 0]
+        np.testing.assert_allclose(out[i, : len(w)], exact, atol=2e-5)
+
+
+def test_time_domain_strategy_buckets(tmp_path):
+    """Inferencer.time_domain routes Improved FullSubNet through the
+    bucketed program: one compile serves several lengths, outputs exact."""
+    import jax.numpy as jnp
+
+    from fullsubnet_tpu.infer.inferencer import (
+        Inferencer,
+        time_domain_bucketed_capable,
+    )
+
+    model, params = _tiny_improved("offline_laplace_norm")
+    assert time_domain_bucketed_capable(model)
+
+    inf = Inferencer.__new__(Inferencer)  # compute-path-only instance
+    inf.model = model
+    inf.params = params
+    inf.acoustics = {
+        "n_fft": 64, "hop_length": 16, "win_length": 64, "sr": 16000,
+    }
+    inf.sr = 16000
+    inf.inference_config = {"bucket_seconds": 0.1}
+    inf.inference_args = {}
+    inf._jitted = {}
+    inf._model_kwargs = {}
+
+    rng = np.random.default_rng(19)
+    for length in (1000, 1313):  # same 0.1 s bucket grid -> one compile
+        wave = (0.2 * rng.standard_normal(length)).astype(np.float32)
+        got = inf.time_domain(jnp.asarray(wave)[None])
+        exact = np.asarray(model(params, jnp.asarray(wave)[None]))[0, 0]
+        assert got.shape == (length,)
+        np.testing.assert_allclose(got, exact, atol=2e-5)
+    assert "bucketed_td" in inf._jitted

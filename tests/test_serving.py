@@ -702,3 +702,40 @@ def test_serving_fullband_bucketed_export(tmp_path):
         )[0]
         assert got.shape == ref.shape == w.shape
         np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_serving_improved_time_domain_bucketed_export(tmp_path):
+    # the improved family's time_domain strategy exports in bucketed
+    # mode (model-level valid_samples): one program per bucket, exact for
+    # any length in it, batched too
+    from fullsubnet_tpu import config as config_lib
+    from fullsubnet_tpu.serving import ServingModel, export_enhancer
+
+    toml = IMPROVED_TOML.replace(
+        'norm_type = "cumulative_laplace_norm"',
+        'norm_type = "offline_laplace_norm"',
+    )
+    cfg_path = tmp_path / "cfg.toml"
+    cfg_path.write_text(toml)
+    config = load_config(cfg_path)
+    ckpt = _orbax_ckpt(tmp_path, config)
+
+    manifest = export_enhancer(
+        config, str(ckpt), tmp_path / "artifact", seconds=[0.2], batch=2
+    )
+    assert manifest["mode"] == "bucketed"
+    assert manifest["strategy"] == "time_domain"
+    served = ServingModel.load(tmp_path / "artifact")
+
+    model, _ = config_lib.build_model(config)
+    import jax as _jax
+    import jax.numpy as jnp
+
+    params = model.init(_jax.random.PRNGKey(0), weight_init=False)
+
+    waves = [_noisy(16000, 0.11, seed=41), _noisy(16000, 0.172, seed=42)]
+    outs = served.enhance_batch(waves)
+    for w, got in zip(waves, outs):
+        exact = np.asarray(model(params, jnp.asarray(w)[None]))[0, 0]
+        assert got.shape == exact.shape == w.shape
+        np.testing.assert_allclose(got, exact, atol=2e-5)
