@@ -69,12 +69,18 @@ def model_call_kwargs(model, sharding_hint=None) -> dict:
 
 def bucketed_capable(model, strategy: str) -> bool:
     """Length-bucketed enhancement is EXACT only for models implementing
-    ``valid_frames`` (FullSubNet, the fullband baseline) under
-    ``full_band_crm_mask`` with unidirectional stacks: offline norms get
-    masked statistics over the true frame count, causal norms ignore
-    zero-padded tails by construction (same gate as the trainer's
-    bucketed validation, ``train/trainer.py:_bucketing_supported``)."""
-    from fullsubnet_tpu.models import FullBandModel, FullSubNet
+    ``valid_frames`` (FullSubNet, the fullband baseline, Fast FullSubNet)
+    under ``full_band_crm_mask`` with unidirectional stacks: offline
+    norms get masked statistics over the true frame count (Fast
+    FullSubNet additionally reconstructs the downsampled clock's partial
+    tail block), causal norms ignore zero-padded tails by construction
+    (same gate as the trainer's bucketed validation,
+    ``train/trainer.py:_bucketing_supported``)."""
+    from fullsubnet_tpu.models import (
+        FastFullSubNet,
+        FullBandModel,
+        FullSubNet,
+    )
 
     if strategy != "full_band_crm_mask":
         return False
@@ -85,6 +91,8 @@ def bucketed_capable(model, strategy: str) -> bool:
         )
     if isinstance(model, FullBandModel):
         return not model.fullband_model.bidirectional
+    if isinstance(model, FastFullSubNet):
+        return True  # every stack in this family is unidirectional
     return False
 
 

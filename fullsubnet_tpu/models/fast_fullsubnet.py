@@ -118,25 +118,135 @@ class FastFullSubNet:
             out = out[..., :target_len]
         return out
 
+    # -- bucketed (valid_frames) downsampled-clock norm ------------------
+
+    def _masked_down_norm(self, bn_shrunk, bn_input, vt, s):
+        """Masked offline norm for the BOTTLENECK stage of a zero-padded,
+        length-bucketed run, exactly reproducing the unpadded run's
+        statistics.
+
+        The unpadded run downsamples ``vt`` frames into
+        ``T'_u = 1 + n_full + (r > 0)`` blocks (frame 0, full s-blocks,
+        and — when ``r = (vt-1) % s > 0`` — a PARTIAL tail block of r
+        frames) and computes one offline statistic over all of them. The
+        bucketed run's blocks 0..n_full hold identical values (they read
+        only valid frames), but its framing never produces the partial
+        tail block — so its contribution (sum / sum-of-squares over the
+        last r valid frames, averaged) is reconstructed here from
+        ``bn_input`` [B, M, unit, T] with a traced frame mask, and the
+        statistics divide by the true block count. Blocks past n_full
+        are normalized with the same statistics; they only feed the
+        causal bottleneck AFTER every needed block, so their (junk)
+        values never reach valid outputs.
+        """
+        from fullsubnet_tpu.acoustics.norm import (
+            offline_gaussian_norm,
+            offline_laplace_norm,
+        )
+
+        if self.norm not in (offline_laplace_norm, offline_gaussian_norm):
+            return self.norm(bn_shrunk)  # causal norms: exact as-is
+
+        b, m, unit, t_down = bn_shrunk.shape
+        t = bn_input.shape[-1]
+        n_rest = vt - 1                      # [b]
+        n_full = n_rest // s                 # [b]
+        r = n_rest % s                       # [b]
+        has_tail = (r > 0).astype(jnp.float32)
+        t_down_u = 1.0 + n_full.astype(jnp.float32) + has_tail  # [b]
+
+        # blocks 0..n_full match the unpadded run (never read pad frames)
+        dmask = (
+            jnp.arange(t_down)[None, :] <= n_full[:, None]
+        ).astype(jnp.float32)  # [b, T']
+        dm = dmask[:, None, None, :]
+
+        # the unpadded run's partial tail block: mean over valid frames
+        # [1 + n_full*s, vt) of the FRAME-clock units
+        tail_start = 1 + n_full * s
+        fmask = (
+            (jnp.arange(t)[None, :] >= tail_start[:, None])
+            & (jnp.arange(t)[None, :] < vt[:, None])
+        ).astype(jnp.float32)  # [b, T]
+        r_safe = jnp.maximum(r.astype(jnp.float32), 1.0)
+        tail = (
+            jnp.sum(bn_input * fmask[:, None, None, :], axis=-1)
+            / r_safe[:, None, None]
+        )  # [B, M, unit]
+        tail = tail * has_tail[:, None, None]
+
+        count = (m * unit) * t_down_u[:, None, None, None]  # [b,1,1,1]
+        total = (
+            jnp.sum(bn_shrunk * dm, axis=(1, 2, 3), keepdims=True)
+            + jnp.sum(tail, axis=(1, 2), keepdims=True)[..., None]
+        )
+        mu = total / count
+        if self.norm is offline_laplace_norm:
+            return bn_shrunk / (mu + 1e-5)
+        sumsq = (
+            jnp.sum(jnp.square(bn_shrunk) * dm, axis=(1, 2, 3), keepdims=True)
+            + jnp.sum(jnp.square(tail), axis=(1, 2), keepdims=True)[..., None]
+        )
+        var = jnp.maximum(
+            (sumsq - count * jnp.square(mu)) / (count - 1.0), 0.0
+        )
+        return (bn_shrunk - mu) / (jnp.sqrt(var) + 1e-5)
+
     # -- forward --------------------------------------------------------
 
     def __call__(
-        self, params: dict, mix_mag: jax.Array, training: bool = False
+        self,
+        params: dict,
+        mix_mag: jax.Array,
+        training: bool = False,
+        valid_frames: jax.Array | None = None,
     ) -> jax.Array:
-        """mix_mag [B, 1, F, T] -> cRM [B, 2, F, T]."""
+        """mix_mag [B, 1, F, T] -> cRM [B, 2, F, T].
+
+        ``valid_frames``: optional (traced) count of real frames in a
+        length-bucketed (zero-padded) input — a scalar or a [B] vector.
+        Offline norm statistics at BOTH clocks (mel frames and the
+        shrink-block downsampled units, incl. the unpadded run's partial
+        tail block) use the true counts, so valid outputs EXACTLY equal
+        an unpadded run; causal norms are exact under zero tails as-is.
+        The caller zeroes padded input frames and discards outputs past
+        ``valid_frames``. Same contract as ``FullSubNet.__call__``.
+        """
         assert mix_mag.ndim == 4
         x = jnp.pad(mix_mag, ((0, 0), (0, 0), (0, 0), (0, self.look_ahead)))
         batch_size, num_channels, num_freqs, num_frames = x.shape
         assert num_channels == 1, "FastFullSubNet takes a magnitude feature."
 
+        vt = None
+        frame_mask = None
+        norm = self.norm
+        if valid_frames is not None:
+            from fullsubnet_tpu.acoustics.norm import masked_offline_norm
+
+            vf = jnp.asarray(valid_frames).reshape(-1)  # [1] or [B]
+            # the model's look-ahead zero-pad counts toward the offline
+            # statistics, exactly as in an unpadded run
+            vt = vf + self.look_ahead
+            frame_mask = (
+                jnp.arange(num_frames)[None, :] < vt[:, None]
+            ).astype(x.dtype)  # [b, T]
+            valid_total = vt.astype(jnp.float32)[:, None, None, None]
+            norm = masked_offline_norm(self.norm, valid_total) or self.norm
+
         # Mel projection: [B, C, F, T] -> [B, C, F_mel, T]
         mix_mel = jnp.einsum("bcft,fm->bcmt", x, self.mel_fb)
 
         # F_l2m
-        enc = self.norm(mix_mel).reshape(batch_size, -1, num_frames)
+        enc = norm(mix_mel).reshape(batch_size, -1, num_frames)
         enc = self.encoder[0](params["encoder"][0], enc, training=training)
         enc = self.encoder[1](params["encoder"][1], enc, training=training)
         enc_output = enc.reshape(batch_size, num_channels, -1, num_frames)
+        if frame_mask is not None:
+            # pad-frame encoder outputs (LSTM bias ringing) would leak
+            # into the downsampled blocks and the bottleneck's offline
+            # statistics; valid outputs only need blocks built from
+            # valid frames
+            enc_output = enc_output * frame_mask[:, None, None, :]
 
         # Unfold noisy mel + encoder output into sub-band units
         mix_unfold = freq_unfold(mix_mel, self.noisy_input_num_neighbors).reshape(
@@ -151,7 +261,12 @@ class FastFullSubNet:
 
         # Bottleneck on time-downsampled units
         bn_shrunk = self.real_time_downsampling(bn_input)
-        bn_shrunk = self.norm(bn_shrunk)
+        if vt is not None:
+            bn_shrunk = self._masked_down_norm(
+                bn_shrunk, bn_input, vt, self.shrink_size
+            )
+        else:
+            bn_shrunk = self.norm(bn_shrunk)
         bn_shrunk = bn_shrunk.reshape(
             batch_size * self.num_mels, num_sb_unit_freqs, -1
         )

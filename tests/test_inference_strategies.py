@@ -238,3 +238,120 @@ def test_time_domain_strategy_buckets(tmp_path):
         assert got.shape == (length,)
         np.testing.assert_allclose(got, exact, atol=2e-5)
     assert "bucketed_td" in inf._jitted
+
+
+# ---------------------------------------------------------------------------
+# Bucketed full_band_crm_mask for Fast FullSubNet (valid_frames incl. the
+# downsampled bottleneck clock's partial tail block)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_fast(norm):
+    from fullsubnet_tpu.models import FastFullSubNet
+
+    model = FastFullSubNet(
+        encoder_input_size=33,
+        num_mels=8,
+        noisy_input_num_neighbors=2,
+        bottleneck_hidden_size=16,
+        norm_type=norm,
+    )
+    params = model.init(jax.random.PRNGKey(5), weight_init=False)
+    return model, params
+
+
+@pytest.mark.parametrize(
+    "norm",
+    [
+        "offline_laplace_norm",
+        "offline_gaussian_norm",
+        "cumulative_laplace_norm",
+    ],
+)
+def test_fast_valid_frames_exact(norm):
+    """Model-level: zero-padded magnitudes + valid_frames == unpadded run.
+    Lengths cover both tail cases of real_time_downsampling at the TRUE
+    frame count (vt = t + look_ahead 2, shrink 2: t=19 -> r=0, t=20 ->
+    r=1) so the reconstructed partial-tail-block statistics are hit."""
+    model, params = _tiny_fast(norm)
+    rng = np.random.default_rng(21)
+    bucket_t = 32
+    for t in (19, 20, 31):
+        mag = np.abs(rng.standard_normal((1, 1, 33, t))).astype(np.float32)
+        exact = np.asarray(model(params, jnp.asarray(mag)))
+        padded = np.zeros((1, 1, 33, bucket_t), np.float32)
+        padded[..., :t] = mag
+        out = np.asarray(
+            model(
+                params,
+                jnp.asarray(padded),
+                valid_frames=jnp.asarray(t, jnp.int32),
+            )
+        )
+        assert out.shape == (1, 2, 33, bucket_t)
+        np.testing.assert_allclose(out[..., :t], exact, atol=2e-5)
+
+
+def test_fast_valid_frames_batched_vector():
+    """[B] per-example frame counts in one padded batch: each row equals
+    its own unpadded run (both offline-norm clocks masked per-example)."""
+    model, params = _tiny_fast("offline_gaussian_norm")
+    rng = np.random.default_rng(22)
+    lengths = [19, 26]
+    bucket_t = 32
+    padded = np.zeros((2, 1, 33, bucket_t), np.float32)
+    mags = []
+    for i, t in enumerate(lengths):
+        m = np.abs(rng.standard_normal((1, 33, t))).astype(np.float32)
+        mags.append(m)
+        padded[i, ..., :t] = m
+    out = np.asarray(
+        model(
+            params,
+            jnp.asarray(padded),
+            valid_frames=jnp.asarray(lengths, jnp.int32),
+        )
+    )
+    for i, t in enumerate(lengths):
+        exact = np.asarray(model(params, jnp.asarray(mags[i])[None]))
+        np.testing.assert_allclose(out[i : i + 1, ..., :t], exact, atol=2e-5)
+
+
+def test_fast_bucketed_enhance_fn_exact():
+    """build_bucketed_enhance_fn routes Fast FullSubNet (bucketed_capable)
+    and its wave output over the true samples equals the direct
+    (unpadded) full_band_crm_mask program."""
+    from fullsubnet_tpu.infer.inferencer import (
+        Inferencer,
+        bucketed_capable,
+        build_bucketed_enhance_fn,
+    )
+
+    model, params = _tiny_fast("offline_laplace_norm")
+    assert bucketed_capable(model, "full_band_crm_mask")
+    assert not bucketed_capable(model, "mag")
+
+    acoustics = {"n_fft": 64, "hop_length": 16, "win_length": 64, "sr": 16000}
+    bucketed = jax.jit(build_bucketed_enhance_fn(model, acoustics))
+
+    inf = Inferencer.__new__(Inferencer)  # compute-path-only instance
+    inf.model = model
+    inf.params = params
+    inf.acoustics = acoustics
+    inf._model_kwargs = {}
+
+    rng = np.random.default_rng(23)
+    for length in (1000, 1313):
+        wave = (0.2 * rng.standard_normal(length)).astype(np.float32)
+        exact = np.asarray(
+            inf._full_band_crm_mask_fn(params, jnp.asarray(wave)[None])
+        )[0]
+        bucket = 1600
+        padded = np.zeros((1, bucket), np.float32)
+        padded[0, :length] = wave
+        got = np.asarray(
+            bucketed(
+                params, jnp.asarray(padded), jnp.asarray(length, jnp.int32)
+            )
+        )[0]
+        np.testing.assert_allclose(got[:length], exact[:length], atol=2e-5)
