@@ -739,3 +739,62 @@ def test_serving_improved_time_domain_bucketed_export(tmp_path):
         exact = np.asarray(model(params, jnp.asarray(w)[None]))[0, 0]
         assert got.shape == exact.shape == w.shape
         np.testing.assert_allclose(got, exact, atol=2e-5)
+
+
+FAST_TOML = """
+[acoustics]
+n_fft = 320
+win_length = 320
+sr = 16000
+hop_length = 160
+
+[inferencer]
+path = "inferencer.Inferencer"
+type = "full_band_crm_mask"
+
+[model]
+path = "fast_fullsubnet.model.Model"
+[model.args]
+encoder_input_size = 161
+num_mels = 16
+noisy_input_num_neighbors = 2
+encoder_output_num_neighbors = 0
+bottleneck_hidden_size = 16
+bottleneck_num_layers = 2
+look_ahead = 2
+shrink_size = 2
+sequence_model = "LSTM"
+norm_type = "offline_laplace_norm"
+"""
+
+
+def test_serving_fast_bucketed_export(tmp_path):
+    # Fast FullSubNet now implements valid_frames (incl. the downsampled
+    # bottleneck clock's partial-tail-block statistics), so its
+    # full_band_crm_mask recipe exports in bucketed mode too: one
+    # program per bucket, exact for any length in it
+    from fullsubnet_tpu.infer.inferencer import Inferencer
+    from fullsubnet_tpu.serving import ServingModel, export_enhancer
+
+    cfg_path = tmp_path / "cfg.toml"
+    cfg_path.write_text(FAST_TOML)
+    config = load_config(cfg_path)
+    ckpt = _orbax_ckpt(tmp_path, config)
+
+    manifest = export_enhancer(
+        config, str(ckpt), tmp_path / "artifact", seconds=[1.0]
+    )
+    assert manifest["mode"] == "bucketed"
+    served = ServingModel.load(tmp_path / "artifact")
+
+    cfg2 = dict(config)
+    cfg2.pop("dataset", None)
+    inf = Inferencer(cfg2, str(ckpt), output_dir=None)
+    for seconds, seed in ((0.61, 51), (0.37, 52)):
+        wav = _noisy(16000, seconds, seed)
+        got = served.enhance(wav)
+        want = np.asarray(
+            inf._jit_for("full_band_crm_mask")(inf.params, wav[None])
+        )[0]
+        assert got.shape == want.shape == wav.shape
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)

@@ -415,3 +415,53 @@ def test_bucketed_enhancement_exact_fullband(full_setup, norm):
         assert enhanced_b.shape == enhanced_u.shape == (length,)
         np.testing.assert_allclose(enhanced_b, enhanced_u, atol=2e-5)
         np.testing.assert_allclose(loss_b, float(loss_u), rtol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "norm", ["offline_laplace_norm", "cumulative_laplace_norm"]
+)
+def test_bucketed_enhancement_exact_fast(full_setup, norm):
+    """Fast FullSubNet buckets validation too (valid_frames at both the
+    mel-frame clock and the downsampled bottleneck clock): bucketed ==
+    unpadded, offline and causal norms, ragged lengths covering both
+    real_time_downsampling tail cases."""
+    from fullsubnet_tpu.config import load_config
+    from fullsubnet_tpu.train.trainer import Trainer
+
+    cfg_path, tmp_path = full_setup
+    cfg = load_config(cfg_path)
+    cfg["model"]["path"] = "fast_fullsubnet.model.Model"
+    cfg["model"]["args"] = {
+        "encoder_input_size": 161,
+        "num_mels": 16,
+        "noisy_input_num_neighbors": 2,
+        "encoder_output_num_neighbors": 0,
+        "bottleneck_hidden_size": 16,
+        "bottleneck_num_layers": 2,
+        "look_ahead": 2,
+        "shrink_size": 2,
+        "sequence_model": "LSTM",
+        "norm_type": norm,
+    }
+    trainer = Trainer(cfg, experiment_name=f"bucket_fast_{norm}")
+    assert trainer._bucketing_supported()
+
+    rng = np.random.default_rng(14)
+    for length in (16000, 15373):  # exact-bucket and ragged
+        noisy = (0.1 * rng.standard_normal(length)).astype(np.float32)
+        clean = (0.1 * rng.standard_normal(length)).astype(np.float32)
+
+        enhanced_b, loss_b = trainer._enhance_utterance(noisy, clean)
+
+        fn = trainer._build_enhance_fn()
+        import jax.numpy as jnp
+
+        enhanced_u, loss_u = fn(
+            trainer.state["params"], jnp.asarray(noisy)[None],
+            jnp.asarray(clean)[None],
+        )
+        enhanced_u = np.asarray(enhanced_u[0])
+
+        assert enhanced_b.shape == enhanced_u.shape == (length,)
+        np.testing.assert_allclose(enhanced_b, enhanced_u, atol=2e-5)
+        np.testing.assert_allclose(loss_b, float(loss_u), rtol=1e-4)
