@@ -150,6 +150,28 @@ def norm_wrapper(norm_type: str):
         ) from None
 
 
+def laplace_norm_from_stats(v, total, count):
+    """Offline laplace normalization of ``v`` given externally computed
+    masked statistics (``total`` = sum over real elements, ``count`` =
+    their number, both broadcastable to ``v``). The single copy of the
+    formula for every ``valid_frames`` path — incl. callers whose sums
+    need correction terms a plain masked sum can't express (Fast
+    FullSubNet's reconstructed partial tail block)."""
+    mu = total / count
+    return v / (mu + 1e-5)
+
+
+def gaussian_norm_from_stats(v, total, sumsq, count):
+    """Offline gaussian normalization from masked first/second moments:
+    UNBIASED variance (torch.std ddof=1) in the count-based form (only
+    the real elements' ``(0 - mu)^2`` terms enter). The clamp guards the
+    f32 catastrophic-cancellation NaN for near-constant inputs — keep
+    every bucketed path on this one copy."""
+    mu = total / count
+    var = jnp.maximum((sumsq - count * jnp.square(mu)) / (count - 1.0), 0.0)
+    return (v - mu) / (jnp.sqrt(var) + 1e-5)
+
+
 def masked_offline_norm(norm_fn, valid_total):
     """Masked (true-count) variant of an offline norm for zero-padded,
     length-bucketed inputs — the statistics are computed over the REAL
@@ -171,32 +193,21 @@ def masked_offline_norm(norm_fn, valid_total):
             # padded frames are zero, so plain sums ARE the masked sums;
             # only the divisor must be the true count
             count = np.prod([int(s) for s in v.shape[1:-1]]) * valid_total
-            mu = (
-                jnp.sum(v, axis=tuple(range(1, v.ndim)), keepdims=True)
-                / count
-            )
-            return v / (mu + 1e-5)
+            total = jnp.sum(v, axis=tuple(range(1, v.ndim)), keepdims=True)
+            return laplace_norm_from_stats(v, total, count)
 
         return masked
 
     if norm_fn is offline_gaussian_norm:
 
         def masked(v):
-            # masked mean + masked UNBIASED std (torch.std ddof=1):
             # padded inputs are already zero, so plain sums give the
-            # masked first/second moments; only the (0 - mu)^2 terms of
-            # pad frames must be excluded, hence the count-based
-            # variance form
+            # masked first/second moments
             count = np.prod([int(s) for s in v.shape[1:-1]]) * valid_total
             axes = tuple(range(1, v.ndim))
-            mu = jnp.sum(v, axis=axes, keepdims=True) / count
+            total = jnp.sum(v, axis=axes, keepdims=True)
             sumsq = jnp.sum(jnp.square(v), axis=axes, keepdims=True)
-            # cancellation can push the f32 difference slightly negative
-            # for near-constant inputs -> NaN sqrt
-            var = jnp.maximum(
-                (sumsq - count * jnp.square(mu)) / (count - 1.0), 0.0
-            )
-            return (v - mu) / (jnp.sqrt(var) + 1e-5)
+            return gaussian_norm_from_stats(v, total, sumsq, count)
 
         return masked
 

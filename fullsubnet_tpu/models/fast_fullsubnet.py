@@ -140,6 +140,8 @@ class FastFullSubNet:
         values never reach valid outputs.
         """
         from fullsubnet_tpu.acoustics.norm import (
+            gaussian_norm_from_stats,
+            laplace_norm_from_stats,
             offline_gaussian_norm,
             offline_laplace_norm,
         )
@@ -180,17 +182,13 @@ class FastFullSubNet:
             jnp.sum(bn_shrunk * dm, axis=(1, 2, 3), keepdims=True)
             + jnp.sum(tail, axis=(1, 2), keepdims=True)[..., None]
         )
-        mu = total / count
         if self.norm is offline_laplace_norm:
-            return bn_shrunk / (mu + 1e-5)
+            return laplace_norm_from_stats(bn_shrunk, total, count)
         sumsq = (
             jnp.sum(jnp.square(bn_shrunk) * dm, axis=(1, 2, 3), keepdims=True)
             + jnp.sum(jnp.square(tail), axis=(1, 2), keepdims=True)[..., None]
         )
-        var = jnp.maximum(
-            (sumsq - count * jnp.square(mu)) / (count - 1.0), 0.0
-        )
-        return (bn_shrunk - mu) / (jnp.sqrt(var) + 1e-5)
+        return gaussian_norm_from_stats(bn_shrunk, total, sumsq, count)
 
     # -- forward --------------------------------------------------------
 
