@@ -182,8 +182,8 @@ def masked_offline_norm(norm_fn, valid_total):
     leave the valid frames untouched and the norm is exact as-is.
 
     Shared by every model family's ``valid_frames`` path
-    (models/fullsubnet.py, models/fullband.py) — one copy of the masked
-    statistics, one set of tests.
+    (models/fullsubnet.py, models/fullband.py, models/fast_fullsubnet.py)
+    — one copy of the masked statistics, one set of tests.
     """
     import numpy as np
 
