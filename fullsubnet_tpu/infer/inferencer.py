@@ -462,16 +462,26 @@ class Inferencer:
         bucket and padded into [batch_size, bucket] device calls with a
         per-example true-length vector (exact under padding). On an
         accelerator this is the throughput path — a single utterance
-        leaves the chip almost idle."""
+        leaves the chip almost idle. Covers ``full_band_crm_mask`` and
+        the wave-to-wave ``time_domain`` strategy (the model masks its
+        norms/iSTFT at each example's true length)."""
         from tqdm import tqdm
 
         step = int(self.bucket_seconds * self.sr)
         n_fft = self.acoustics["n_fft"]
-        if "bucketed" not in self._jitted:
-            self._jitted["bucketed"] = jax.jit(
-                build_bucketed_enhance_fn(self.model, self.acoustics)
-            )
-        fn = self._jitted["bucketed"]
+        if self.strategy == "time_domain":
+            if "bucketed_td_batched" not in self._jitted:
+                model = self.model
+                self._jitted["bucketed_td_batched"] = jax.jit(
+                    lambda p, w, L: model(p, w, valid_samples=L)[:, 0]
+                )
+            fn = self._jitted["bucketed_td_batched"]
+        else:
+            if "bucketed" not in self._jitted:
+                self._jitted["bucketed"] = jax.jit(
+                    build_bucketed_enhance_fn(self.model, self.acoustics)
+                )
+            fn = self._jitted["bucketed"]
 
         def flush(bucket, items):
             padded, lengths = pad_bucket_batch(
@@ -492,10 +502,11 @@ class Inferencer:
                 noisy = noisy[0]
             if len(noisy) <= n_fft // 2:  # degenerate: exact path
                 enhanced = np.asarray(
-                    self._jit_for("full_band_crm_mask")(
+                    self._jit_for(self.strategy)(
                         self.params, jnp.asarray(noisy[None])
                     )
                 )[0]
+                enhanced = enhanced[0] if enhanced.ndim > 1 else enhanced
                 self._write_outputs(enhanced, noisy, name)
                 continue
             bucket = -(-(len(noisy) + n_fft) // step) * step
@@ -525,7 +536,13 @@ class Inferencer:
         if (
             batch_size > 1
             and self.bucket_seconds > 0
-            and bucketed_capable(self.model, self.strategy)
+            and (
+                bucketed_capable(self.model, self.strategy)
+                or (
+                    self.strategy == "time_domain"
+                    and time_domain_bucketed_capable(self.model)
+                )
+            )
         ):
             return self._call_batched(batch_size)
         for i in tqdm(range(len(self.dataset)), desc="Inference"):

@@ -798,3 +798,51 @@ def test_serving_fast_bucketed_export(tmp_path):
         )[0]
         assert got.shape == want.shape == wav.shape
         np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_batched_inference_cli_time_domain_matches_serial(tmp_path):
+    # [inferencer] batch_size > 1 with the time_domain strategy routes
+    # the Improved family through batched bucketed device calls
+    # (per-example valid_samples); written outputs must equal the
+    # serial per-utterance run
+    from fullsubnet_tpu.data.wavio import read_wav, write_wav
+    from fullsubnet_tpu.infer.inferencer import Inferencer
+
+    noisy_dir = tmp_path / "noisy"
+    noisy_dir.mkdir()
+    for i, seconds in enumerate((0.07, 0.055, 0.09, 0.13, 0.08)):
+        write_wav(
+            noisy_dir / f"utt{i}.wav", _noisy(16000, seconds, seed=i), 16000
+        )
+
+    dataset = f"""
+[dataset]
+path = "dataset_inference.Dataset"
+[dataset.args]
+dataset_dir_list = ["{noisy_dir}"]
+sr = 16000
+"""
+    cfg_path = tmp_path / "cfg.toml"
+    cfg_path.write_text(
+        IMPROVED_TOML + dataset
+    )
+    config = load_config(cfg_path)
+    config["inferencer"]["bucket_seconds"] = 0.05
+    ckpt = _orbax_ckpt(tmp_path, config)
+
+    serial = Inferencer(config, str(ckpt), str(tmp_path / "out_serial"))
+    serial_dir = serial()
+
+    config_b = load_config(cfg_path)
+    config_b["inferencer"]["bucket_seconds"] = 0.05
+    config_b["inferencer"]["batch_size"] = 2
+    batched = Inferencer(config_b, str(ckpt), str(tmp_path / "out_batched"))
+    assert "bucketed_td_batched" not in batched._jitted
+    batched_dir = batched()
+    assert "bucketed_td_batched" in batched._jitted
+
+    for i in range(5):
+        a, _ = read_wav(serial_dir / f"utt{i}.wav")
+        b, _ = read_wav(batched_dir / f"utt{i}.wav")
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-4)  # int16 floor + 2e-5
