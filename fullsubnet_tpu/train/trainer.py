@@ -510,9 +510,21 @@ class Trainer:
         count), the causal norms (cumulative/forgetting) are unaffected
         by zero-padded tails by construction. Requires unidirectional
         stacks — a bidirectional RNN would leak pad frames backward.
-        One gate shared with the Inferencer/serving bucketed paths."""
-        from fullsubnet_tpu.infer.inferencer import bucketed_capable
+        One gate shared with the Inferencer/serving bucketed paths.
 
+        Wave-to-wave models bucket through ``valid_samples`` instead,
+        when the validation loss has an exact masked form."""
+        from fullsubnet_tpu.infer.inferencer import (
+            bucketed_capable,
+            time_domain_bucketed_capable,
+        )
+        from fullsubnet_tpu.train.loss import MASKED_WAVEFORM_LOSSES
+
+        if self._is_waveform_model():
+            return (
+                time_domain_bucketed_capable(self.model)
+                and self.loss_function in MASKED_WAVEFORM_LOSSES
+            )
         return bucketed_capable(self.model, "full_band_crm_mask")
 
     def _build_bucketed_enhance_fn(self):
@@ -529,18 +541,42 @@ class Trainer:
           (``valid_frames``),
         * the masked iSTFT excludes padded frames from both signal and
           envelope, and the masked-MSE loss rescales to the true count.
+
+        Wave-to-wave models (Improved FullSubNet) instead pass the true
+        sample count straight to the model (``valid_samples`` re-creates
+        the tail reflection and masks the internal norms/iSTFT) and the
+        waveform loss takes its exact masked form
+        (``loss.masked_waveform_loss``).
         """
         from fullsubnet_tpu.acoustics.stft import (
             insert_tail_reflection,
             traced_num_frames,
         )
         from fullsubnet_tpu.infer.inferencer import model_call_kwargs
+        from fullsubnet_tpu.train.loss import masked_waveform_loss
 
         bucket_kwargs = model_call_kwargs(self.model)
         a = self.acoustics
         model = self.model
         loss_fn_inner = self.loss_function
         n_fft, hop, win = a["n_fft"], a["hop_length"], a["win_length"]
+
+        if self._is_waveform_model():
+
+            def fn_td(params, noisy_j, clean_j, true_len):
+                smask = (
+                    jnp.arange(noisy_j.shape[-1]) < true_len
+                ).astype(jnp.float32)
+                enhanced = (
+                    model(params, noisy_j, valid_samples=true_len)[:, 0]
+                    * smask
+                )
+                loss = masked_waveform_loss(
+                    loss_fn_inner, enhanced, clean_j, smask, true_len
+                )
+                return enhanced, loss
+
+            return jax.jit(fn_td)
 
         def reflect(y, true_len):  # y: [1, bucket]
             return insert_tail_reflection(y[0], true_len, n_fft)[None]

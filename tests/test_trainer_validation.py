@@ -465,3 +465,87 @@ def test_bucketed_enhancement_exact_fast(full_setup, norm):
         assert enhanced_b.shape == enhanced_u.shape == (length,)
         np.testing.assert_allclose(enhanced_b, enhanced_u, atol=2e-5)
         np.testing.assert_allclose(loss_b, float(loss_u), rtol=1e-4)
+
+
+@pytest.mark.parametrize("loss_name", ["mse_loss", "si_snr_loss"])
+def test_bucketed_enhancement_exact_improved(full_setup, loss_name):
+    """The wave-to-wave Improved family buckets validation through
+    valid_samples + the exact masked waveform loss: bucketed ==
+    unpadded for mean-based AND si_snr losses, ragged lengths."""
+    from fullsubnet_tpu.config import load_config
+    from fullsubnet_tpu.train.trainer import Trainer
+
+    cfg_path, tmp_path = full_setup
+    cfg = load_config(cfg_path)
+    cfg["loss_function"]["name"] = loss_name
+    cfg["model"]["path"] = "improved_fullsubnet.model.Model"
+    cfg["model"]["args"] = {
+        "n_fft": 64,
+        "hop_length": 16,
+        "win_length": 64,
+        "num_freqs": 33,
+        "freq_cutoffs": [8, 16],
+        "sb_num_center_freqs": [1, 2, 4],
+        "sb_num_neighbor_freqs": [3, 3, 3],
+        "fb_num_center_freqs": [1, 2, 4],
+        "fb_num_neighbor_freqs": [3, 3, 3],
+        "fb_hidden_size": 16,
+        "sb_hidden_size": 12,
+        "norm_type": "offline_laplace_norm",
+    }
+    trainer = Trainer(cfg, experiment_name=f"bucket_imp_{loss_name}")
+    assert trainer._bucketing_supported()
+
+    rng = np.random.default_rng(15)
+    for length in (16000, 15373):  # exact-bucket and ragged
+        noisy = (0.1 * rng.standard_normal(length)).astype(np.float32)
+        clean = (0.1 * rng.standard_normal(length)).astype(np.float32)
+
+        enhanced_b, loss_b = trainer._enhance_utterance(noisy, clean)
+
+        fn = trainer._build_enhance_fn()
+        import jax.numpy as jnp
+
+        enhanced_u, loss_u = fn(
+            trainer.state["params"], jnp.asarray(noisy)[None],
+            jnp.asarray(clean)[None],
+        )
+        enhanced_u = np.asarray(enhanced_u[0])
+
+        assert enhanced_b.shape == enhanced_u.shape == (length,)
+        np.testing.assert_allclose(enhanced_b, enhanced_u, atol=2e-5)
+        np.testing.assert_allclose(loss_b, float(loss_u), rtol=1e-4)
+
+
+def test_masked_waveform_loss_exact():
+    """masked_waveform_loss == the plain loss on the unpadded signal,
+    for every loss with a masked form; unsupported losses return None."""
+    import jax.numpy as jnp
+
+    from fullsubnet_tpu.train.loss import (
+        l1_loss,
+        masked_waveform_loss,
+        mse_loss,
+        si_snr_loss,
+    )
+
+    rng = np.random.default_rng(16)
+    length, bucket = 777, 1024
+    p = (0.3 * rng.standard_normal(length)).astype(np.float32)
+    t = (0.3 * rng.standard_normal(length)).astype(np.float32)
+    pp = np.zeros((1, bucket), np.float32); pp[0, :length] = p
+    tp = np.zeros((1, bucket), np.float32); tp[0, :length] = t
+    mask = (np.arange(bucket) < length).astype(np.float32)[None]
+    for fn in (mse_loss, l1_loss, si_snr_loss):
+        want = float(fn(jnp.asarray(p)[None], jnp.asarray(t)[None]))
+        got = float(
+            masked_waveform_loss(
+                fn, jnp.asarray(pp), jnp.asarray(tp), jnp.asarray(mask),
+                length,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+    assert masked_waveform_loss(
+        lambda a, b: 0.0, jnp.asarray(pp), jnp.asarray(tp),
+        jnp.asarray(mask), length,
+    ) is None
