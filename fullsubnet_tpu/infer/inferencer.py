@@ -33,6 +33,7 @@ from fullsubnet_tpu.acoustics.mask import decompress_cIRM
 from fullsubnet_tpu.acoustics.stft import istft, stft_complex
 from fullsubnet_tpu.checkpoint import CONVERTERS, load_torch_state_dict
 from fullsubnet_tpu.data.wavio import write_wav
+from fullsubnet_tpu.infer.host import pad_bucket_batch  # noqa: F401  (re-exported)
 from fullsubnet_tpu.utils import prepare_empty_dir
 
 
@@ -107,21 +108,6 @@ def time_domain_bucketed_capable(model) -> bool:
     import inspect
 
     return "valid_samples" in inspect.signature(model.__call__).parameters
-
-
-def pad_bucket_batch(waves, batch_size: int, bucket: int):
-    """Stack 1-D float32 waves into ([batch_size, bucket] padded array,
-    [batch_size] int32 true lengths). Filler rows (when fewer waves than
-    ``batch_size``) reuse the first wave's length so the traced
-    tail-reflection indices stay in range — their outputs are discarded.
-    Shared by the Inferencer's batched CLI path and
-    ``ServingModel.enhance_batch``."""
-    padded = np.zeros((batch_size, bucket), np.float32)
-    lengths = np.full(batch_size, len(waves[0]), np.int32)
-    for i, w in enumerate(waves):
-        padded[i, : len(w)] = w
-        lengths[i] = len(w)
-    return padded, lengths
 
 
 def build_bucketed_enhance_fn(model, acoustics: dict, sharding_hint=None):

@@ -45,14 +45,16 @@ import pathlib
 import jax
 import numpy as np
 
-from fullsubnet_tpu import config as config_lib
-from fullsubnet_tpu.infer.inferencer import (
-    Inferencer,
-    bucketed_capable,
-    build_bucketed_enhance_fn,
-    time_domain_bucketed_capable,
+# leaf imports ONLY: loading + serving an artifact must work without the
+# model source code, so this module must not (transitively) import the
+# model/engine stack at import time — the export entry points import
+# Inferencer/engines lazily (verified by tools/onchip_verify.py's
+# no-model-code subprocess check).
+from fullsubnet_tpu.infer.host import (
+    MultiStreamHost,
+    StreamingWaveHost,
+    pad_bucket_batch,
 )
-from fullsubnet_tpu.infer.streaming import MultiStreamHost, StreamingWaveHost
 
 _MANIFEST = "manifest.json"
 _PARAMS_DIR = "params"
@@ -102,6 +104,8 @@ def _prepare_out_dir(out_dir, overwrite: bool) -> pathlib.Path:
 def _build_inferencer(config: dict, checkpoint_path: str):
     """Inferencer (model+params+acoustics only — datasets dropped) plus
     the export-ready normalized host params tree."""
+    from fullsubnet_tpu.infer.inferencer import Inferencer
+
     cfg = dict(config)
     cfg.pop("dataset", None)
     cfg.pop("inference_dataset", None)
@@ -168,6 +172,12 @@ def export_enhancer(
     the accelerator throughput shape; ``ServingModel.enhance_batch``
     drives it.
     """
+    from fullsubnet_tpu.infer.inferencer import (
+        bucketed_capable,
+        build_bucketed_enhance_fn,
+        time_domain_bucketed_capable,
+    )
+
     out = _prepare_out_dir(out_dir, overwrite)
     inf, params = _build_inferencer(config, checkpoint_path)
     a = inf.acoustics
@@ -413,8 +423,6 @@ class ServingModel:
         groups: dict[int, list[int]] = {}
         for i, w in enumerate(waves):
             groups.setdefault(self._pick_bucket(len(w)), []).append(i)
-        from fullsubnet_tpu.infer.inferencer import pad_bucket_batch
-
         for bucket, idxs in groups.items():
             for c in range(0, len(idxs), self.batch):
                 chunk = idxs[c : c + self.batch]
@@ -567,8 +575,10 @@ def main(argv=None):
         parser.error("--streams requires --streaming (the concurrent "
                      "host is a real-time streaming export)")
 
-    config = config_lib.load_config(args.configuration)
+    from fullsubnet_tpu.config import load_config
     from fullsubnet_tpu.utils import enable_compilation_cache
+
+    config = load_config(args.configuration)
 
     enable_compilation_cache(
         config.get("meta", {}).get("compilation_cache_dir")
