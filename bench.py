@@ -493,6 +493,104 @@ def bench_serving(args):
         )
 
 
+def bench_rtf(args):
+    """Offline enhancement real-time factor (the original default mode)."""
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    fn, params = build_pipeline(args.model, dtype)
+    jfn = jax.jit(fn)
+
+    num_samples = int(args.sr * args.seconds)
+    rng = np.random.default_rng(0)
+    noisy = jnp.asarray(
+        rng.standard_normal((args.batch, num_samples)).astype(np.float32) * 0.1
+    )
+
+    # force a scalar host read each iteration: on tunneled/async backends
+    # block_until_ready alone can return before the remote computation
+    # actually finishes, which inflates RTF by orders of magnitude
+    def run_sync():
+        return float(jnp.sum(jfn(params, noisy)))
+
+    for _ in range(args.warmup):
+        run_sync()
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        run_sync()
+        times.append(time.perf_counter() - t0)
+    sec_per_iter = float(np.median(times))
+    audio_sec = args.batch * args.seconds
+    rtf = audio_sec / sec_per_iter
+
+    print(
+        json.dumps(
+            {
+                "metric": f"rtf_{args.model}_{args.sr // 1000}khz_{args.dtype}",
+                "value": round(rtf, 2),
+                "unit": "audio_sec_per_sec_per_chip",
+                "vs_baseline": round(rtf / 500.0, 4),
+            }
+        )
+    )
+
+
+# the full-suite items (default mode): everything docs/perf.md claims,
+# emitted as one JSON line each so the round artifact captures the lot.
+# (mode, overrides) — flagship RTF first (the headline metric).
+_SUITE = [
+    ("rtf", dict(model="fullsubnet")),
+    ("rtf", dict(model="fast_fullsubnet")),
+    ("rtf", dict(model="fullband_baseline")),
+    ("rtf", dict(model="improved_fullsubnet")),
+    ("rtf", dict(model="improved_fullsubnet_48k", sr=48000, batch=32,
+                 seconds=10.0)),
+    ("train", dict(model="fullsubnet", batch=128)),
+    ("train", dict(model="fast_fullsubnet", batch=64)),
+    ("train", dict(model="fullband_baseline", batch=100)),
+    ("train", dict(model="improved_fullsubnet", batch=64)),
+    ("streaming", dict(model="fullsubnet", streams=16)),
+    ("serving", dict(model="fullsubnet", batch=32, seconds=8.0)),
+    ("data", dict(batch=32, data_workers=0, iters=2)),
+]
+
+_MODE_FNS = {
+    "rtf": bench_rtf,
+    "train": bench_train,
+    "streaming": bench_streaming,
+    "serving": bench_serving,
+    "data": bench_data,
+}
+
+
+def run_suite(args):
+    """Run every suite item; a failing item prints an error JSON line
+    (after the transient-retry policy) instead of killing the rest, so
+    the round artifact always captures whatever the backend could do."""
+    import copy
+
+    for mode, overrides in _SUITE:
+        item = copy.copy(args)
+        item.iters = min(args.iters, 5)
+        for k, v in overrides.items():
+            setattr(item, k, v)
+        try:
+            if mode == "data":  # host-only: no tunnel in the loop
+                _MODE_FNS[mode](item)
+            else:
+                _run_with_retry(lambda: _MODE_FNS[mode](item))
+        except Exception as e:  # noqa: BLE001 - suite must keep going
+            print(
+                json.dumps(
+                    {
+                        "metric": f"{mode}_{getattr(item, 'model', '')}",
+                        "error": str(e)[:300],
+                    }
+                )
+            )
+            print(f"[bench] suite item {mode}/{overrides} failed: {e}",
+                  file=sys.stderr)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=128)
@@ -500,8 +598,16 @@ def main():
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--dtype", choices=["bf16", "fp32"], default="bf16")
-    p.add_argument("--model", default="fullsubnet")
+    p.add_argument(
+        "--model", default=None,
+        help="model family; with no mode flag, omitting it runs the FULL "
+        "suite (every metric docs/perf.md claims, one JSON line each)",
+    )
     p.add_argument("--sr", type=int, default=16000)
+    p.add_argument(
+        "--suite", action="store_true",
+        help="run the full metric suite (also the default with no args)",
+    )
     p.add_argument(
         "--streaming", action="store_true",
         help="benchmark the single-frame streaming step (latency per hop)",
@@ -540,6 +646,14 @@ def main():
 
     if args.streams > 1 and not args.streaming:
         raise SystemExit("--streams is a --streaming mode option")
+    any_mode = args.streaming or args.train or args.data or args.serving
+    if args.suite or (not any_mode and args.model is None):
+        if any_mode:
+            raise SystemExit("--suite replaces the mode flags")
+        run_suite(args)
+        return
+    if args.model is None:
+        args.model = "fullsubnet"
     if args.streaming:
         _run_with_retry(lambda: bench_streaming(args))
         return
@@ -552,48 +666,7 @@ def main():
     if args.serving:
         _run_with_retry(lambda: bench_serving(args))
         return
-
-    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    fn, params = build_pipeline(args.model, dtype)
-    jfn = jax.jit(fn)
-
-    num_samples = int(args.sr * args.seconds)
-    rng = np.random.default_rng(0)
-    noisy = jnp.asarray(
-        rng.standard_normal((args.batch, num_samples)).astype(np.float32) * 0.1
-    )
-
-    # force a scalar host read each iteration: on tunneled/async backends
-    # block_until_ready alone can return before the remote computation
-    # actually finishes, which inflates RTF by orders of magnitude
-    def run_sync():
-        return float(jnp.sum(jfn(params, noisy)))
-
-    def measure():
-        for _ in range(args.warmup):
-            run_sync()
-        times = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            run_sync()
-            times.append(time.perf_counter() - t0)
-        return times
-
-    times = _run_with_retry(measure)
-    sec_per_iter = float(np.median(times))
-    audio_sec = args.batch * args.seconds
-    rtf = audio_sec / sec_per_iter
-
-    print(
-        json.dumps(
-            {
-                "metric": f"rtf_{args.model}_{args.sr // 1000}khz_{args.dtype}",
-                "value": round(rtf, 2),
-                "unit": "audio_sec_per_sec_per_chip",
-                "vs_baseline": round(rtf / 500.0, 4),
-            }
-        )
-    )
+    _run_with_retry(lambda: bench_rtf(args))
 
 
 if __name__ == "__main__":

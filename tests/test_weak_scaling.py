@@ -57,3 +57,18 @@ def test_committed_scaling_artifact_invariants():
         for r in recs:
             if r["n_devices"] > 1:
                 assert r["collectives"]["all-reduce"] > 0
+
+
+def test_multislice_check_subprocess(capsys):
+    """The hybrid ICI+DCN mesh check: compiled-program cross-slice groups
+    decompose hierarchically, and the slice layout is numerics-neutral.
+    (The body asserts its own invariants; a PASS line proves them.)"""
+    graft.multislice_check(8, 2)
+    out = capsys.readouterr().out
+    line = [l for l in out.splitlines() if l.startswith("MULTISLICE ")][-1]
+    rec = json.loads(line[len("MULTISLICE "):])
+    assert rec["mesh"] == [4, 2] and rec["num_slices"] == 2
+    assert rec["cross_slice_groups"] > 0
+    assert rec["collectives"]["all-reduce"] > 0
+    assert abs(rec["loss_multislice"] - rec["loss_single_slice"]) < 1e-5
+    assert "PASS" in rec["invariants"]
