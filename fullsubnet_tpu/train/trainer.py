@@ -797,8 +797,14 @@ class Trainer:
 
         # reference selects on the With_reverb split (fullsubnet/trainer.py:181)
         if "With_reverb" in scores:
-            return scores["With_reverb"]
-        return float(np.mean(list(scores.values()))) if scores else 0.0
+            score = scores["With_reverb"]
+        else:
+            score = float(np.mean(list(scores.values()))) if scores else 0.0
+        # the model-selection score itself (the reference only consumes it
+        # for best-checkpoint selection; logging it makes the trajectory
+        # auditable — tools/train_soak.py reads it back)
+        self._log_scalar("Validation/Score", score, epoch)
+        return score
 
     def _validation_epoch(self, epoch: int) -> float:
         """Sharded validation: process p enhances utterances p, p+P, ...;
@@ -895,6 +901,7 @@ class Trainer:
         ``latest`` checkpoint before exiting (the reference's only recovery
         is manual restart with -R; here the restart always has a fresh
         resume point)."""
+        import os
         import signal
         import sys
 
@@ -904,7 +911,22 @@ class Trainer:
             try:
                 self._save_checkpoint(epoch, is_best=False)
             finally:
-                sys.exit(143)
+                # hard exit: sys.exit raises SystemExit from whatever frame
+                # the signal interrupted, and interpreter shutdown then joins
+                # non-daemon threads — observed to deadlock forever when the
+                # signal lands mid device call (backend service threads never
+                # join). The save above is synchronous (atomic Orbax swap has
+                # committed), so skipping cleanup is safe once buffered TB
+                # events are flushed; a preempted trainer that never exits
+                # would hold the TPU past its grace window.
+                try:
+                    if self.writer is not None:
+                        self.writer.flush()
+                except Exception:
+                    pass
+                sys.stdout.flush()
+                sys.stderr.flush()
+                os._exit(143)
 
         try:
             signal.signal(signal.SIGTERM, handler)

@@ -20,47 +20,71 @@ from tests._reference_loader import load_reference_model
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _fake_released_checkpoint(tmp_path):
+def _fake_released_checkpoint(tmp_path, family="fullsubnet"):
     """A checkpoint in the release page's on-disk format
-    ({"model_state_dict": ..., ...}) with seeded random weights."""
-    ref_mod = load_reference_model("fullsubnet")
+    ({"model_state_dict": ..., ...}) with seeded random weights, for any
+    of the four families (built from the family registry's shipped
+    reference ctor kwargs)."""
+    from tools.parity_gate import FAMILIES
+
+    recipe, build, _mode = FAMILIES[family]
+    ref_kwargs, _ours, _convert = build("offline_laplace_norm")
+    ref_mod = load_reference_model(recipe)
     torch.manual_seed(7)
-    tmodel = ref_mod.Model(
-        num_freqs=257, look_ahead=2, sequence_model="LSTM",
-        fb_num_neighbors=0, sb_num_neighbors=15,
-        fb_output_activate_function="ReLU",
-        sb_output_activate_function=False,
-        fb_model_hidden_size=512, sb_model_hidden_size=384,
-        norm_type="offline_laplace_norm", num_groups_in_drop_band=2,
-        weight_init=False,
-    )
-    path = tmp_path / "fake_release.tar"
+    tmodel = ref_mod.Model(**ref_kwargs)
+    path = tmp_path / f"fake_release_{family}.tar"
     torch.save(
         {"model_state_dict": tmodel.state_dict(), "epoch": 58}, path
     )
     return path
 
 
-def test_parity_gate_machinery(tmp_path, capsys):
-    """End-to-end gate on the bundled synthetic testbed: converted
-    weights must match the reference torch model to float tolerance,
-    and the PESQ/STOI deltas must clear the BASELINE thresholds."""
+@pytest.mark.parametrize(
+    "family",
+    ["fullsubnet", "fullband_baseline", "fast_fullsubnet",
+     "improved_fullsubnet"],
+)
+def test_parity_gate_machinery(tmp_path, family):
+    """End-to-end gate on the bundled synthetic testbed, per family:
+    converted weights must match the reference torch model to float
+    tolerance, and the PESQ/STOI deltas must clear the BASELINE
+    thresholds. The real certification is then a one-liner per family
+    the moment released weights land."""
     from tools.parity_gate import main
 
-    ckpt = _fake_released_checkpoint(tmp_path)
+    ckpt = _fake_released_checkpoint(tmp_path, family)
     out = tmp_path / "verdict.json"
     rc = main([
-        "-C", str(ckpt),
+        "-C", str(ckpt), "--model", family,
         "--n-synthetic", "2", "--synthetic-seconds", "2.0",
         "-O", str(out),
     ])
     assert rc == 0
     verdict = json.loads(out.read_text())
     assert verdict["pass"]
+    assert verdict["model"] == family
     assert verdict["n_utterances"] == 2
     assert verdict["mask_max_delta"] <= 1e-3
     assert verdict["pesq_max_delta"] <= 0.01
     assert verdict["stoi_max_delta"] <= 0.001
+
+
+def test_parity_gate_cumulative_norm_variant(tmp_path):
+    """The cum-norm FullSubNet release certifies through --norm-type."""
+    from tools.parity_gate import FAMILIES, main
+
+    _recipe, build, _mode = FAMILIES["fullsubnet"]
+    ref_kwargs, _ours, _convert = build("cumulative_laplace_norm")
+    ref_mod = load_reference_model("fullsubnet")
+    torch.manual_seed(9)
+    tmodel = ref_mod.Model(**ref_kwargs)
+    ckpt = tmp_path / "fake_cum.tar"
+    torch.save({"model_state_dict": tmodel.state_dict()}, ckpt)
+    rc = main([
+        "-C", str(ckpt), "--norm-type", "cumulative_laplace_norm",
+        "--n-synthetic", "1", "--synthetic-seconds", "2.0",
+    ])
+    assert rc == 0
 
 
 def test_parity_gate_detects_mismatch(tmp_path):
@@ -103,10 +127,17 @@ def test_released_checkpoint_certification():
     mask max-delta <= 1e-3 and PESQ/STOI deltas <= 0.01/0.001 between
     this framework and the reference torch code on the same audio. Add
     FULLSUBNET_DNS_NOISY/CLEAN to run it on the DNS no_reverb testset
-    the release tables quote."""
+    the release tables quote; FULLSUBNET_RELEASED_MODEL /
+    FULLSUBNET_RELEASED_NORM select the family / norm variant (e.g. the
+    cum-norm release)."""
     from tools.parity_gate import main
 
-    argv = ["-C", os.environ["FULLSUBNET_RELEASED_CKPT"]]
+    argv = [
+        "-C", os.environ["FULLSUBNET_RELEASED_CKPT"],
+        "--model", os.environ.get("FULLSUBNET_RELEASED_MODEL", "fullsubnet"),
+        "--norm-type",
+        os.environ.get("FULLSUBNET_RELEASED_NORM", "offline_laplace_norm"),
+    ]
     noisy = os.environ.get("FULLSUBNET_DNS_NOISY")
     clean = os.environ.get("FULLSUBNET_DNS_CLEAN")
     if noisy and clean:

@@ -1,21 +1,26 @@
 """Released-checkpoint parity gate: certify this framework against the
-reference PyTorch implementation with the SAME released weights.
+reference PyTorch implementation with the SAME released weights, for any
+of the four model families.
 
-Given a released FullSubNet checkpoint (the ``.tar`` from the reference's
-release page — see /root/reference/docs/source/usage/release.md), this
+Given a released torch checkpoint (the ``.tar`` from the reference's
+release page — see /root/reference/docs/source/usage/release.md; only the
+two FullSubNet checkpoints are published, but the gate covers every
+family so fast/fullband/improved certify the moment weights exist), this
 tool loads the weights into BOTH the reference torch model (imported
 read-only from /root/reference as the oracle) and our JAX model (via the
 checkpoint converter), then certifies, per utterance:
 
-1. **Mask parity** — the predicted cRM from both models on the same
-   noisy magnitudes: ``max |ours - torch|`` must be <= ``--mask-tol``
-   (default 1e-3).
-2. **Enhancement parity** — the full ``full_band_crm_mask`` pipeline
-   (mirrors /root/reference/recipes/dns_interspeech_2020/inferencer.py:131-146:
-   cRM decompress -> complex mask multiply -> iSTFT) run through our
-   inferencer vs the torch-side math; PESQ / STOI computed on both
-   enhanced signals against clean must agree within ``--pesq-tol`` /
-   ``--stoi-tol`` (defaults 0.01 / 0.001 — the BASELINE.json gate).
+1. **Model-output parity** — the raw model outputs (cRM for the mask
+   families, enhanced waveform for Improved) on the same inputs:
+   ``max |ours - torch|`` must be <= ``--mask-tol`` (default 1e-3).
+2. **Enhancement parity** — the family's shipped inference strategy
+   (``full_band_crm_mask`` for fullsubnet/fullband/fast — mirrors
+   /root/reference/recipes/dns_interspeech_2020/inferencer.py:131-146:
+   cRM decompress -> complex mask multiply -> iSTFT; ``time_domain``
+   for improved — inferencer.py:212-215) run end to end on both sides;
+   PESQ / STOI computed on both enhanced signals against clean must
+   agree within ``--pesq-tol`` / ``--stoi-tol`` (defaults 0.01 / 0.001 —
+   the BASELINE.json gate).
 
 Inputs: either a DNS-style directory pair (``--noisy-dir``/``--clean-dir``,
 e.g. the DNS-1 no_reverb testset the release tables quote) or, with no
@@ -23,7 +28,10 @@ dirs, a bundled deterministic synthetic testbed so the gate runs the
 moment the weights land with zero extra downloads.
 
 Usage:
-    python tools/parity_gate.py -C /path/to/fullsubnet_best_model_58epochs.tar
+    python tools/parity_gate.py -C fullsubnet_best_model_58epochs.tar
+    python tools/parity_gate.py -C ckpt.tar --model fast_fullsubnet
+    python tools/parity_gate.py -C ckpt.tar --model fullsubnet \
+        --norm-type cumulative_laplace_norm     # the cum-norm release
     python tools/parity_gate.py -C ckpt.tar --noisy-dir .../no_reverb/noisy \
         --clean-dir .../no_reverb/clean --limit 150
 
@@ -43,6 +51,80 @@ import numpy as np
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
+
+
+# ---------------------------------------------------------------------------
+# family registry: reference ctor kwargs are the shipped recipe configs
+# ---------------------------------------------------------------------------
+
+def _build_fullsubnet(norm_type):
+    from fullsubnet_tpu.checkpoint import convert_fullsubnet
+    from fullsubnet_tpu.models import FullSubNet
+
+    ref_kwargs = dict(
+        num_freqs=257, look_ahead=2, sequence_model="LSTM",
+        fb_num_neighbors=0, sb_num_neighbors=15,
+        fb_output_activate_function="ReLU", sb_output_activate_function=False,
+        fb_model_hidden_size=512, sb_model_hidden_size=384,
+        norm_type=norm_type, num_groups_in_drop_band=2, weight_init=False,
+    )
+    return ref_kwargs, FullSubNet(norm_type=norm_type), convert_fullsubnet
+
+
+def _build_fullband(norm_type):
+    from fullsubnet_tpu.checkpoint import convert_fullband
+    from fullsubnet_tpu.models import FullBandModel
+
+    # recipes/dns_interspeech_2020/fullband_baseline/train.toml
+    ref_kwargs = dict(
+        num_freqs=257, hidden_size=512, sequence_model="LSTM",
+        output_activate_function=False, look_ahead=2,
+        norm_type=norm_type, weight_init=False,
+    )
+    ours = FullBandModel(
+        num_freqs=257, hidden_size=512, look_ahead=2,
+        output_activate_function=None, norm_type=norm_type,
+    )
+    return ref_kwargs, ours, convert_fullband
+
+
+def _build_fast(norm_type):
+    from fullsubnet_tpu.checkpoint import convert_fast_fullsubnet
+    from fullsubnet_tpu.models import FastFullSubNet
+
+    # recipes/dns_interspeech_2020/fast_fullsubnet/train_shrinkSize2.toml
+    ref_kwargs = dict(
+        look_ahead=2, shrink_size=2, sequence_model="LSTM",
+        encoder_input_size=257, num_mels=64, bottleneck_hidden_size=384,
+        bottleneck_num_layers=2, noisy_input_num_neighbors=5,
+        encoder_output_num_neighbors=0,
+    )
+    return ref_kwargs, FastFullSubNet(), convert_fast_fullsubnet
+
+
+def _build_improved(norm_type):
+    from fullsubnet_tpu.checkpoint import convert_improved_fullsubnet
+    from fullsubnet_tpu.models import ImprovedFullSubNet
+
+    # 16 kHz defaults (recipes/dns_interspeech_2020/improved_fullsubnet/
+    # train_16k.toml); the reference model.py ships the same defaults
+    ref_kwargs = dict()
+    ours = ImprovedFullSubNet()
+
+    def convert(state, dtype=None):
+        kw = {} if dtype is None else {"dtype": dtype}
+        return convert_improved_fullsubnet(state, num_sections=3, **kw)
+
+    return ref_kwargs, ours, convert
+
+
+FAMILIES = {
+    # name -> (reference recipe dir, builder, mode)
+    "fullsubnet": ("fullsubnet", _build_fullsubnet, "mask"),
+    "fullband_baseline": ("fullband_baseline", _build_fullband, "mask"),
+    "fast_fullsubnet": ("fast_fullsubnet", _build_fast, "mask"),
+    "improved_fullsubnet": ("improved_fullsubnet", _build_improved, "wave"),
+}
 
 
 def _synthetic_pairs(n=4, sr=16000, seconds=4.0, seed=20260817):
@@ -103,35 +185,22 @@ def _dir_pairs(noisy_dir, clean_dir, limit):
     return pairs
 
 
-def _load_torch_reference(state_dict):
-    """Reference torch FullSubNet (flagship recipe config) with the
-    released weights — imported read-only from /root/reference."""
+def _load_torch_reference(recipe: str, ref_kwargs: dict, state_dict):
+    """The reference torch model with the released weights — imported
+    read-only from /root/reference."""
     import torch
 
     from tests._reference_loader import load_reference_model
 
-    ref_mod = load_reference_model("fullsubnet")
-    tmodel = ref_mod.Model(
-        num_freqs=257,
-        look_ahead=2,
-        sequence_model="LSTM",
-        fb_num_neighbors=0,
-        sb_num_neighbors=15,
-        fb_output_activate_function="ReLU",
-        sb_output_activate_function=False,
-        fb_model_hidden_size=512,
-        sb_model_hidden_size=384,
-        norm_type="offline_laplace_norm",
-        num_groups_in_drop_band=2,
-        weight_init=False,
-    )
+    ref_mod = load_reference_model(recipe)
+    tmodel = ref_mod.Model(**ref_kwargs)
     tmodel.load_state_dict(
         {k: torch.as_tensor(v) for k, v in state_dict.items()}
     )
     return tmodel.eval()
 
 
-def _torch_enhance(tmodel, noisy, n_fft=512, hop=256, win=512):
+def _torch_enhance_mask(tmodel, noisy, n_fft=512, hop=256, win=512):
     """Reference full_band_crm_mask pipeline in torch
     (inferencer.py:131-146)."""
     import torch
@@ -159,10 +228,51 @@ def _torch_enhance(tmodel, noisy, n_fft=512, hop=256, win=512):
     return raw.squeeze(0).numpy(), enhanced.squeeze(0).numpy()
 
 
+def _torch_enhance_wave(tmodel, noisy):
+    """Reference time_domain strategy (inferencer.py:212-215)."""
+    import torch
+
+    with torch.no_grad():
+        enhanced = tmodel(torch.from_numpy(noisy)[None])
+    out = enhanced.squeeze().numpy()
+    return out, out
+
+
+def _ours_enhance_mask(model, params, noisy):
+    import jax.numpy as jnp
+
+    from fullsubnet_tpu.acoustics.mask import decompress_cIRM
+    from fullsubnet_tpu.acoustics.stft import istft, stft_complex
+
+    spec = stft_complex(jnp.asarray(noisy)[None], 512, 256, 512)
+    mag = jnp.abs(spec)[:, None]
+    crm = model(params, mag)  # [1, 2, F, T]
+    crm = jnp.transpose(crm, (0, 2, 3, 1))
+    crm_d = decompress_cIRM(crm)
+    er = crm_d[..., 0] * spec.real - crm_d[..., 1] * spec.imag
+    ei = crm_d[..., 1] * spec.real + crm_d[..., 0] * spec.imag
+    enhanced = np.asarray(
+        istft(er + 1j * ei, 512, 256, 512, length=len(noisy))
+    )[0]
+    return np.asarray(crm[0]), enhanced
+
+
+def _ours_enhance_wave(model, params, noisy):
+    import jax.numpy as jnp
+
+    out = np.asarray(model(params, jnp.asarray(noisy)[None])).squeeze()
+    return out, out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("-C", "--checkpoint", required=True,
                     help="released torch checkpoint .tar")
+    ap.add_argument("--model", default="fullsubnet", choices=sorted(FAMILIES),
+                    help="model family to certify")
+    ap.add_argument("--norm-type", default="offline_laplace_norm",
+                    help="norm variant (cumulative_laplace_norm for the "
+                    "cum-norm FullSubNet release)")
     ap.add_argument("--noisy-dir", help="DNS-style noisy wav dir")
     ap.add_argument("--clean-dir", help="matching clean wav dir")
     ap.add_argument("--limit", type=int, default=0,
@@ -176,18 +286,14 @@ def main(argv=None):
     ap.add_argument("-O", "--output", help="write the JSON verdict here too")
     args = ap.parse_args(argv)
 
-    import jax.numpy as jnp
-
-    from fullsubnet_tpu.acoustics.stft import istft, stft_complex
-    from fullsubnet_tpu.checkpoint import convert_fullsubnet, load_torch_state_dict
-    from fullsubnet_tpu.acoustics.mask import decompress_cIRM
+    from fullsubnet_tpu.checkpoint import load_torch_state_dict
     from fullsubnet_tpu.metrics import STOI, WB_PESQ
-    from fullsubnet_tpu.models import FullSubNet
 
+    recipe, build, mode = FAMILIES[args.model]
+    ref_kwargs, model, convert = build(args.norm_type)
     state = load_torch_state_dict(args.checkpoint)
-    tmodel = _load_torch_reference(state)
-    params = convert_fullsubnet(state)
-    model = FullSubNet()
+    tmodel = _load_torch_reference(recipe, ref_kwargs, state)
+    params = convert(state)
 
     if args.noisy_dir:
         if not args.clean_dir:
@@ -202,20 +308,13 @@ def main(argv=None):
     rows = []
     ok = True
     for name, clean, noisy in pairs:
-        crm_t, enh_t = _torch_enhance(tmodel, noisy)
-
-        spec = stft_complex(jnp.asarray(noisy)[None], 512, 256, 512)
-        mag = jnp.abs(spec)[:, None]
-        crm_j = model(params, mag)  # [1, 2, F, T]
-        crm_j = jnp.transpose(crm_j, (0, 2, 3, 1))
-        mask_delta = float(jnp.max(jnp.abs(crm_j - crm_t[None])))
-
-        crm_d = decompress_cIRM(crm_j)
-        er = crm_d[..., 0] * spec.real - crm_d[..., 1] * spec.imag
-        ei = crm_d[..., 1] * spec.real + crm_d[..., 0] * spec.imag
-        enh_j = np.asarray(
-            istft(er + 1j * ei, 512, 256, 512, length=len(noisy))
-        )[0]
+        if mode == "mask":
+            out_t, enh_t = _torch_enhance_mask(tmodel, noisy)
+            out_j, enh_j = _ours_enhance_mask(model, params, noisy)
+        else:
+            out_t, enh_t = _torch_enhance_wave(tmodel, noisy)
+            out_j, enh_j = _ours_enhance_wave(model, params, noisy)
+        mask_delta = float(np.max(np.abs(out_j - out_t)))
 
         pesq_t = float(WB_PESQ(clean, enh_t))
         pesq_j = float(WB_PESQ(clean, enh_j))
@@ -240,7 +339,7 @@ def main(argv=None):
         ok &= row["pass"]
         rows.append(row)
         print(
-            f"  {name}: mask Δ{mask_delta:.2e} "
+            f"  {name}: out Δ{mask_delta:.2e} "
             f"PESQ {pesq_j:.3f} (ref {pesq_t:.3f}) "
             f"STOI {stoi_j:.4f} (ref {stoi_t:.4f}) "
             f"{'PASS' if row['pass'] else 'FAIL'}",
@@ -249,6 +348,8 @@ def main(argv=None):
 
     verdict = {
         "gate": "released-checkpoint-parity",
+        "model": args.model,
+        "norm_type": args.norm_type,
         "checkpoint": str(args.checkpoint),
         "testbed": "dns-dirs" if args.noisy_dir else "bundled-synthetic",
         "n_utterances": len(rows),

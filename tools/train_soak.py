@@ -1,0 +1,558 @@
+"""Sustained on-chip training soak: the full reference training workflow
+(`/root/reference/recipes/dns_interspeech_2020/train.py:83-123` semantics —
+epoch loop, periodic validation with metric-based best selection, checkpoint
+rotation) run for ~2000 real optimizer steps on the flagship recipe with a
+mid-run SIGTERM preemption + `-R` resume, end to end with zero manual
+intervention.
+
+What a short fixed-budget test cannot catch and this does: slow loss drift,
+checkpoint-rotation bugs under many saves, TB logging across writer
+restarts, preemption-resume continuity at real duration, and tunnel
+stability over a ~half-hour run.
+
+Provisions a deterministic synthetic DNS-style dataset (harmonic
+speech-like cleans, colored noises, exponential-decay RIRs, dns_1-layout
+validation dirs), writes a soak TOML derived from the shipped flagship
+recipe (full 512/384 model, 3.072 s crops), then:
+
+  phase 1: train fresh; after `--sigterm-epoch`'s banner + a mid-epoch
+           delay, SIGTERM the process; expect exit 143 and a resumable
+           `latest` checkpoint (trainer preemption hook).
+  phase 2: relaunch with -R to the final epoch. Unexpected exits (the
+           axon tunnel throws transient FAILED_PRECONDITION/UNAVAILABLE)
+           are retried with -R up to --max-restarts, each recorded.
+
+Then reads the TensorBoard event files back (per-epoch Loss/Train,
+Validation/* scalars), audits the checkpoint directory against the
+rotation schedule, and writes `<out>.json` (full trajectory + invariant
+verdicts) and `<out>.md` (human summary). Exit 0 iff every invariant holds:
+
+  * Loss/Train present for EVERY epoch 1..N (resume re-ran the preempted
+    epoch; no gaps, no NaN),
+  * loss improved (mean of last 3 epochs < mean of first 3, and < epoch 1),
+  * validation score present at every `validation_interval` epoch; best
+    checkpoint exists and the best score beats the first validation,
+  * checkpoints: latest + best + exactly the scheduled epoch_NNNN set
+    (+ the SIGTERM save), all restorable-shaped (non-empty Orbax dirs),
+  * phase 2 resumed at the preempted epoch (no restart from scratch).
+
+Usage:
+    python tools/train_soak.py --workdir /tmp/fsn_soak --out SOAK_r04
+    # quick CPU smoke: --epochs 2 --steps-per-epoch 4 --batch 8 --tiny
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+
+# ---------------------------------------------------------------------------
+# dataset provisioning
+# ---------------------------------------------------------------------------
+
+def _speechlike(rng, sr, seconds):
+    """Harmonic carrier with syllabic AM + pauses (same family as
+    tools/parity_gate.py's testbed)."""
+    t = np.arange(int(sr * seconds)) / sr
+    f0 = 85.0 + 60.0 * rng.random()
+    y = np.zeros_like(t)
+    for k in range(1, 14):
+        y += rng.random() / k * np.sin(2 * np.pi * k * f0 * t + rng.random() * 6.28)
+    env = 0.5 * (1 + np.sin(2 * np.pi * (1.5 + 1.5 * rng.random()) * t))
+    env *= np.sin(2 * np.pi * 0.35 * t + rng.random() * 6.28) > -0.5
+    y *= env
+    y /= np.max(np.abs(y)) + 1e-9
+    return (0.7 * y).astype(np.float32)
+
+
+def _colored_noise(rng, sr, seconds, tilt):
+    n = int(sr * seconds)
+    spec = np.fft.rfft(rng.standard_normal(n))
+    spec /= np.maximum(1.0, np.arange(len(spec))) ** tilt
+    y = np.fft.irfft(spec, n)
+    y /= np.max(np.abs(y)) + 1e-9
+    return (0.5 * y).astype(np.float32)
+
+
+def _rir(rng, sr, seconds=0.25):
+    n = int(sr * seconds)
+    h = rng.standard_normal(n) * np.exp(-np.arange(n) / (0.05 * sr))
+    h[0] = 1.0
+    h /= np.max(np.abs(h))
+    return h.astype(np.float32)
+
+
+def provision(workdir: Path, args) -> Path:
+    """Build wavs + scp lists + dns_1 validation layout + the soak TOML.
+    Returns the TOML path. Deterministic under --seed."""
+    from fullsubnet_tpu.data.wavio import write_wav
+
+    sr = 16000
+    rng = np.random.default_rng(args.seed + 77)
+    data = workdir / "data"
+    for sub in ("clean", "noise", "rir"):
+        (data / sub).mkdir(parents=True, exist_ok=True)
+
+    clean_paths = []
+    for i in range(args.n_clean):
+        p = data / "clean" / f"clean_{i:03d}.wav"
+        write_wav(p, _speechlike(rng, sr, 4.0 + 2.0 * rng.random()), sr)
+        clean_paths.append(str(p))
+    noise_paths = []
+    for i in range(args.n_noise):
+        p = data / "noise" / f"noise_{i:02d}.wav"
+        write_wav(p, _colored_noise(rng, sr, 3.0 + 3.0 * rng.random(), 0.2 + 0.5 * rng.random()), sr)
+        noise_paths.append(str(p))
+    rir_paths = []
+    for i in range(args.n_rir):
+        p = data / "rir" / f"rir_{i:02d}.wav"
+        write_wav(p, _rir(rng, sr), sr)
+        rir_paths.append(str(p))
+
+    # dataset length == list length: repeat the clean paths to hit the
+    # requested steps/epoch at the configured batch size
+    n_lines = args.steps_per_epoch * args.batch
+    lines = [clean_paths[i % len(clean_paths)] for i in range(n_lines)]
+    (data / "clean.txt").write_text("\n".join(lines) + "\n")
+    (data / "noise.txt").write_text("\n".join(noise_paths) + "\n")
+    (data / "rir.txt").write_text("\n".join(rir_paths) + "\n")
+
+    # dns_1 validation layout: <dir>/{noisy,clean}, noisy "*_fileid_N.wav"
+    for cond in ("with_reverb", "no_reverb"):
+        nd = data / "val" / cond / "noisy"
+        cd = data / "val" / cond / "clean"
+        nd.mkdir(parents=True, exist_ok=True)
+        cd.mkdir(parents=True, exist_ok=True)
+        for i in range(args.n_val):
+            clean = _speechlike(rng, sr, 3.0)
+            noise = _colored_noise(rng, sr, 3.0, 0.4)
+            snr = (0.0, 5.0, 10.0)[i % 3]
+            noisy = clean + noise * (
+                np.std(clean) / (np.std(noise) + 1e-9) * 10 ** (-snr / 20)
+            )
+            peak = max(np.max(np.abs(noisy)), 1e-9)
+            write_wav(nd / f"synthetic_snr{int(snr)}_fileid_{i}.wav",
+                      (noisy / peak * 0.9).astype(np.float32), sr)
+            write_wav(cd / f"clean_fileid_{i}.wav",
+                      (clean / peak * 0.9).astype(np.float32), sr)
+
+    if args.tiny:
+        model_block = """
+[model]
+path = "fullsubnet.model.Model"
+[model.args]
+sb_num_neighbors = 2
+fb_num_neighbors = 0
+num_freqs = 257
+look_ahead = 2
+sequence_model = "LSTM"
+fb_output_activate_function = "ReLU"
+sb_output_activate_function = false
+fb_model_hidden_size = 32
+sb_model_hidden_size = 24
+weight_init = false
+norm_type = "offline_laplace_norm"
+num_groups_in_drop_band = 2
+"""
+    else:
+        # the shipped flagship config (recipes/.../fullsubnet/train.toml)
+        model_block = """
+[model]
+path = "fullsubnet.model.Model"
+[model.args]
+sb_num_neighbors = 15
+fb_num_neighbors = 0
+num_freqs = 257
+look_ahead = 2
+sequence_model = "LSTM"
+fb_output_activate_function = "ReLU"
+sb_output_activate_function = false
+fb_model_hidden_size = 512
+sb_model_hidden_size = 384
+weight_init = false
+norm_type = "offline_laplace_norm"
+num_groups_in_drop_band = 2
+"""
+
+    toml = f"""# generated by tools/train_soak.py — flagship soak recipe
+[meta]
+save_dir = "{workdir / 'exp'}"
+description = "soak"
+seed = {args.seed}
+use_amp = true
+compilation_cache_dir = "{workdir / 'ccache'}"
+
+[acoustics]
+n_fft = 512
+win_length = 512
+sr = 16000
+hop_length = 256
+
+[loss_function]
+name = "mse_loss"
+[loss_function.args]
+
+[optimizer]
+lr = 0.001
+beta1 = 0.9
+beta2 = 0.999
+
+[train_dataset]
+path = "dataset_train.Dataset"
+[train_dataset.args]
+clean_dataset = "{data / 'clean.txt'}"
+noise_dataset = "{data / 'noise.txt'}"
+rir_dataset = "{data / 'rir.txt'}"
+reverb_proportion = 0.75
+silence_length = 0.2
+snr_range = [-5, 20]
+sr = 16000
+sub_sample_length = {args.crop_seconds}
+target_dB_FS = -25
+target_dB_FS_floating_value = 10
+
+[train_dataset.dataloader]
+batch_size = {args.batch}
+num_workers = {args.loader_workers}
+drop_last = true
+
+[validation_dataset]
+path = "dataset_validation.Dataset"
+[validation_dataset.args]
+dataset_dir_list = ["{data / 'val' / 'with_reverb'}", "{data / 'val' / 'no_reverb'}"]
+sr = 16000
+{model_block}
+[trainer]
+path = "trainer.Trainer"
+[trainer.train]
+clip_grad_norm_value = 10
+epochs = {args.epochs}
+save_checkpoint_interval = {args.save_interval}
+[trainer.validation]
+save_max_metric_score = true
+validation_interval = {args.validation_interval}
+[trainer.visualization]
+metrics = ["WB_PESQ", "NB_PESQ", "STOI", "SI_SDR"]
+n_samples = 2
+num_workers = 1
+"""
+    toml_path = workdir / "soak.toml"
+    toml_path.write_text(toml)
+    return toml_path
+
+
+# ---------------------------------------------------------------------------
+# subprocess driving
+# ---------------------------------------------------------------------------
+
+_EPOCH_RE = re.compile(r"=+ epoch (\d+) =+")
+
+
+def _launch(toml_path: Path, resume: bool, log_path: Path, platform: str | None):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO_ROOT) + os.pathsep + env.get("PYTHONPATH", "")
+    env["PYTHONUNBUFFERED"] = "1"
+    if platform:  # CPU smoke mode; default (None) = real backend
+        env["JAX_PLATFORMS"] = platform
+        env["PALLAS_AXON_POOL_IPS"] = ""
+    cmd = [sys.executable, "-m", "fullsubnet_tpu.train.cli", "-C", str(toml_path)]
+    if resume:
+        cmd.append("-R")
+    logf = open(log_path, "ab")
+    logf.write(f"\n===== launch resume={resume} {time.strftime('%H:%M:%S')} =====\n".encode())
+    logf.flush()
+    proc = subprocess.Popen(cmd, stdout=logf, stderr=subprocess.STDOUT, env=env)
+    return proc, logf
+
+
+def _wait_for_epoch(proc, log_path: Path, epoch: int, timeout_s: float):
+    """Poll the log until `=== epoch N ===` with N >= epoch appears."""
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            return None  # exited first
+        try:
+            seen = [int(m) for m in _EPOCH_RE.findall(log_path.read_text(errors="replace"))]
+        except FileNotFoundError:
+            seen = []
+        if seen and max(seen) >= epoch:
+            return max(seen)
+        time.sleep(2.0)
+    raise TimeoutError(f"epoch {epoch} banner not seen within {timeout_s}s")
+
+
+def run_soak(args, toml_path: Path, workdir: Path) -> dict:
+    log_path = workdir / "train.log"
+    events: list[dict] = []
+    t0 = time.time()
+
+    # ---- phase 1: fresh run, SIGTERM mid-epoch --------------------------
+    proc, logf = _launch(toml_path, resume=False, log_path=log_path, platform=args.platform)
+    try:
+        seen = _wait_for_epoch(proc, log_path, args.sigterm_epoch, args.phase_timeout)
+        if seen is None:
+            raise RuntimeError(
+                f"phase 1 exited (code {proc.returncode}) before epoch "
+                f"{args.sigterm_epoch}; see {log_path}"
+            )
+        time.sleep(args.sigterm_delay)  # land mid-epoch
+        proc.send_signal(signal.SIGTERM)
+        code = proc.wait(timeout=600)
+    finally:
+        logf.close()
+    events.append({"event": "sigterm", "at_epoch_banner": seen, "exit_code": code})
+    ckpt_dir = workdir / "exp" / "soak" / "checkpoints"
+    if not (ckpt_dir / "latest").exists():
+        raise RuntimeError("no `latest` checkpoint after SIGTERM — preemption hook failed")
+    preempt_epoch = None
+    m = re.findall(r"SIGTERM received: checkpointing epoch (\d+)", log_path.read_text(errors="replace"))
+    if m:
+        preempt_epoch = int(m[-1])
+    events.append({"event": "preempt_checkpoint", "epoch": preempt_epoch, "exit": code})
+
+    # ---- phase 2: resume to completion (transients retried) -------------
+    restarts = 0
+    while True:
+        proc, logf = _launch(toml_path, resume=True, log_path=log_path, platform=args.platform)
+        code = proc.wait(timeout=args.phase_timeout)
+        logf.close()
+        if code == 0:
+            break
+        restarts += 1
+        tail = log_path.read_text(errors="replace")[-2000:]
+        events.append({"event": "unexpected_exit", "code": code, "tail": tail[-500:]})
+        if restarts > args.max_restarts:
+            raise RuntimeError(f"phase 2 failed {restarts}x; see {log_path}")
+        time.sleep(10.0)
+    events.append({"event": "completed", "restarts": restarts})
+
+    # resume continuity: first epoch banner after the preemption must be
+    # preempt_epoch + 1 (no restart from scratch)
+    text = log_path.read_text(errors="replace")
+    after = text[text.rindex("SIGTERM received"):]
+    resumed_epochs = [int(x) for x in _EPOCH_RE.findall(after)]
+    return {
+        "events": events,
+        "preempt_epoch": preempt_epoch,
+        "resume_first_epoch": resumed_epochs[0] if resumed_epochs else None,
+        "restarts": restarts,
+        "wall_seconds": round(time.time() - t0, 1),
+        "log": str(log_path),
+    }
+
+
+# ---------------------------------------------------------------------------
+# audit
+# ---------------------------------------------------------------------------
+
+def read_tb_scalars(logs_dir: Path) -> dict[str, list[tuple[int, float]]]:
+    """All scalars from every event file (tensorboardX writes simple_value
+    or a tensor proto depending on version; handle both)."""
+    from tensorboard.backend.event_processing.event_file_loader import EventFileLoader
+    from tensorboard.util import tensor_util
+
+    out: dict[str, list[tuple[int, float]]] = {}
+    for f in sorted(logs_dir.glob("events.out.tfevents.*")):
+        for ev in EventFileLoader(str(f)).Load():
+            for v in ev.summary.value:
+                if v.HasField("tensor"):
+                    arr = tensor_util.make_ndarray(v.tensor)
+                    if arr.size != 1:  # audio/figure summaries
+                        continue
+                    val = float(arr)
+                elif v.HasField("simple_value"):
+                    val = float(v.simple_value)
+                else:
+                    continue
+                out.setdefault(v.tag, []).append((int(ev.step), val))
+    for tag in out:  # resume re-logs the preempted epoch: last write wins
+        out[tag] = sorted(dict(sorted(out[tag])).items())
+    return out
+
+
+def audit(args, run: dict, workdir: Path) -> dict:
+    exp = workdir / "exp" / "soak"
+    scalars = read_tb_scalars(exp / "logs")
+    checks: dict[str, bool] = {}
+
+    loss = dict(scalars.get("Loss/Train", []))
+    epochs = sorted(loss)
+    checks["loss_every_epoch"] = epochs == list(range(1, args.epochs + 1))
+    checks["loss_finite"] = bool(np.isfinite(list(loss.values())).all()) if loss else False
+    if len(epochs) >= 6:
+        first3 = float(np.mean([loss[e] for e in epochs[:3]]))
+        last3 = float(np.mean([loss[e] for e in epochs[-3:]]))
+        checks["loss_improved"] = last3 < first3 and loss[epochs[-1]] < loss[epochs[0]]
+    else:
+        first3 = last3 = float("nan")
+        checks["loss_improved"] = len(epochs) >= 2 and loss[epochs[-1]] < loss[epochs[0]]
+
+    score = dict(scalars.get("Validation/Score", []))
+    expect_val = list(range(args.validation_interval, args.epochs + 1, args.validation_interval))
+    checks["validation_every_interval"] = sorted(score) == expect_val
+    checks["validation_finite"] = bool(np.isfinite(list(score.values())).all()) if score else False
+    if score:
+        first_score = score[min(score)]
+        best_score = max(score.values())
+        checks["validation_improved"] = best_score > first_score
+    else:
+        first_score = best_score = float("nan")
+        checks["validation_improved"] = False
+
+    ckpt_dir = exp / "checkpoints"
+    have = sorted(p.name for p in ckpt_dir.iterdir()
+                  if p.is_dir() and not p.name.startswith("."))
+    sched = {f"epoch_{e:04d}" for e in range(args.save_interval, args.epochs + 1, args.save_interval)}
+    if run["preempt_epoch"]:
+        sched.add(f"epoch_{run['preempt_epoch']:04d}")
+    want = sched | {"latest", "best"}
+    checks["checkpoint_set_exact"] = set(have) == want
+    checks["checkpoints_nonempty"] = all(any((ckpt_dir / n).iterdir()) for n in have)
+    checks["resume_continuity"] = (
+        run["preempt_epoch"] is not None
+        and run["resume_first_epoch"] == run["preempt_epoch"] + 1
+    )
+
+    total_steps = args.epochs * args.steps_per_epoch
+    audio_s = total_steps * args.batch * args.crop_seconds
+    return {
+        "soak": "train-soak",
+        "config": {
+            "model": "fullsubnet" + ("-tiny" if args.tiny else " (flagship 512/384)"),
+            "epochs": args.epochs, "steps_per_epoch": args.steps_per_epoch,
+            "batch": args.batch, "crop_seconds": args.crop_seconds,
+            "total_steps": total_steps, "audio_seconds_trained": audio_s,
+        },
+        "run": run,
+        "pass": all(checks.values()),
+        "checks": checks,
+        "loss_first3_mean": first3, "loss_last3_mean": last3,
+        "first_val_score": first_score, "best_val_score": best_score,
+        "trajectory": {
+            "train_loss": [[e, round(v, 6)] for e, v in sorted(loss.items())],
+            "val_score": [[e, round(v, 6)] for e, v in sorted(score.items())],
+            "val_scalars": {
+                t: [[e, round(v, 6)] for e, v in s]
+                for t, s in scalars.items() if t.startswith("Validation/")
+            },
+        },
+        "checkpoints": have,
+    }
+
+
+def write_md(verdict: dict, out_md: Path):
+    c = verdict["config"]
+    lines = [
+        "# Training soak — round 4",
+        "",
+        f"Flagship recipe, {c['total_steps']} optimizer steps "
+        f"({c['epochs']} epochs x {c['steps_per_epoch']} steps, B={c['batch']}, "
+        f"{c['crop_seconds']} s crops = {c['audio_seconds_trained']:.0f} audio-s), "
+        f"synthetic DNS-style data, SIGTERM preemption at epoch "
+        f"{verdict['run']['preempt_epoch']} + `-R` resume. "
+        f"Wall: {verdict['run']['wall_seconds']} s, "
+        f"unexpected restarts: {verdict['run']['restarts']}.",
+        "",
+        f"**Verdict: {'PASS' if verdict['pass'] else 'FAIL'}**",
+        "",
+        "| check | ok |",
+        "|---|---|",
+    ]
+    lines += [f"| {k} | {v} |" for k, v in verdict["checks"].items()]
+    lines += [
+        "",
+        f"Loss: first-3-epoch mean {verdict['loss_first3_mean']:.5f} -> "
+        f"last-3 {verdict['loss_last3_mean']:.5f}. "
+        f"Validation score: first {verdict['first_val_score']:.5f} -> "
+        f"best {verdict['best_val_score']:.5f}.",
+        "",
+        "| epoch | train loss | val score |",
+        "|---|---|---|",
+    ]
+    score = dict(verdict["trajectory"]["val_score"])
+    for e, v in verdict["trajectory"]["train_loss"]:
+        s = f"{score[e]:.5f}" if e in score else ""
+        lines.append(f"| {e} | {v:.5f} | {s} |")
+    lines.append("")
+    out_md.write_text("\n".join(lines))
+
+
+def _reconstruct_run(workdir: Path) -> dict:
+    """Rebuild the run dict from train.log (for --audit-only re-audits)."""
+    log_path = workdir / "train.log"
+    text = log_path.read_text(errors="replace")
+    m = re.findall(r"SIGTERM received: checkpointing epoch (\d+)", text)
+    preempt_epoch = int(m[-1]) if m else None
+    resume_first = None
+    if m:
+        after = text[text.rindex("SIGTERM received"):]
+        resumed = [int(x) for x in _EPOCH_RE.findall(after)]
+        resume_first = resumed[0] if resumed else None
+    return {
+        "events": [{"event": "audit-only reconstruction"}],
+        "preempt_epoch": preempt_epoch,
+        "resume_first_epoch": resume_first,
+        "restarts": text.count("===== launch resume=True") - 1,
+        "wall_seconds": -1.0,
+        "log": str(log_path),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--out", default="SOAK", help="artifact stem (writes <out>.json/.md)")
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--steps-per-epoch", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--crop-seconds", type=float, default=3.072)
+    ap.add_argument("--save-interval", type=int, default=2)
+    ap.add_argument("--validation-interval", type=int, default=2)
+    ap.add_argument("--sigterm-epoch", type=int, default=11)
+    ap.add_argument("--sigterm-delay", type=float, default=6.0)
+    ap.add_argument("--n-clean", type=int, default=32)
+    ap.add_argument("--n-noise", type=int, default=8)
+    ap.add_argument("--n-rir", type=int, default=4)
+    ap.add_argument("--n-val", type=int, default=3, help="utterances per split")
+    ap.add_argument("--loader-workers", type=int, default=2)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--tiny", action="store_true", help="tiny model (CPU smoke)")
+    ap.add_argument("--platform", default=None, help="e.g. cpu for smoke runs")
+    ap.add_argument("--phase-timeout", type=float, default=3 * 3600)
+    ap.add_argument("--max-restarts", type=int, default=3)
+    ap.add_argument("--audit-only", action="store_true",
+                    help="skip training; re-audit an existing workdir run")
+    args = ap.parse_args(argv)
+
+    workdir = Path(args.workdir).absolute()
+    workdir.mkdir(parents=True, exist_ok=True)
+    if args.audit_only:
+        run = _reconstruct_run(workdir)
+    else:
+        print(f"[soak] provisioning under {workdir}", file=sys.stderr)
+        toml_path = provision(workdir, args)
+        print(f"[soak] running ({args.epochs}x{args.steps_per_epoch} steps)", file=sys.stderr)
+        run = run_soak(args, toml_path, workdir)
+    verdict = audit(args, run, workdir)
+    Path(f"{args.out}.json").write_text(json.dumps(verdict, indent=1) + "\n")
+    write_md(verdict, Path(f"{args.out}.md"))
+    print(json.dumps({k: verdict[k] for k in ("soak", "pass", "checks")}))
+    return 0 if verdict["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
