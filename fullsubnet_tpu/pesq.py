@@ -50,15 +50,19 @@ baselines for BOTH modes simultaneously (WB 1.582 / NB 2.454 — two
 anchors, two constants, and the fitted asym scale lands at
 1/totalBandWidth, consistent with a width-normalized ITU power mean).
 The NB input filter uses the spec's IRS-receive magnitude table as a
-zero-phase FFT filter instead of the ITU IIR cascade (same magnitude
-response; phase is irrelevant to the power spectra and common to both
-signals); the crude aligner uses NORMALIZED cross-correlation (raw
-correlation is energy-biased on quasi-periodic envelopes; argmax is
-unchanged on real speech). Deviation from the ITU C implementation on
-individual scores is therefore bounded by the testbed calibration
-(~0.1 MOS expected), not certified; ``tools/pesq_goldens.py``
-cross-checks against the ITU ``pesq`` package on any machine that has
-it and records golden triples for regression.
+zero-phase FFT filter instead of the ITU IIR cascade (magnitude response
+table-exact; measured score sensitivity to the phase choice is max
+0.17 / median 0.004 MOS on the noisy testbed); the crude aligner uses
+NORMALIZED cross-correlation with an energy-coverage gate (raw
+correlation is energy-biased on quasi-periodic envelopes; the end-to-end
+constant-delay invariance this must preserve is pinned at max 0.18 MOS
+over a delay sweep). Each documented deviation carries a pinned measured
+bound in ``tests/test_pesq_fidelity.py``; deviation vs the ITU C
+implementation on individual scores is bounded by those measurements
+plus the 0.006-RMSE anchor calibration, not ITU-certified.
+``tools/pesq_goldens.py`` cross-checks against the ITU ``pesq`` package
+(auto-run by ``tests/test_pesq_goldens.py`` whenever the wheel is
+importable) and records golden triples for regression.
 
 Reference parity: replaces ``pesq.pesq(sr, ref, deg, 'wb'|'nb')`` in
 ``/root/reference/audio_zen/metrics.py:38-45``.
@@ -369,8 +373,12 @@ def _xcorr_argmax(a, b, prefer: int | None = None):
 
 def _ncc_argmax(a, b, prefer: int, min_overlap: int):
     """argmax lag of NORMALIZED cross-correlation c[lag] /
-    sqrt(E_a(lag) * E_b(lag)) over the overlapped samples, lags with
-    overlap < ``min_overlap`` excluded.
+    sqrt(E_a(lag) * E_b(lag)) over the overlapped samples. Excluded lags:
+    overlap < ``min_overlap``, and lags whose overlap covers less than
+    half of ``a``'s total envelope energy (NCC's classic pathology is a
+    high score on a small-overlap sliver at an extreme lag — a candidate
+    alignment must explain the reference envelope, not a tail of it;
+    pinned by tests/test_pesq_fidelity.py's delay-invariance sweep).
 
     Used for the envelope-domain crude aligns: raw correlation (ITU's
     choice) is biased toward high-energy regions — on quasi-periodic
@@ -397,9 +405,8 @@ def _ncc_argmax(a, b, prefer: int, min_overlap: int):
     ea = ca[np.maximum(i1, i0)] - ca[i0]
     j0 = i0 + lags
     eb = cb[np.maximum(j0 + overlap, j0)] - cb[j0]
-    ncc = np.where(
-        overlap >= min_overlap, vals / np.sqrt(ea * eb + _EPS), -np.inf
-    )
+    admissible = (overlap >= min_overlap) & (ea >= 0.5 * ca[-1])
+    ncc = np.where(admissible, vals / np.sqrt(ea * eb + _EPS), -np.inf)
     if not np.isfinite(ncc).any():
         return prefer, 0.0
     i = int(np.argmax(ncc))

@@ -41,3 +41,29 @@ def test_native_matches_recorded_itu_scores():
         d = np.abs(np.asarray(deltas))
         assert d.mean() < 0.15, "mean |delta| vs ITU drifted"
         assert d.max() < 0.5, "max |delta| vs ITU drifted"
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec("pesq") is None,
+    reason="ITU pesq wheel not installed in this environment",
+)
+def test_itu_crosscheck_runs_live(tmp_path):
+    """CI hook: the moment the ITU ``pesq`` wheel is importable, the full
+    cross-check tool runs automatically and its recorded deltas must be
+    within the documented bound (mean |delta| < 0.15, max < 0.5). Writes
+    goldens to a temp dir — promote them to tests/data/pesq_goldens.json
+    to pin them for wheel-less machines."""
+    import subprocess
+    import sys as _sys
+
+    out = tmp_path / "goldens.json"
+    r = subprocess.run(
+        [_sys.executable, str(Path(__file__).parent.parent / "tools" / "pesq_goldens.py"),
+         "--out", str(out), "--clips", "8", "--seconds", "6.0"],
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    doc = json.loads(out.read_text())
+    deltas = np.asarray([row["native"] - row["itu"] for row in doc["rows"]])
+    assert np.abs(deltas).mean() < 0.15
+    assert np.abs(deltas).max() < 0.5
