@@ -189,15 +189,49 @@ def bench_train(args):
         crm = jnp.transpose(crm, (0, 2, 3, 1)).astype(jnp.float32)
         return jnp.mean(jnp.square(crm - cirm))
 
+    seconds = args.crop_seconds
+    num_samples = int(args.sr * seconds)
+
+    # gradient-accumulation split: --accum N forces, 0 asks the model's
+    # capacity picker for the audio-s/s-maximizing strategy (trainer's
+    # auto mode does the same; see Trainer._build_train_step)
+    g_accum = args.accum
+    if g_accum == 0:
+        picker = getattr(model, "recommended_grad_accum", None)
+        g_accum = 1 if picker is None else picker(
+            args.batch, num_samples // 256 + 1,
+            itemsize=2 if use_bf16 else 4,
+            drop_groups=groups if groups > 1 and args.batch > groups else 1,
+        )
+    g_accum = max(1, g_accum if args.batch % max(g_accum, 1) == 0 else 1)
+
     @jax.jit
     def step(p, o, noisy, clean):
-        loss, grads = jax.value_and_grad(loss_fn)(p, noisy, clean)
-        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        if g_accum > 1:
+            b = noisy.shape[0]
+            nm = noisy.reshape(g_accum, b // g_accum, -1)
+            cm = clean.reshape(g_accum, b // g_accum, -1)
+
+            def body(carry, xs):
+                acc, lsum = carry
+                l, gr = jax.value_and_grad(loss_fn)(p, xs[0], xs[1])
+                acc = jax.tree.map(
+                    lambda q, g: q + g.astype(jnp.float32), acc, gr
+                )
+                return (acc, lsum + l), None
+
+            zeros = jax.tree.map(lambda q: jnp.zeros(q.shape, jnp.float32), p)
+            (gsum, lsum), _ = jax.lax.scan(
+                body, (zeros, jnp.float32(0.0)), (nm, cm)
+            )
+            grads = jax.tree.map(lambda g: g / g_accum, gsum)
+            loss = lsum / g_accum
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(p, noisy, clean)
+            grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
         updates, o = optimizer.update(grads, o, p)
         return optax.apply_updates(p, updates), o, loss
 
-    seconds = args.crop_seconds
-    num_samples = int(args.sr * seconds)
     rng = np.random.default_rng(0)
     noisy = jnp.asarray(rng.standard_normal((args.batch, num_samples)).astype(np.float32) * 0.1)
     clean = jnp.asarray(rng.standard_normal((args.batch, num_samples)).astype(np.float32) * 0.1)
@@ -220,6 +254,7 @@ def bench_train(args):
                 "value": round(args.batch * seconds / sec_per_step, 2),
                 "unit": "audio_sec_trained_per_sec_per_chip",
                 "vs_baseline": round(1.0 / sec_per_step, 4),
+                "grad_accum": g_accum,
             }
         )
     )
@@ -624,6 +659,11 @@ def main():
     p.add_argument(
         "--train-unfused", action="store_true",
         help="with --train: use the legacy unfused (freq_unfold) path",
+    )
+    p.add_argument(
+        "--accum", type=int, default=0,
+        help="with --train: gradient-accumulation split (0 = auto via the "
+        "model's capacity picker, 1 = off, N = force N microbatches)",
     )
     p.add_argument(
         "--crop-seconds", type=float, default=3.072,

@@ -264,11 +264,82 @@ class Trainer:
             crm = jnp.transpose(crm, (0, 2, 3, 1)).astype(jnp.float32)
             return loss_fn_inner(crm, ground_truth_cirm)
 
-        def step(state, noisy, clean):
-            loss, grads = jax.value_and_grad(loss_fn)(
-                state["params"], noisy, clean
+        # Gradient accumulation: [trainer.train] grad_accum_steps = N
+        # forces a split, 1 disables, 0/absent = auto. Auto asks the
+        # model's capacity picker (recommended_grad_accum) for the split
+        # that maximizes measured audio-s/s — microbatching dominates the
+        # in-step capacity escapes because each microbatch runs the plain
+        # fused step (v5e, flagship: B=256 x 3.072 s 1220 audio-s/s vs
+        # 887 time-chunked; B=256 x 30 s 986 vs 852 row-group remat).
+        # Equal microbatches keep mean-reduced losses/grads exact; the
+        # per-microbatch drop_band pattern matches the reference's
+        # distributed semantics (applied per local DDP batch).
+        accum_cfg = int(self.train_cfg.get("grad_accum_steps", 0))
+        hop = a["hop_length"]
+        data_div = int(self.mesh.shape.get("data", 1))
+
+        def pick_accum(b, num_samples):
+            if accum_cfg:
+                return accum_cfg if b % (accum_cfg * data_div) == 0 else 1
+            picker = getattr(model, "recommended_grad_accum", None)
+            if picker is None:
+                return 1
+            t = num_samples // hop + 1
+            itemsize = 2 if use_bf16 else 4
+            return picker(
+                b, t, itemsize=itemsize,
+                drop_groups=groups if groups > 1 and b > groups else 1,
+                mesh=self.mesh if self.num_devices > 1 else None,
             )
-            grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+
+        def microbatches(x, g):
+            """[B, S] -> [G, B/G, S] with each microbatch still sharded
+            over the data axis and NO cross-device movement: the split
+            happens inside each device's contiguous shard (any equal
+            partition of the batch is semantically equivalent — the
+            mean-reduced grads are exact either way)."""
+            b = x.shape[0]
+            if data_div > 1:
+                x = x.reshape(data_div, g, b // (data_div * g), -1)
+                x = jnp.swapaxes(x, 0, 1).reshape(g, b // g, -1)
+            else:
+                x = x.reshape(g, b // g, -1)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, P(None, "data", None))
+            )
+
+        def step(state, noisy, clean):
+            g_accum = pick_accum(noisy.shape[0], noisy.shape[1])
+            if g_accum > 1:
+                nm = microbatches(noisy, g_accum)
+                cm = microbatches(clean, g_accum)
+
+                def body(carry, xs):
+                    acc, lsum = carry
+                    l, gr = jax.value_and_grad(loss_fn)(
+                        state["params"], xs[0], xs[1]
+                    )
+                    acc = jax.tree.map(
+                        lambda q, g: q + g.astype(jnp.float32), acc, gr
+                    )
+                    return (acc, lsum + l), None
+
+                zeros = jax.tree.map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32),
+                    state["params"],
+                )
+                (gsum, lsum), _ = jax.lax.scan(
+                    body, (zeros, jnp.float32(0.0)), (nm, cm)
+                )
+                grads = jax.tree.map(lambda g: g / g_accum, gsum)
+                loss = lsum / g_accum
+            else:
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    state["params"], noisy, clean
+                )
+                grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
             updates, opt_state = optimizer.update(
                 grads, state["opt_state"], state["params"]
             )
