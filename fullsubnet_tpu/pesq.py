@@ -406,6 +406,13 @@ def _ncc_argmax(a, b, prefer: int, min_overlap: int):
     j0 = i0 + lags
     eb = cb[np.maximum(j0 + overlap, j0)] - cb[j0]
     admissible = (overlap >= min_overlap) & (ea >= 0.5 * ca[-1])
+    if not admissible.any():
+        # the energy-coverage gate can be unsatisfiable (degraded signal
+        # much shorter than the reference, or delays past ~half the
+        # file): no lag covers half the reference energy. Fall back to
+        # overlap-only admission rather than the `prefer` sentinel —
+        # a best-effort alignment beats a guaranteed-wrong one.
+        admissible = overlap >= min_overlap
     ncc = np.where(admissible, vals / np.sqrt(ea * eb + _EPS), -np.inf)
     if not np.isfinite(ncc).any():
         return prefer, 0.0

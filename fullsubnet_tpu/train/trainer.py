@@ -25,6 +25,7 @@ Twin of ``audio_zen/trainer/base_trainer.py`` + the per-recipe trainers
 from __future__ import annotations
 
 import json
+import logging
 import time
 from pathlib import Path
 
@@ -57,6 +58,8 @@ from fullsubnet_tpu.parallel.mesh import (
     shard_batch,
 )
 from fullsubnet_tpu.utils import ExecutionTime, prepare_empty_dir
+
+logger = logging.getLogger(__name__)
 
 
 class Trainer:
@@ -280,7 +283,21 @@ class Trainer:
 
         def pick_accum(b, num_samples):
             if accum_cfg:
-                return accum_cfg if b % (accum_cfg * data_div) == 0 else 1
+                from fullsubnet_tpu.train.accum import (
+                    largest_compatible_accum,
+                )
+
+                g = largest_compatible_accum(accum_cfg, b, data_div)
+                if g != accum_cfg:
+                    # trace-time (static shapes): fires once per batch
+                    # shape, not per step
+                    logger.warning(
+                        "grad_accum_steps=%d does not divide batch %d "
+                        "(data axis %d); using the nearest compatible "
+                        "split G=%d",
+                        accum_cfg, b, data_div, g,
+                    )
+                return g
             picker = getattr(model, "recommended_grad_accum", None)
             if picker is None:
                 return 1
@@ -313,28 +330,15 @@ class Trainer:
         def step(state, noisy, clean):
             g_accum = pick_accum(noisy.shape[0], noisy.shape[1])
             if g_accum > 1:
+                from fullsubnet_tpu.train.accum import (
+                    scan_accumulated_value_and_grad,
+                )
+
                 nm = microbatches(noisy, g_accum)
                 cm = microbatches(clean, g_accum)
-
-                def body(carry, xs):
-                    acc, lsum = carry
-                    l, gr = jax.value_and_grad(loss_fn)(
-                        state["params"], xs[0], xs[1]
-                    )
-                    acc = jax.tree.map(
-                        lambda q, g: q + g.astype(jnp.float32), acc, gr
-                    )
-                    return (acc, lsum + l), None
-
-                zeros = jax.tree.map(
-                    lambda p: jnp.zeros(p.shape, jnp.float32),
-                    state["params"],
+                loss, grads = scan_accumulated_value_and_grad(
+                    loss_fn, state["params"], (nm, cm), g_accum
                 )
-                (gsum, lsum), _ = jax.lax.scan(
-                    body, (zeros, jnp.float32(0.0)), (nm, cm)
-                )
-                grads = jax.tree.map(lambda g: g / g_accum, gsum)
-                loss = lsum / g_accum
             else:
                 loss, grads = jax.value_and_grad(loss_fn)(
                     state["params"], noisy, clean

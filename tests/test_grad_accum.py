@@ -126,3 +126,39 @@ def test_accum_on_device_mesh(full_setup):  # noqa: F811
     noisy = jnp.asarray(rng.standard_normal((8, 6400)).astype(np.float32) * 0.1)
     state, loss = tr._train_step(tr.state, noisy, noisy * 0.8)
     assert np.isfinite(float(loss))
+
+
+def test_largest_compatible_accum():
+    """Explicitly configured splits that don't divide the batch fall
+    back to the nearest smaller compatible split (never silently G=1 —
+    the user configured accumulation to avoid an OOM)."""
+    from fullsubnet_tpu.train.accum import largest_compatible_accum
+
+    assert largest_compatible_accum(4, 256, 1) == 4
+    assert largest_compatible_accum(3, 128, 1) == 2  # 3 ∤ 128 -> 2
+    assert largest_compatible_accum(4, 250, 1) == 2  # partial batch
+    assert largest_compatible_accum(4, 125, 1) == 1  # no even split
+    assert largest_compatible_accum(4, 256, 8) == 4  # 256 % (4*8) == 0
+    assert largest_compatible_accum(3, 128, 8) == 2  # 128 % (3*8) != 0
+    assert largest_compatible_accum(16, 8, 1) == 8   # capped at batch
+
+
+def test_explicit_accum_indivisible_falls_back_compatibly(full_setup):  # noqa: F811
+    """grad_accum_steps=3 with batch 8 must run a compatible split
+    (G=2), not the monolithic step — and stay exactly equivalent."""
+    cfg_path, tmp_path = full_setup
+    t3 = _trainer_with_accum(cfg_path, tmp_path, 3, "accum3")
+    t1 = _trainer_with_accum(cfg_path, tmp_path, 1, "accum3ref")
+
+    rng = np.random.default_rng(7)
+    noisy = jnp.asarray(rng.standard_normal((8, 6400)).astype(np.float32) * 0.1)
+    clean = noisy * 0.8
+
+    s3, l3 = t3._train_step(t3.state, noisy, clean)
+    s1, l1 = t1._train_step(t1.state, noisy, clean)
+    assert float(l3) == pytest.approx(float(l1), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(s3["params"]), jax.tree.leaves(s1["params"])):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-5, atol=2e-6,
+        )

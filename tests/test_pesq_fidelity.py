@@ -161,3 +161,29 @@ def test_extreme_lag_sliver_rejected(clips):
     deg = np.concatenate([np.zeros(7777, np.float32),
                           noisy.astype(np.float32)])
     assert abs(P.pesq(sp, deg, 16000, "wb") - base) < 0.15
+
+
+def test_truncated_degraded_still_scored(clips):
+    """The energy-coverage gate must not be a hard wall: a degraded
+    signal much shorter than the reference (truncated call — no lag can
+    cover half the reference envelope energy) falls back to overlap-only
+    admission and still aligns the surviving half, instead of scoring a
+    guaranteed-wrong zero-lag alignment."""
+    sp, noisy, _snr, _kind = clips[0]
+    n = len(noisy)
+    # keep only the middle 40% of the call: zero-lag is wrong by ~30%
+    # of the file; the correct crude lag is ~ -0.3*n samples
+    deg = noisy[int(0.3 * n): int(0.7 * n)].astype(np.float32)
+    got = P.pesq(sp, deg, 16000, "wb")
+    assert 1.0 <= got <= 4.64  # scored, not a sentinel
+
+    # and the aligner itself: a deg envelope that is a 40% slice of the
+    # ref envelope can never cover half the ref energy, so the strict
+    # gate admits nothing — the fallback must still recover the true lag
+    rng = np.random.default_rng(0)
+    a = np.abs(rng.standard_normal(1000)) + 0.1  # ref envelope
+    lo = 300
+    b = a[lo:700].copy()                         # deg = interior slice
+    lag, score = P._ncc_argmax(a, b, prefer=0, min_overlap=50)
+    assert lag == -lo, (lag, score)  # true lag, not the prefer sentinel
+    assert score > 0.99

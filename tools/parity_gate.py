@@ -97,9 +97,13 @@ def _build_fast(norm_type):
         look_ahead=2, shrink_size=2, sequence_model="LSTM",
         encoder_input_size=257, num_mels=64, bottleneck_hidden_size=384,
         bottleneck_num_layers=2, noisy_input_num_neighbors=5,
-        encoder_output_num_neighbors=0,
+        encoder_output_num_neighbors=0, norm_type=norm_type,
     )
-    return ref_kwargs, FastFullSubNet(), convert_fast_fullsubnet
+    return (
+        ref_kwargs,
+        FastFullSubNet(norm_type=norm_type),
+        convert_fast_fullsubnet,
+    )
 
 
 def _build_improved(norm_type):
@@ -108,8 +112,8 @@ def _build_improved(norm_type):
 
     # 16 kHz defaults (recipes/dns_interspeech_2020/improved_fullsubnet/
     # train_16k.toml); the reference model.py ships the same defaults
-    ref_kwargs = dict()
-    ours = ImprovedFullSubNet()
+    ref_kwargs = dict(norm_type=norm_type)
+    ours = ImprovedFullSubNet(norm_type=norm_type)
 
     def convert(state, dtype=None):
         kw = {} if dtype is None else {"dtype": dtype}
