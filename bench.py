@@ -720,8 +720,8 @@ def run_suite(args):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=128)
-    p.add_argument("--seconds", type=float, default=30.0)
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--seconds", type=float, default=None)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument(
@@ -736,7 +736,7 @@ def main():
         help="model family; with no mode flag, omitting it runs the FULL "
         "suite (every metric docs/perf.md claims, one JSON line each)",
     )
-    p.add_argument("--sr", type=int, default=16000)
+    p.add_argument("--sr", type=int, default=None)
     p.add_argument(
         "--suite", action="store_true",
         help="run the full metric suite (also the default with no args)",
@@ -781,6 +781,18 @@ def main():
         help="with --data: loader worker processes",
     )
     args = p.parse_args()
+
+    # resolve shape defaults per model: running the 48 kHz model with the
+    # 16 kHz defaults both overcounts audio-seconds 3x (samples are
+    # generated at args.sr but last 1/3 as long at 48 kHz) and mislabels
+    # the metric — use its native suite shapes unless overridden
+    is_48k = args.model == "improved_fullsubnet_48k"
+    if args.sr is None:
+        args.sr = 48000 if is_48k else 16000
+    if args.batch is None:
+        args.batch = 32 if is_48k else 128
+    if args.seconds is None:
+        args.seconds = 10.0 if is_48k else 30.0
 
     if args.streams > 1 and not args.streaming:
         raise SystemExit("--streams is a --streaming mode option")

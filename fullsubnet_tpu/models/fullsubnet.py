@@ -527,6 +527,19 @@ class FullSubNet:
             time_chunk=time_chunk,
         )
         mesh = getattr(sharding_hint, "mesh", None)
+        if not training:
+            # even-split <=512 inference tile: small-batch bucketed
+            # inference (B=4 -> 1028 rows) would pad 3x512 under the
+            # kernel default; pick from the PER-SHARD row count when the
+            # kernel is shard_mapped below
+            from fullsubnet_tpu.ops.subband_lstm import auto_fwd_row_tile
+
+            rows_local = b * f
+            if mesh is not None and (b * f) % mesh.size == 0:
+                rows_local = (b * f) // mesh.size
+            call = functools.partial(
+                call, row_tile=auto_fwd_row_tile(rows_local)
+            )
         if mesh is not None and (b * f) % mesh.size == 0:
             # Multi-chip: shard_map the kernel over the row axis. Each
             # frequency-batched row is an independent sequence, so the

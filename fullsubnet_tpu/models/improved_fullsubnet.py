@@ -213,6 +213,7 @@ class SubbandModel:
                 # Under training the custom-VJP variant stashes states for
                 # the time-reversed backward kernels.
                 from fullsubnet_tpu.ops.subband_lstm import (
+                    auto_fwd_row_tile,
                     fused_subband_lstm,
                     fused_subband_lstm_train,
                 )
@@ -223,10 +224,11 @@ class SubbandModel:
                     *[layer[0] for layer in sb_params["rnn"]],
                     sb_params["fc"],
                     # training: auto (largest VMEM-safe backward tile,
-                    # capped by the padded row count)
+                    # capped by the padded row count); inference:
+                    # even-split <=512 tile (48 kHz sections have odd
+                    # row counts — 640 rows as 2x384, not 2x512)
                     row_tile=(
-                        None if training
-                        else min(512, -(-rows // 128) * 128)
+                        None if training else auto_fwd_row_tile(rows)
                     ),
                     stash_budget=section_budget,
                 )  # [T, B·N, 2c]

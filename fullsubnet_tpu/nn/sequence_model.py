@@ -183,6 +183,7 @@ class SequenceModel:
         """x: [B, F, T] -> [B, F_out, T] via the fused multi-cell kernel
         (weights VMEM-resident; custom-VJP variant under training)."""
         from fullsubnet_tpu.ops.subband_lstm import (
+            auto_fwd_row_tile,
             fused_subband_lstm,
             fused_subband_lstm_train,
         )
@@ -195,10 +196,8 @@ class SequenceModel:
             params["fc"],
             time_major_features=True,
             # training: auto (largest VMEM-safe backward tile, capped by
-            # the padded row count); inference: 512 capped likewise
-            row_tile=(
-                None if training else min(512, -(-b // 128) * 128)
-            ),
+            # the padded row count); inference: even-split <=512 tile
+            row_tile=(None if training else auto_fwd_row_tile(b)),
             interpret=interpret,
             stash_budget=self._PALLAS_TRAIN_STASH_BUDGET,
         )  # [T, B, out] float32

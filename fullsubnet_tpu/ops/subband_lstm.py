@@ -327,6 +327,21 @@ def _auto_split_dw(f_in, hidden, gh, row_tile, itemsize, cell):
     )
 
 
+def auto_fwd_row_tile(n: int, cap: int = 512) -> int:
+    """Inference row tile: distribute ``n`` rows evenly over the minimum
+    number of <=``cap`` tiles, rounded up to a 128 multiple.
+
+    ``min(cap, ceil128(n))`` wastes real compute on odd row counts: 640
+    rows under a hard 512 tile run as 2x512 = 1024 padded rows (60%
+    waste); the even split is 2x384 = 768. Shapes that already divide
+    cleanly (the flagship's 32896 rows -> 65x512) are unchanged. Big
+    tiles still win (per-grid-step overhead), so the tile count stays
+    minimal — this only shrinks the LAST tile's worth of padding."""
+    n = max(1, int(n))
+    tiles = -(-n // cap)
+    return min(cap, -(-(-(-n // tiles)) // 128) * 128)
+
+
 def auto_bwd_row_tile(layers, itemsize, n, split_dw=None) -> int:
     """Largest backward row tile in (512, 256, 128) whose per-layer
     kernel VMEM (fused or split, per the layer's own routing or the

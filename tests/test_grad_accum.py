@@ -162,3 +162,16 @@ def test_explicit_accum_indivisible_falls_back_compatibly(full_setup):  # noqa: 
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             rtol=2e-5, atol=2e-6,
         )
+
+
+def test_auto_fwd_row_tile():
+    from fullsubnet_tpu.ops.subband_lstm import auto_fwd_row_tile
+
+    assert auto_fwd_row_tile(640) == 384    # 2x384=768, not 2x512=1024
+    assert auto_fwd_row_tile(800) == 512    # even split needs 512
+    assert auto_fwd_row_tile(128) == 128
+    assert auto_fwd_row_tile(192) == 256    # one 128-multiple tile
+    assert auto_fwd_row_tile(257) == 384
+    assert auto_fwd_row_tile(32896) == 512  # flagship B=128: unchanged
+    assert auto_fwd_row_tile(1028) == 384   # bucketed B=4: 3x384
+    assert auto_fwd_row_tile(512) == 512
