@@ -464,7 +464,7 @@ def bench_multistream(args, model, params, rng):
     # per-call round trip amortizes away — the per-tick cost a
     # PCIe-local serving host pays (dispatch there is ~10s of us)
     k_scan = 64
-    hop_fn = jax.vmap(ms._hop_lane, in_axes=(None, 0, 0, 0))
+    hop_fn = ms._hop_batch  # the enhancer's own lane-batched hop
     active = jnp.ones((B,), bool)
     hops_k = jnp.tile(jnp.asarray(hop_samples)[None, None], (k_scan, B, 1))
 
@@ -689,6 +689,20 @@ _MODE_FNS = {
 }
 
 
+def _resolve_shape_defaults(args):
+    """Fill unset --sr/--batch/--seconds from the model's native shapes:
+    running the 48 kHz model with the 16 kHz defaults both overcounts
+    audio-seconds 3x (samples are generated at args.sr but last 1/3 as
+    long at 48 kHz) and mislabels the metric."""
+    is_48k = getattr(args, "model", None) == "improved_fullsubnet_48k"
+    if args.sr is None:
+        args.sr = 48000 if is_48k else 16000
+    if args.batch is None:
+        args.batch = 32 if is_48k else 128
+    if args.seconds is None:
+        args.seconds = 10.0 if is_48k else 30.0
+
+
 def run_suite(args):
     """Run every suite item; a failing item prints an error JSON line
     (after the transient-retry policy) instead of killing the rest, so
@@ -700,6 +714,7 @@ def run_suite(args):
         item.iters = min(args.iters, 5)
         for k, v in overrides.items():
             setattr(item, k, v)
+        _resolve_shape_defaults(item)
         try:
             if mode == "data":  # host-only: no tunnel in the loop
                 _MODE_FNS[mode](item)
@@ -782,28 +797,24 @@ def main():
     )
     args = p.parse_args()
 
-    # resolve shape defaults per model: running the 48 kHz model with the
-    # 16 kHz defaults both overcounts audio-seconds 3x (samples are
-    # generated at args.sr but last 1/3 as long at 48 kHz) and mislabels
-    # the metric — use its native suite shapes unless overridden
-    is_48k = args.model == "improved_fullsubnet_48k"
-    if args.sr is None:
-        args.sr = 48000 if is_48k else 16000
-    if args.batch is None:
-        args.batch = 32 if is_48k else 128
-    if args.seconds is None:
-        args.seconds = 10.0 if is_48k else 30.0
-
+    if args.chain < 1:
+        raise SystemExit("--chain must be >= 1")
     if args.streams > 1 and not args.streaming:
         raise SystemExit("--streams is a --streaming mode option")
     any_mode = args.streaming or args.train or args.data or args.serving
     if args.suite or (not any_mode and args.model is None):
         if any_mode:
             raise SystemExit("--suite replaces the mode flags")
-        run_suite(args)
+        if args.model is not None:
+            raise SystemExit(
+                "--model selects a single-model mode; the suite picks its "
+                "own models (drop --model, or drop --suite)"
+            )
+        run_suite(args)  # resolves shape defaults per suite item
         return
     if args.model is None:
         args.model = "fullsubnet"
+    _resolve_shape_defaults(args)
     if args.streaming:
         _run_with_retry(lambda: bench_streaming(args))
         return

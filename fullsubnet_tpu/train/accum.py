@@ -45,7 +45,8 @@ def largest_compatible_accum(requested: int, batch: int, data_div: int = 1):
     nearest smaller compatible split preserves the OOM-protection intent
     instead of silently running the monolithic step.
     """
-    g = max(1, min(int(requested), batch // max(data_div, 1) or 1))
+    data_div = max(int(data_div), 1)
+    g = max(1, min(int(requested), batch // data_div or 1))
     while g > 1 and batch % (g * data_div) != 0:
         g -= 1
     return g

@@ -338,14 +338,17 @@ def run_soak(args, toml_path: Path, workdir: Path) -> dict:
         try:
             code = proc.wait(timeout=args.phase_timeout)
         except subprocess.TimeoutExpired:
-            proc.kill()
-            proc.wait(timeout=60)
-            logf.close()
             raise RuntimeError(
                 f"phase 2 exceeded --phase-timeout "
                 f"{args.phase_timeout}s (trainer killed); see {log_path}"
             )
-        logf.close()
+        finally:
+            # same invariant as phase 1: never leave a live trainer
+            # holding the TPU, whatever interrupted the wait
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait(timeout=60)
+            logf.close()
         if code == 0:
             break
         restarts += 1
