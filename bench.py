@@ -347,6 +347,64 @@ def bench_data(args):
     )
 
 
+def bench_data_device(args):
+    """On-device mixture synthesis throughput: the jitted batched
+    snr_mix (RIR reverb + SNR mix + loudness + clip rescue) that
+    ``device_synthesis = true`` fuses into the train step, plus the
+    relieved host loader (components only — IO and byte shuffling,
+    zero DSP)."""
+    from fullsubnet_tpu.data.device_mixer import device_snr_mix
+
+    sr = args.sr
+    L = int(sr * args.crop_seconds)
+    R = int(0.5 * sr)
+    rng = np.random.default_rng(0)
+    clean = jnp.asarray(
+        (0.3 * rng.standard_normal((args.batch, L))).astype(np.float32)
+    )
+    noise = jnp.asarray(
+        (0.1 * rng.standard_normal((args.batch, L))).astype(np.float32)
+    )
+    rir = np.zeros((args.batch, R), np.float32)
+    rir[:, 0] = 1.0
+    rir[:, 1:] = 0.05 * rng.standard_normal((args.batch, R - 1)) * np.exp(
+        -np.arange(1, R) / (0.05 * sr)
+    )
+    rir = jnp.asarray(rir)
+    flags = jnp.asarray(rng.random(args.batch) < 0.75, jnp.float32)
+    snr = jnp.asarray(rng.integers(-5, 21, args.batch), jnp.float32)
+    tdb = jnp.asarray(rng.integers(-35, -15, args.batch), jnp.float32)
+
+    jmix = jax.jit(device_snr_mix)
+
+    def run_sync():
+        out = None
+        for _ in range(args.chain):
+            out = jmix(clean, noise, rir, flags, snr, tdb)
+        return float(jnp.sum(out[0]))
+
+    for _ in range(args.warmup):
+        run_sync()
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        run_sync()
+        times.append(time.perf_counter() - t0)
+    sec = float(np.median(times)) / args.chain
+    audio_per_sec = args.batch * args.crop_seconds / sec
+    print(
+        json.dumps(
+            {
+                "metric": f"device_mix_b{args.batch}",
+                "value": round(audio_per_sec, 2),
+                "unit": "audio_sec_synthesized_per_sec_per_chip",
+                # vs the measured host mixer rate per core (docs/perf.md)
+                "vs_baseline": round(audio_per_sec / 1029.0, 4),
+            }
+        )
+    )
+
+
 def bench_streaming(args):
     """Single-frame streaming step latency: one 16 ms hop per step."""
     from fullsubnet_tpu.infer.streaming import StreamingFullSubNet
@@ -678,6 +736,7 @@ _SUITE = [
     ("streaming", dict(model="fullsubnet", streams=16)),
     ("serving", dict(model="fullsubnet", batch=32, seconds=8.0)),
     ("data", dict(batch=32, data_workers=0, iters=2)),
+    ("data_device", dict(batch=128)),
 ]
 
 _MODE_FNS = {
@@ -686,6 +745,7 @@ _MODE_FNS = {
     "streaming": bench_streaming,
     "serving": bench_serving,
     "data": bench_data,
+    "data_device": bench_data_device,
 }
 
 
@@ -795,13 +855,22 @@ def main():
         "--data-workers", type=int, default=16,
         help="with --data: loader worker processes",
     )
+    p.add_argument(
+        "--data-device", action="store_true",
+        help="benchmark on-device mixture synthesis (the jitted batched "
+        "snr_mix that [train_dataset.args] device_synthesis fuses into "
+        "the train step)",
+    )
     args = p.parse_args()
 
     if args.chain < 1:
         raise SystemExit("--chain must be >= 1")
     if args.streams > 1 and not args.streaming:
         raise SystemExit("--streams is a --streaming mode option")
-    any_mode = args.streaming or args.train or args.data or args.serving
+    any_mode = (
+        args.streaming or args.train or args.data or args.serving
+        or args.data_device
+    )
     if args.suite or (not any_mode and args.model is None):
         if any_mode:
             raise SystemExit("--suite replaces the mode flags")
@@ -820,6 +889,9 @@ def main():
         return
     if args.train:
         _run_with_retry(lambda: bench_train(args))
+        return
+    if args.data_device:
+        _run_with_retry(lambda: bench_data_device(args))
         return
     if args.data:
         bench_data(args)  # host-only: no tunnel in the loop

@@ -88,6 +88,7 @@ class TrainDataset(BaseDataset):
         pre_load_rir=False,
         num_workers=0,
         seed=0,
+        device_synthesis=False,
     ):
         self.sr = sr
         self.num_workers = num_workers
@@ -126,6 +127,27 @@ class TrainDataset(BaseDataset):
         self.seed = seed
         self.epoch = 0
         self.length = len(self.clean_dataset_list)
+
+        # device synthesis: __getitem__ returns the raw mixture
+        # components (fixed shapes) instead of running snr_mix on the
+        # host; the trainer fuses data/device_mixer.py:device_snr_mix
+        # into the jitted step. RIRs ride in a [rir_samples] buffer, so
+        # the max post-resample RIR length is sized up front from wav
+        # headers alone (no sample decode).
+        self.device_synthesis = bool(device_synthesis)
+        self.rir_samples = 1
+        if self.device_synthesis and self.rir_dataset_list:
+            self.rir_samples = max(
+                self._rir_length(entry) for entry in self.rir_dataset_list
+            )
+
+    def _rir_length(self, entry) -> int:
+        from fullsubnet_tpu.data.wavio import resampled_length, wav_frames
+
+        if not isinstance(entry, (str, os.PathLike)) and len(entry) == 2:
+            return int(np.shape(entry[-1])[-1])  # preloaded (path, array)
+        frames, file_sr, _ = wav_frames(expand_path(os.fspath(entry)))
+        return resampled_length(frames, file_sr, self.sr)
 
     def set_epoch(self, epoch: int):
         """Changes the per-sample RNG stream so every epoch mixes differently."""
@@ -258,6 +280,35 @@ class TrainDataset(BaseDataset):
             if use_reverb
             else None
         )
+
+        if self.device_synthesis:
+            # same RNG stream as snr_mix would consume: channel pick
+            # (multichannel RIRs only), then the loudness draw
+            if rir is not None and rir.ndim > 1:
+                rir = rir[int(rng.integers(0, rir.shape[0])), :]
+            noisy_target_dB_FS = int(
+                rng.integers(
+                    self.target_dB_FS - self.target_dB_FS_floating_value,
+                    self.target_dB_FS + self.target_dB_FS_floating_value,
+                )
+            )
+            rir_buf = np.zeros(self.rir_samples, dtype=np.float32)
+            if rir is not None:
+                if len(rir) > self.rir_samples:
+                    raise ValueError(
+                        f"RIR of {len(rir)} samples exceeds the header-"
+                        f"sized buffer ({self.rir_samples}); is the RIR "
+                        "list stable since dataset construction?"
+                    )
+                rir_buf[: len(rir)] = rir
+            return (
+                clean_y.astype(np.float32),
+                noise_y.astype(np.float32),
+                rir_buf,
+                np.float32(rir is not None),
+                np.float32(snr),
+                np.float32(noisy_target_dB_FS),
+            )
 
         noisy_y, clean_y = self.snr_mix(
             clean_y=clean_y,

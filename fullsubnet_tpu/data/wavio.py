@@ -45,6 +45,43 @@ def read_wav(path: str | os.PathLike, sr: int | None = None, mono: bool = False)
     return audio, file_sr
 
 
+def wav_frames(path: str | os.PathLike) -> tuple[int, int, int]:
+    """(frames, sample_rate, channels) from the RIFF header alone — no
+    sample data read. Lets a dataset size fixed-shape buffers (e.g. the
+    max RIR length for device synthesis) without decoding every file."""
+    import struct
+
+    with open(os.fspath(path), "rb") as f:
+        riff, _size, wave = struct.unpack("<4sI4s", f.read(12))
+        if riff != b"RIFF" or wave != b"WAVE":
+            raise ValueError(f"not a RIFF/WAVE file: {path}")
+        sr = channels = block_align = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                raise ValueError(f"no data chunk found: {path}")
+            cid, csize = struct.unpack("<4sI", hdr)
+            if cid == b"fmt ":
+                fmt = f.read(csize)
+                channels, sr = struct.unpack("<HI", fmt[2:8])
+                (block_align,) = struct.unpack("<H", fmt[12:14])
+            elif cid == b"data":
+                if not (sr and channels and block_align):
+                    raise ValueError(f"data chunk before fmt: {path}")
+                return csize // block_align, sr, channels
+            else:
+                f.seek(csize + (csize & 1), 1)  # chunks are word-aligned
+
+
+def resampled_length(frames: int, file_sr: int, sr: int) -> int:
+    """Output length of ``resample_poly`` for a file_sr -> sr resample
+    (== ceil(frames * up / down) with the reduced fraction)."""
+    if sr == file_sr:
+        return frames
+    frac = Fraction(sr, file_sr)
+    return -(-frames * frac.numerator // frac.denominator)
+
+
 def load_wav(file, sr: int = 16000):
     """Reference-compatible loader (``audio_zen/acoustics/feature.py:117``):
     accepts a path or a (name, array) pair; returns the waveform."""

@@ -327,6 +327,22 @@ class Trainer:
                 x, NamedSharding(self.mesh, P(None, "data", None))
             )
 
+        # device synthesis: the loader ships raw mixture components and
+        # the mixing DSP (RIR reverb, SNR mix, loudness, clip rescue)
+        # runs batched INSIDE this jitted step — the host does IO only
+        # (data/device_mixer.py; [train_dataset.args] device_synthesis)
+        device_synth = bool(
+            getattr(self.train_dataset, "device_synthesis", False)
+        )
+        if device_synth:
+            from fullsubnet_tpu.data.device_mixer import (
+                make_device_synthesis,
+            )
+
+            synthesize = make_device_synthesis(
+                target_db_fs=float(self.train_dataset.target_dB_FS)
+            )
+
         def step(state, noisy, clean):
             g_accum = pick_accum(noisy.shape[0], noisy.shape[1])
             if g_accum > 1:
@@ -354,6 +370,24 @@ class Trainer:
         data_sh = batch_sharding(self.mesh, ndim=2)
         repl = replicated_sharding(self.mesh)
         state_sh = jax.tree.map(lambda _: repl, self.state)
+        if device_synth:
+            vec_sh = batch_sharding(self.mesh, ndim=1)
+
+            def step_synth(state, clean_c, noise_c, rir_c, flags, snr_c, tdb):
+                noisy, clean = synthesize(
+                    (clean_c, noise_c, rir_c, flags, snr_c, tdb)
+                )
+                return step(state, noisy, clean)
+
+            return jax.jit(
+                step_synth,
+                in_shardings=(
+                    state_sh, data_sh, data_sh, data_sh,
+                    vec_sh, vec_sh, vec_sh,
+                ),
+                out_shardings=(state_sh, repl),
+                donate_argnums=(0,),
+            )
         return jax.jit(
             step,
             in_shardings=(state_sh, data_sh, data_sh),
@@ -512,9 +546,11 @@ class Trainer:
             loss_count += len(window)
 
         self.train_loader.set_epoch(epoch)
-        for noisy, clean in self.train_loader:
+        for batch in self.train_loader:
+            # (noisy, clean) — or the 6 raw components under device
+            # synthesis; either way batch-sharded over the data axis
             batch = shard_batch(
-                (jnp.asarray(noisy), jnp.asarray(clean)), self.mesh
+                tuple(jnp.asarray(x) for x in batch), self.mesh
             )
             self.state, loss = self._train_step(self.state, *batch)
             losses.append(loss)
