@@ -350,9 +350,9 @@ def bench_data(args):
 def bench_data_device(args):
     """On-device mixture synthesis throughput: the jitted batched
     snr_mix (RIR reverb + SNR mix + loudness + clip rescue) that
-    ``device_synthesis = true`` fuses into the train step, plus the
-    relieved host loader (components only — IO and byte shuffling,
-    zero DSP)."""
+    ``device_synthesis = true`` fuses into the train step. Device
+    mixer only — the relieved host loader (pure IO) is ``--data``'s
+    territory."""
     from fullsubnet_tpu.data.device_mixer import device_snr_mix
 
     sr = args.sr

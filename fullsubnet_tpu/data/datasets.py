@@ -188,6 +188,24 @@ class TrainDataset(BaseDataset):
         return noise_y
 
     @staticmethod
+    def mix_draws(rng, rir, target_dB_FS, target_dB_FS_floating_value):
+        """The two RNG draws ``snr_mix`` consumes, in its exact order:
+        the RIR channel pick (multichannel RIRs only), then the mixture
+        loudness target. Single source of truth so the device-synthesis
+        path stays draw-for-draw in sync with the host mixer — any new
+        draw must be added HERE, never inline in one of the consumers.
+        Returns (mono_rir_or_None, noisy_target_dB_FS)."""
+        if rir is not None and rir.ndim > 1:
+            rir = rir[int(rng.integers(0, rir.shape[0])), :]
+        noisy_target_dB_FS = int(
+            rng.integers(
+                target_dB_FS - target_dB_FS_floating_value,
+                target_dB_FS + target_dB_FS_floating_value,
+            )
+        )
+        return rir, noisy_target_dB_FS
+
+    @staticmethod
     def snr_mix(
         clean_y,
         noise_y,
@@ -206,22 +224,16 @@ class TrainDataset(BaseDataset):
         mixture loudness to target±floating dBFS, rescale both if clipped.
         """
         rng = rng or np.random.default_rng()
+        rir, noisy_target_dB_FS = TrainDataset.mix_draws(
+            rng, rir, target_dB_FS, target_dB_FS_floating_value
+        )
         if rir is not None:
-            if rir.ndim > 1:
-                rir = rir[int(rng.integers(0, rir.shape[0])), :]
             # convolve up front with scipy's pocketfft (SIMD native,
             # GIL-releasing) — measured ~2x our C++ radix-2 engine. scipy
             # is a hard dependency of this module; the C++ engine
             # (native.fft_convolve_trunc) serves thread-pool callers that
             # want the whole mix GIL-free, not this path.
             clean_y = signal.fftconvolve(clean_y, rir)[: len(clean_y)]
-
-        noisy_target_dB_FS = int(
-            rng.integers(
-                target_dB_FS - target_dB_FS_floating_value,
-                target_dB_FS + target_dB_FS_floating_value,
-            )
-        )
 
         # native C++ fast path for the pointwise mix (GIL-free)
         from fullsubnet_tpu import native
@@ -282,15 +294,10 @@ class TrainDataset(BaseDataset):
         )
 
         if self.device_synthesis:
-            # same RNG stream as snr_mix would consume: channel pick
-            # (multichannel RIRs only), then the loudness draw
-            if rir is not None and rir.ndim > 1:
-                rir = rir[int(rng.integers(0, rir.shape[0])), :]
-            noisy_target_dB_FS = int(
-                rng.integers(
-                    self.target_dB_FS - self.target_dB_FS_floating_value,
-                    self.target_dB_FS + self.target_dB_FS_floating_value,
-                )
+            # consume the SAME RNG stream snr_mix would (shared helper)
+            rir, noisy_target_dB_FS = self.mix_draws(
+                rng, rir, self.target_dB_FS,
+                self.target_dB_FS_floating_value,
             )
             rir_buf = np.zeros(self.rir_samples, dtype=np.float32)
             if rir is not None:

@@ -89,7 +89,14 @@ def device_snr_mix(
     snr = jnp.asarray(snr, jnp.float32)[:, None]
     noisy_target_db_fs = jnp.asarray(noisy_target_db_fs, jnp.float32)[:, None]
 
-    reverbed = fft_convolve_trunc(clean, rir.astype(jnp.float32))
+    # static no-reverb gate: a dataset with no usable RIRs ships a [B, 1]
+    # placeholder buffer (TrainDataset.rir_samples == 1) — a length-1
+    # kernel convolves to a plain per-row scale, so skip the full-batch
+    # FFT (2x rfft + irfft at next_pow2(L)) at trace time.
+    if rir.shape[-1] > 1:
+        reverbed = fft_convolve_trunc(clean, rir.astype(jnp.float32))
+    else:
+        reverbed = clean * rir.astype(jnp.float32)
     clean = jnp.where(reverb_mask, reverbed, clean)
 
     # norm_amplitude + tailor_dB_FS on both signals

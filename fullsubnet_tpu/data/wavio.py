@@ -62,7 +62,7 @@ def wav_frames(path: str | os.PathLike) -> tuple[int, int, int]:
                 raise ValueError(f"no data chunk found: {path}")
             cid, csize = struct.unpack("<4sI", hdr)
             if cid == b"fmt ":
-                fmt = f.read(csize)
+                fmt = f.read(csize + (csize & 1))  # incl. the pad byte
                 channels, sr = struct.unpack("<HI", fmt[2:8])
                 (block_align,) = struct.unpack("<H", fmt[12:14])
             elif cid == b"data":

@@ -680,7 +680,7 @@ class FullSubNet:
         return (io + sb_stash + spectra + fb_stash) // mesh_size + fixed
 
     def recommended_grad_accum(
-        self, b, t, itemsize=2, drop_groups=1, mesh=None
+        self, b, t, itemsize=2, drop_groups=1, mesh=None, extra_bytes=0
     ):
         """Auto-pick the trainer-level gradient-accumulation split G for
         a (batch, frames) training shape — the capacity strategy that
@@ -702,6 +702,13 @@ class FullSubNet:
         Returns 1 when no split helps (e.g. the shipped B<=128 x 3.072 s
         recipes, which already run monolithic), so auto mode never
         changes behavior where the current path is already optimal.
+
+        ``extra_bytes``: per-device bytes of persistent full-batch
+        buffers that live through the whole step but are NOT in
+        :meth:`_accum_total_bytes`'s calibration — e.g. the raw mixture
+        components under device synthesis (the synthesis runs once over
+        the full batch regardless of G, so its buffers shrink the
+        headroom available to the train step rather than splitting).
         """
         unit = (2 * self.sb_num_neighbors + 1) + (2 * self.fb_num_neighbors + 1)
         f_eff = (
@@ -729,17 +736,18 @@ class FullSubNet:
                 <= self._PALLAS_TRAIN_STASH_BUDGET * mesh_size
             )
 
+        cap = self._ACCUM_HBM_CAP - int(extra_bytes)
         splits = [g for g in (1, 2, 4, 8, 16, 32, 64) if g <= b and valid(g)]
         for g in splits:  # rule 1: monolithic microbatch, not too small
             bg = b // g
             if bg >= 64 and monolithic(bg) and self._accum_total_bytes(
                 bg, f_eff, t, unit, itemsize, mesh_size
-            ) <= self._ACCUM_HBM_CAP:
+            ) <= cap:
                 return g
         for g in splits:  # rule 2: largest microbatch that fits HBM
             if self._accum_total_bytes(
                 b // g, f_eff, t, unit, itemsize, mesh_size
-            ) <= self._ACCUM_HBM_CAP:
+            ) <= cap:
                 return g
         return splits[-1] if splits else 1
 

@@ -303,10 +303,19 @@ class Trainer:
                 return 1
             t = num_samples // hop + 1
             itemsize = 2 if use_bf16 else 4
+            extra = 0
+            if device_synth:
+                # raw mixture components (clean + noise [B, L] f32 and
+                # the RIR buffer) are live through the whole fused step
+                # and shard over the data axis only — they shrink the
+                # headroom the accum picker can hand the train step
+                r = int(getattr(self.train_dataset, "rir_samples", 1))
+                extra = (2 * b * num_samples + b * r) * 4 // max(data_div, 1)
             return picker(
                 b, t, itemsize=itemsize,
                 drop_groups=groups if groups > 1 and b > groups else 1,
                 mesh=self.mesh if self.num_devices > 1 else None,
+                extra_bytes=extra,
             )
 
         def microbatches(x, g):

@@ -79,6 +79,72 @@ def test_device_snr_mix_matches_host():
     assert np.abs(dev_noisy[4]).max() <= 0.999
 
 
+def test_device_snr_mix_no_rir_static_gate():
+    """A [B, 1] placeholder RIR buffer (dataset with no usable RIRs)
+    must trace WITHOUT the full-batch FFT convolution and still match
+    the host mixer; a genuine 1-sample RIR is the exact per-row scale."""
+    import jax
+    from fullsubnet_tpu.data.device_mixer import device_snr_mix
+
+    rng = np.random.default_rng(3)
+    B, L = 4, 2000
+    clean = (0.3 * rng.standard_normal((B, L))).astype(np.float32)
+    noise = (0.1 * rng.standard_normal((B, L))).astype(np.float32)
+    snrs = np.asarray([0.0, 5.0, -3.0, 12.0], np.float32)
+    targets = np.asarray([-25.0, -20.0, -30.0, -25.0], np.float32)
+    rir1 = np.ones((B, 1), np.float32)  # identity kernel
+    flags = np.asarray([0.0, 1.0, 0.0, 1.0], np.float32)
+
+    jaxpr = str(jax.make_jaxpr(device_snr_mix)(
+        clean, noise, rir1, flags, snrs, targets
+    ))
+    assert "fft" not in jaxpr  # the static gate skipped the convolution
+
+    # host oracle: same draws via the shared shadow helper
+    host_targets = np.zeros(B, np.float32)
+    host_noisy, host_clean = [], []
+    for i in range(B):
+        rir = np.ones(1, np.float32) if flags[i] else None
+        n, c, _picked, tgt = _host_mix(
+            clean[i], noise[i], float(snrs[i]), rir, seed=200 + i
+        )
+        host_noisy.append(n)
+        host_clean.append(c)
+        host_targets[i] = tgt
+
+    dev_noisy, dev_clean = device_snr_mix(
+        clean, noise, rir1, flags, snrs, host_targets
+    )
+    np.testing.assert_allclose(
+        np.asarray(dev_noisy), np.stack(host_noisy), rtol=2e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(dev_clean), np.stack(host_clean), rtol=2e-4, atol=1e-5
+    )
+
+
+def test_wav_frames_odd_fmt_chunk(tmp_path):
+    """RIFF requires word alignment: an odd-sized fmt chunk carries a
+    pad byte that must be skipped before the next chunk header."""
+    import struct
+
+    from fullsubnet_tpu.data.wavio import wav_frames
+
+    frames, sr, ch = 777, 8000, 1
+    fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * 2, 2, 16) + b"\x00"
+    assert len(fmt) % 2 == 1  # odd on purpose
+    data = b"\x00\x00" * frames
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 1 + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"\x00"  # pad
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    p = tmp_path / "oddfmt.wav"
+    p.write_bytes(blob)
+    assert wav_frames(p) == (frames, sr, ch)
+
+
 def test_wav_frames_and_resampled_length(tmp_path):
     from fullsubnet_tpu.data.wavio import (
         load_wav,
