@@ -198,8 +198,11 @@ def bench_train(args):
     g_accum = args.accum
     if g_accum == 0:
         picker = getattr(model, "recommended_grad_accum", None)
+        # frame clock: wave-to-wave models own their STFT (use their hop);
+        # spectral models get frames from this bench's stft (hop 256)
+        hop = getattr(model, "hop_length", 256) if waveform_model else 256
         g_accum = 1 if picker is None else picker(
-            args.batch, num_samples // 256 + 1,
+            args.batch, num_samples // hop + 1,
             itemsize=2 if use_bf16 else 4,
             drop_groups=groups if groups > 1 and args.batch > groups else 1,
         )
@@ -730,9 +733,12 @@ _SUITE = [
     ("rtf", dict(model="improved_fullsubnet_48k", sr=48000, batch=32,
                  seconds=10.0)),
     ("train", dict(model="fullsubnet", batch=128)),
-    ("train", dict(model="fast_fullsubnet", batch=64)),
+    # fast/improved at B=128: the auto capacity pickers split to the
+    # measured-optimal microbatch 64 (G=2) — their family records
+    ("train", dict(model="fast_fullsubnet", batch=128)),
     ("train", dict(model="fullband_baseline", batch=100)),
-    ("train", dict(model="improved_fullsubnet", batch=64)),
+    ("train", dict(model="improved_fullsubnet", batch=128)),
+    ("train", dict(model="improved_fullsubnet_48k", batch=64, sr=48000)),
     ("streaming", dict(model="fullsubnet", streams=16)),
     ("serving", dict(model="fullsubnet", batch=32, seconds=8.0)),
     ("data", dict(batch=32, data_workers=0, iters=2)),

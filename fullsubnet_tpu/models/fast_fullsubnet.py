@@ -88,6 +88,38 @@ class FastFullSubNet:
             ],
         }
 
+    def recommended_grad_accum(
+        self, b, t, itemsize=2, drop_groups=1, mesh=None, extra_bytes=0
+    ):
+        """Auto-pick the trainer-level gradient-accumulation split G —
+        same contract as ``FullSubNet.recommended_grad_accum``, scoped to
+        the measured policy only.
+
+        Measured (v5e, bf16, 3.072 s crops): B=64 G=1 2243 audio-s/s,
+        B=128 G=1 2024, B=128 G=2 (microbatch 64) **2702** — the
+        microbatch-64 step shape is the fast family's sweet spot (its
+        bottleneck runs 8 row tiles of 512; bigger microbatches scale the
+        split-dW accumulator traffic), and accumulation amortizes the
+        per-step fixed costs. The policy: the smallest G that lands the
+        per-device microbatch in the measured [64, 72] window (72 = the
+        shipped recipe batch, which stays unsplit). Shapes outside the
+        window return 1 — capacity at extreme shapes is still owned by
+        the kernel's internal escapes (chunked stash / split-dW), which
+        keep any shape trainable.
+
+        ``drop_groups``/``extra_bytes`` accepted for trainer-interface
+        compatibility; the mel-domain family has no drop_band and the
+        policy is throughput-only.
+        """
+        del t, itemsize, drop_groups, extra_bytes
+        data_div = mesh.shape.get("data", 1) if mesh is not None else 1
+        for g in range(1, b + 1):
+            if b % g or (b // g) % max(data_div, 1):
+                continue
+            if 64 <= (b // g) // max(data_div, 1) <= 72:
+                return g
+        return 1
+
     # -- time down/up-sampling (reference :108-140) ---------------------
 
     def real_time_downsampling(self, x: jax.Array) -> jax.Array:

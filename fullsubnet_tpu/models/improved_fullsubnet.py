@@ -125,6 +125,15 @@ class SubbandModel:
             return self.freq_cutoffs[-1], num_freqs
         return self.freq_cutoffs[sb_idx - 1], self.freq_cutoffs[sb_idx]
 
+    def section_stash_budget(self) -> int:
+        """Per-section training stash budget. Sections run sequentially
+        under remat, but their VJP residuals are all live until the
+        backward, so each section only gets a slice of the default
+        budget — enforced both in the kernel-routing gate and inside the
+        kernel (whose chunker would otherwise size its stash against the
+        full default)."""
+        return 6 * 2**30 // max(1, len(self.sb_num_center_freqs))
+
     def __call__(
         self, params, noisy_input: jax.Array, fb_output: jax.Array,
         training: bool = False, valid_total=None,
@@ -169,14 +178,7 @@ class SubbandModel:
             flat = sb_in.reshape(b * n_units, width, t)
             sb_params = params["sb_models"][sb_idx]
             rows = b * n_units
-            # Sections run sequentially under remat, but their VJP
-            # residuals are all live until the backward, so each section
-            # only gets a slice of the default stash budget — enforced
-            # both in the gate below AND inside the kernel (whose chunker
-            # would otherwise size its stash against the full default).
-            section_budget = 6 * 2**30 // max(
-                1, len(self.sb_num_center_freqs)
-            )
+            section_budget = self.section_stash_budget()
             if training:
                 from fullsubnet_tpu.ops.subband_lstm import (
                     train_bwd_peak_bytes,
@@ -304,6 +306,108 @@ class ImprovedFullSubNet:
             "fb_model": self.fb_model.init(kf, dtype, orthogonal_init=weight_init),
             "sb_model": self.sb_model.init(ks, dtype, weight_init=weight_init),
         }
+
+    # usable HBM for the auto grad-accum estimate (same headroom rationale
+    # as FullSubNet._ACCUM_HBM_CAP: v5e has 15.75 GB; leave room for XLA
+    # fragmentation and optimizer transients)
+    _ACCUM_HBM_CAP = int(14 * 2**30)
+
+    def _section_shapes(self):
+        """Static (n_units, width) per sub-band section at the model's F
+        (last bin dropped), mirroring ``SubbandModel.__call__``'s unfolds."""
+        f = self.num_freqs - 1
+        shapes = []
+        sb = self.sb_model
+        for i in range(len(sb.sb_models)):
+            lower, upper = sb._section_bounds(i, f)
+            sc = sb.sb_num_center_freqs[i]
+            sn = sb.sb_num_neighbor_freqs[i]
+            fc = sb.fb_num_center_freqs[i]
+            fn = sb.fb_num_neighbor_freqs[i]
+            shapes.append(
+                ((upper - lower) // sc, (sc + 2 * sn) + (fc + 2 * fn))
+            )
+        return shapes
+
+    def recommended_grad_accum(
+        self, b, t, itemsize=2, drop_groups=1, mesh=None, extra_bytes=0
+    ):
+        """Auto-pick the trainer-level gradient-accumulation split G for a
+        (batch, frames) training shape — same contract as
+        ``FullSubNet.recommended_grad_accum``.
+
+        The improved family's capacity pinch is the SECTION stash budget:
+        the sub-band sections run sequentially but their VJP residuals are
+        all live until the backward, so each section gets only
+        ``6 GB / num_sections``. Once any section's microbatch stash
+        exceeds that, the kernel time-chunks and throughput drops
+        (measured, v5e bf16 3.072 s crops: 16 kHz B=64 → 1051 audio-s/s
+        monolithic vs B=128 → 883 chunked; G=2 at B=128 restores the
+        B=64 step shape). The policy mirrors the flagship's:
+
+        1. the smallest G whose microbatch keeps EVERY section's stash
+           monolithic within its budget (and every section on the kernel
+           path: rows ≥ 128), else
+        2. the smallest G whose estimated HBM total fits the chip.
+
+        ``drop_groups`` is accepted for trainer-interface compatibility
+        but unused — the wave-to-wave family has no drop_band.
+        ``extra_bytes``: persistent full-batch buffers outside this
+        estimate (e.g. device-synthesis components).
+        """
+        del drop_groups
+        sb0 = self.sb_model.sb_models[0]
+        hidden = sb0.hidden_size
+        n_stash = 4 if sb0.sequence_model.lower() == "lstm" else 2
+        t8 = -(-t // 8) * 8
+        budget = self.sb_model.section_stash_budget()
+        shapes = self._section_shapes()
+        data_div = mesh.shape.get("data", 1) if mesh is not None else 1
+
+        def pad128(n):
+            return -(-n // 128) * 128
+
+        def valid(g):
+            bg = b // g
+            return b % g == 0 and bg % max(data_div, 1) == 0
+
+        def stash(bg, n_units):
+            # per-device rows: the batch (hence every section's rows)
+            # shards over the data axis only
+            rows = pad128(-(-bg // max(data_div, 1)) * n_units)
+            return t8 * n_stash * rows * hidden * itemsize
+
+        def monolithic(bg):
+            return all(stash(bg, n) <= budget for n, _ in shapes)
+
+        def kernel_rows(bg):
+            return all((bg // max(data_div, 1)) * n >= 128 for n, _ in shapes)
+
+        def total_bytes(bg):
+            bg_dev = -(-bg // max(data_div, 1))
+            io = sum(
+                3 * t * w * pad128(bg_dev * n) * itemsize for n, w in shapes
+            )
+            stashes = sum(min(stash(bg, n), 2 * budget) for n, _ in shapes)
+            spectra = bg_dev * self.num_freqs * t * 30
+            fb = 4 * 2 * bg_dev * self.fb_model.hidden_size * t * itemsize
+            return io + stashes + spectra + fb + int(0.3 * 2**30)
+
+        cap = self._ACCUM_HBM_CAP - int(extra_bytes)
+        splits = [g for g in (1, 2, 4, 8, 16, 32, 64) if g <= b and valid(g)]
+        for g in splits:  # rule 1: every section monolithic + kernel-routed
+            bg = b // g
+            if (
+                bg // max(data_div, 1) >= 16
+                and kernel_rows(bg)
+                and monolithic(bg)
+                and total_bytes(bg) <= cap
+            ):
+                return g
+        for g in splits:  # rule 2: largest microbatch that fits HBM
+            if total_bytes(b // g) <= cap:
+                return g
+        return splits[-1] if splits else 1
 
     def __call__(
         self,

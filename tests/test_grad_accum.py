@@ -96,6 +96,69 @@ def test_recommended_grad_accum_policy():
         assert b % got == 0 and (b // got) % 2 == 0
 
 
+def test_improved_recommended_grad_accum_policy():
+    """Improved family: the capacity pinch is the per-section stash
+    budget (6 GB / num_sections). Measured (v5e, bf16, 3.072 s crops):
+    16 kHz B=64 G=1 1051 audio-s/s, B=128 G=1 883 (section stash
+    chunked) vs G=2 1133 — the picker must split at B=128 and leave the
+    monolithic shapes alone."""
+    from fullsubnet_tpu.models.improved_fullsubnet import ImprovedFullSubNet
+
+    m16 = ImprovedFullSubNet()
+    t16 = int(16000 * 3.072) // 128 + 1
+    cases16 = {32: 1, 64: 1, 128: 2, 256: 4}
+    for b, want in cases16.items():
+        got = m16.recommended_grad_accum(b, t16, itemsize=2)
+        assert got == want, f"16k B={b}: got G={got}, want {want}"
+        assert b % got == 0
+
+    m48 = ImprovedFullSubNet(
+        n_fft=960, hop_length=480, win_length=960, num_freqs=481,
+        freq_cutoffs=[20, 120, 240],
+        sb_num_center_freqs=[1, 4, 20, 60],
+        sb_num_neighbor_freqs=[15, 15, 15, 15],
+        fb_num_center_freqs=[1, 4, 20, 60],
+        fb_num_neighbor_freqs=[15, 15, 15, 15],
+    )
+    t48 = int(48000 * 3.072) // 480 + 1
+    # B=64 is right at the budget edge (largest section 1.49 GiB vs the
+    # 1.5 GiB slice): stays monolithic; doubling again must split
+    cases48 = {16: 1, 32: 1, 64: 1, 128: 2}
+    for b, want in cases48.items():
+        got = m48.recommended_grad_accum(b, t48, itemsize=2)
+        assert got == want, f"48k B={b}: got G={got}, want {want}"
+
+
+def test_fast_recommended_grad_accum_policy():
+    """Fast family: measured 2702 audio-s/s at B=128 G=2 (microbatch 64)
+    vs 2024 unsplit; the shipped B=72 recipe and anything that can't hit
+    the measured [64, 72] microbatch window stays unsplit."""
+    from fullsubnet_tpu.models.fast_fullsubnet import FastFullSubNet
+
+    m = FastFullSubNet()
+    t = int(16000 * 3.072) // 256 + 1
+    cases = {64: 1, 72: 1, 96: 1, 128: 2, 144: 2, 256: 4, 640: 10}
+    for b, want in cases.items():
+        got = m.recommended_grad_accum(b, t, itemsize=2)
+        assert got == want, f"B={b}: got G={got}, want {want}"
+        assert b % got == 0
+
+
+def test_improved_grad_accum_respects_data_axis():
+    from fullsubnet_tpu.models.improved_fullsubnet import ImprovedFullSubNet
+    from fullsubnet_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(num_data=4, num_subband=2)
+    m = ImprovedFullSubNet()
+    t = int(16000 * 3.072) // 128 + 1
+    g = m.recommended_grad_accum(512, t, itemsize=2, mesh=mesh)
+    assert 512 % g == 0
+    assert (512 // g) % 4 == 0  # data axis divisibility
+    # 4-way data sharding quarters every section's rows: the same global
+    # batch needs a split no larger than the single-chip pick
+    assert g <= m.recommended_grad_accum(512, t, itemsize=2)
+
+
 def test_recommended_grad_accum_respects_mesh():
     """With a mesh, microbatches must stay divisible by the data axis
     and the kernel's row split — and per-device capacity scales, so the
