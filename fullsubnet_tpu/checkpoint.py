@@ -152,6 +152,109 @@ CONVERTERS = {
 }
 
 
+# --------------------------------------------------------------------------
+# pytree -> PyTorch export (inverse of the converters above)
+# --------------------------------------------------------------------------
+#
+# Because our params keep the torch layout (no transposes, no gate
+# re-ordering — see the module docstring), export is the same pure
+# key-mapping run backwards. This is what lets weights TRAINED by this
+# framework run through tools/parity_gate.py against the reference torch
+# model (audio_zen/trainer/base_trainer.py:194-237 checkpoint format).
+
+
+def _export_sequence_model(params: dict, prefix: str) -> dict:
+    """Our SequenceModel param pytree -> torch state_dict keys under
+    ``prefix`` (inverse of :func:`_convert_sequence_model`)."""
+    out: dict[str, np.ndarray] = {}
+    for li, dirs in enumerate(params["rnn"]):
+        for di, layer in enumerate(dirs):
+            suffix = f"l{li}" + ("_reverse" if di == 1 else "")
+            for name, v in layer.items():
+                kind = "weight" if name.startswith("w_") else "bias"
+                gate = name[2:]  # ih | hh
+                out[f"{prefix}.sequence_model.{kind}_{gate}_{suffix}"] = (
+                    np.asarray(v, np.float32)
+                )
+    if "fc" in params:
+        out[f"{prefix}.fc_output_layer.weight"] = np.asarray(
+            params["fc"]["weight"], np.float32
+        )
+        out[f"{prefix}.fc_output_layer.bias"] = np.asarray(
+            params["fc"]["bias"], np.float32
+        )
+    if "prelu" in params:
+        out[f"{prefix}.activate_function.weight"] = np.asarray(
+            params["prelu"], np.float32
+        )
+    return out
+
+
+def export_fullsubnet(params: dict) -> dict:
+    """Our FullSubNet params -> reference torch state_dict."""
+    return {
+        **_export_sequence_model(params["fb_model"], "fb_model"),
+        **_export_sequence_model(params["sb_model"], "sb_model"),
+    }
+
+
+def export_fullband(params: dict) -> dict:
+    return _export_sequence_model(params["fullband_model"], "fullband_model")
+
+
+def export_fast_fullsubnet(
+    params: dict,
+    num_freqs: int = 257,
+    num_mels: int = 64,
+    sample_rate: int = 16000,
+) -> dict:
+    out = {}
+    for i, p in enumerate(params["encoder"]):
+        out.update(_export_sequence_model(p, f"encoder.{i}"))
+    out.update(_export_sequence_model(params["bottleneck"], "bottleneck"))
+    for i, p in enumerate(params["decoder_lstm"]):
+        out.update(_export_sequence_model(p, f"decoder_lstm.{i}"))
+    # the reference registers torchaudio MelScale's filterbank as a
+    # persistent buffer (fast_fullsubnet/model.py:57 `self.mel_scale`),
+    # so it appears in state_dict — regenerate it (derived, not learned;
+    # our HTK construction is torchaudio-equal, acoustics/filterbank.py)
+    from fullsubnet_tpu.acoustics.filterbank import mel_filterbank
+
+    out["mel_scale.fb"] = mel_filterbank(
+        num_freqs, num_mels, sample_rate, 0.0, sample_rate / 2
+    )
+    return out
+
+
+def export_improved_fullsubnet(params: dict) -> dict:
+    out = _export_sequence_model(params["fb_model"], "fb_model")
+    for i, p in enumerate(params["sb_model"]["sb_models"]):
+        out.update(_export_sequence_model(p, f"sb_model.sb_models.{i}"))
+    return out
+
+
+EXPORTERS = {
+    "fullsubnet": export_fullsubnet,
+    "fullband_baseline": export_fullband,
+    "fast_fullsubnet": export_fast_fullsubnet,
+    "improved_fullsubnet": export_improved_fullsubnet,
+}
+
+
+def save_torch_checkpoint(params: dict, model_name: str, path) -> None:
+    """Write our trained params as a released-format torch ``.tar``
+    (``{"model_state_dict": ...}`` — the wrapper the reference's release
+    checkpoints use, docs/source/usage/release.md) so the weights flow
+    through tools/parity_gate.py and the reference's own loaders."""
+    import torch
+
+    state = {
+        k: torch.from_numpy(np.ascontiguousarray(v).copy())
+        for k, v in EXPORTERS[model_name](params).items()
+    }
+    torch.save({"model_state_dict": state}, os.fspath(path))
+
+
 def load_reference_checkpoint(path, model_name: str, dtype=jnp.float32, **kwargs):
     """One-call path: torch checkpoint file -> our model params pytree."""
     state = load_torch_state_dict(path)

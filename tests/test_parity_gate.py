@@ -118,6 +118,43 @@ def test_parity_gate_detects_mismatch(tmp_path):
     assert rc_tight == 1
 
 
+@pytest.mark.parametrize(
+    "family",
+    ["fullsubnet", "fullband_baseline", "fast_fullsubnet",
+     "improved_fullsubnet"],
+)
+def test_torch_export_roundtrip(tmp_path, family):
+    """convert -> export is the identity on the torch state_dict (keys
+    AND values, exactly): weights trained by THIS framework can be
+    written as a released-format .tar and certified via the parity gate.
+    """
+    import numpy as np
+
+    from fullsubnet_tpu.checkpoint import (
+        CONVERTERS,
+        EXPORTERS,
+        load_torch_state_dict,
+        save_torch_checkpoint,
+    )
+
+    ckpt = _fake_released_checkpoint(tmp_path, family)
+    state = load_torch_state_dict(ckpt)
+    kwargs = {"num_sections": 3} if family == "improved_fullsubnet" else {}
+    params = CONVERTERS[family](state, **kwargs)
+    back = EXPORTERS[family](params)
+    assert set(back) == set(state)
+    for k in state:
+        np.testing.assert_array_equal(back[k], np.asarray(state[k], np.float32))
+
+    # and the full file-level roundtrip through the released wrapper
+    out = tmp_path / f"exported_{family}.tar"
+    save_torch_checkpoint(params, family, out)
+    state2 = load_torch_state_dict(out)
+    assert set(state2) == set(state)
+    for k in state:
+        np.testing.assert_array_equal(state2[k], np.asarray(state[k], np.float32))
+
+
 @pytest.mark.skipif(
     not os.environ.get("FULLSUBNET_RELEASED_CKPT"),
     reason="set FULLSUBNET_RELEASED_CKPT to the released .tar to certify",
