@@ -1,0 +1,619 @@
+"""Train-to-quality + released-weight parity certification (VERDICT r4 #1).
+
+The BASELINE gate needs REAL weights. The reference's released ``.tar``
+checkpoints are not obtainable in this environment (zero egress), so this
+tool produces the strongest available substitute, end to end on the chip:
+
+  1. provision a diverse synthetic DNS-style corpus (harmonic speech-like
+     cleans with varied f0/rolloff/AM, colored + modulated noises,
+     exponential-decay RIRs) and a dns_1-layout validation set,
+  2. train each family through the REAL train CLI
+     (``fullsubnet_tpu.train.cli``) with the SHIPPED recipe
+     hyperparameters (the same ctor kwargs tools/parity_gate.py builds
+     with) — the flagship for ~20k steps with ``device_synthesis=true``,
+     the other families shorter,
+  3. audit the TensorBoard trajectory: train loss improves, and at EVERY
+     validation the enhanced STOI/WB-PESQ beat the noisy baseline with a
+     final margin (the "this framework trains models that actually
+     enhance" evidence),
+  4. restore the best Orbax checkpoint, export it as a released-format
+     torch ``.tar`` (fullsubnet_tpu.checkpoint.save_torch_checkpoint),
+     and run ``tools/parity_gate.py`` on it — our model vs the reference
+     torch model with the SAME trained weights at realistic lengths — on
+     the strict CPU-f32 backend (and optionally on the TPU backend with
+     the bf16-aware tolerance).
+
+Writes ``<out>.json`` (one section per family: training trajectory +
+checks, gate verdicts) and ``<out>.md``. Exit 0 iff every family's
+training checks AND gate verdicts pass.
+
+Usage:
+    python tools/train_quality.py --workdir /tmp/fsn_quality --out PARITY_r05
+    # CPU smoke: --smoke (tiny model, 2 epochs, cpu platform)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+
+# ---------------------------------------------------------------------------
+# corpus: richer than the soak's (diversity -> the trained model must
+# generalize to parity_gate's held-out testbed, not memorize)
+# ---------------------------------------------------------------------------
+
+def _speechlike(rng, sr, seconds):
+    t = np.arange(int(sr * seconds)) / sr
+    f0 = 70.0 + 180.0 * rng.random()           # 70..250 Hz
+    rolloff = 0.7 + 0.9 * rng.random()         # harmonic decay exponent
+    y = np.zeros_like(t)
+    for k in range(1, 17):
+        if k * f0 > 0.45 * sr:
+            break
+        y += rng.random() / k**rolloff * np.sin(
+            2 * np.pi * k * f0 * t + rng.random() * 6.28
+        )
+    env = 0.5 * (1 + np.sin(2 * np.pi * (1.2 + 2.3 * rng.random()) * t))
+    env *= np.sin(2 * np.pi * (0.25 + 0.3 * rng.random()) * t + rng.random() * 6.28) > -0.5
+    y *= env
+    y /= np.max(np.abs(y)) + 1e-9
+    return (0.7 * y).astype(np.float32)
+
+
+def _noiselike(rng, sr, seconds):
+    """Colored noise, sometimes amplitude-modulated or tonal-contaminated."""
+    n = int(sr * seconds)
+    tilt = 0.8 * rng.random()                   # white .. brown-ish
+    spec = np.fft.rfft(rng.standard_normal(n))
+    spec /= np.maximum(1.0, np.arange(len(spec))) ** tilt
+    y = np.fft.irfft(spec, n)
+    kind = rng.integers(3)
+    if kind == 1:  # modulated (machinery / babble-ish)
+        t = np.arange(n) / sr
+        y *= 0.6 + 0.4 * np.sin(2 * np.pi * (2.0 + 6.0 * rng.random()) * t)
+    elif kind == 2:  # tonal contamination (hum / whine)
+        t = np.arange(n) / sr
+        y += 0.3 * np.sin(2 * np.pi * (60.0 + 900.0 * rng.random()) * t)
+    y /= np.max(np.abs(y)) + 1e-9
+    return (0.5 * y).astype(np.float32)
+
+
+def _rir(rng, sr):
+    seconds = 0.08 + 0.3 * rng.random()
+    n = int(sr * seconds)
+    h = rng.standard_normal(n) * np.exp(-np.arange(n) / ((0.02 + 0.08 * rng.random()) * sr))
+    h[0] = 1.0
+    # a few discrete early reflections
+    for _ in range(rng.integers(1, 4)):
+        h[rng.integers(1, max(2, n // 4))] += 0.5 * rng.random()
+    h /= np.max(np.abs(h))
+    return h.astype(np.float32)
+
+
+def provision_corpus(workdir: Path, args) -> Path:
+    from fullsubnet_tpu.data.wavio import write_wav
+
+    sr = 16000
+    rng = np.random.default_rng(args.seed + 2026)
+    data = workdir / "data"
+    if (data / ".provisioned").exists():
+        return data
+    for sub in ("clean", "noise", "rir"):
+        (data / sub).mkdir(parents=True, exist_ok=True)
+
+    clean_paths = []
+    for i in range(args.n_clean):
+        p = data / "clean" / f"clean_{i:04d}.wav"
+        write_wav(p, _speechlike(rng, sr, 4.0 + 3.0 * rng.random()), sr)
+        clean_paths.append(str(p))
+    noise_paths = []
+    for i in range(args.n_noise):
+        p = data / "noise" / f"noise_{i:03d}.wav"
+        write_wav(p, _noiselike(rng, sr, 3.0 + 4.0 * rng.random()), sr)
+        noise_paths.append(str(p))
+    rir_paths = []
+    for i in range(args.n_rir):
+        p = data / "rir" / f"rir_{i:02d}.wav"
+        write_wav(p, _rir(rng, sr), sr)
+        rir_paths.append(str(p))
+    (data / "noise.txt").write_text("\n".join(noise_paths) + "\n")
+    (data / "rir.txt").write_text("\n".join(rir_paths) + "\n")
+    (data / "clean_pool.json").write_text(json.dumps(clean_paths))
+
+    # dns_1 validation layout, held-out material (fresh rng draws)
+    for cond in ("with_reverb", "no_reverb"):
+        nd = data / "val" / cond / "noisy"
+        cd = data / "val" / cond / "clean"
+        nd.mkdir(parents=True, exist_ok=True)
+        cd.mkdir(parents=True, exist_ok=True)
+        for i in range(args.n_val):
+            clean = _speechlike(rng, sr, 3.0)
+            if cond == "with_reverb":
+                h = _rir(rng, sr)
+                rev = np.convolve(clean, h)[: len(clean)].astype(np.float32)
+            else:
+                rev = clean
+            noise = _noiselike(rng, sr, 3.0)
+            snr = (-2.0, 2.0, 5.0, 10.0)[i % 4]
+            noisy = rev + noise * (
+                np.std(rev) / (np.std(noise) + 1e-9) * 10 ** (-snr / 20)
+            )
+            peak = max(np.max(np.abs(noisy)), np.max(np.abs(clean)), 1e-9)
+            write_wav(nd / f"synthetic_snr{int(snr)}_fileid_{i}.wav",
+                      (noisy / peak * 0.9).astype(np.float32), sr)
+            write_wav(cd / f"clean_fileid_{i}.wav",
+                      (clean / peak * 0.9).astype(np.float32), sr)
+    (data / ".provisioned").write_text("ok")
+    return data
+
+
+def _clean_list_for(data: Path, steps_per_epoch: int, batch: int) -> Path:
+    """Dataset length == list length: repeat the pool to hit
+    steps_per_epoch at the configured batch."""
+    pool = json.loads((data / "clean_pool.json").read_text())
+    n_lines = steps_per_epoch * batch
+    lines = [pool[i % len(pool)] for i in range(n_lines)]
+    out = data / f"clean_{steps_per_epoch}x{batch}.txt"
+    out.write_text("\n".join(lines) + "\n")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# family recipes: model blocks mirror the SHIPPED recipe TOMLs, which are
+# exactly what tools/parity_gate.py's builders construct
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_MODEL = """
+[model]
+path = "fullsubnet.model.Model"
+[model.args]
+sb_num_neighbors = 15
+fb_num_neighbors = 0
+num_freqs = 257
+look_ahead = 2
+sequence_model = "LSTM"
+fb_output_activate_function = "ReLU"
+sb_output_activate_function = false
+fb_model_hidden_size = 512
+sb_model_hidden_size = 384
+weight_init = false
+norm_type = "{norm_type}"
+num_groups_in_drop_band = 2
+"""
+
+_FULLBAND_MODEL = """
+[model]
+path = "fullband_baseline.model.Model"
+[model.args]
+num_freqs = 257
+look_ahead = 2
+sequence_model = "LSTM"
+output_activate_function = false
+hidden_size = 512
+weight_init = false
+norm_type = "{norm_type}"
+"""
+
+_FAST_MODEL = """
+[model]
+path = "fast_fullsubnet.model.Model"
+[model.args]
+look_ahead = 2
+shrink_size = 2
+sequence_model = "LSTM"
+encoder_input_size = 257
+num_mels = 64
+bottleneck_hidden_size = 384
+bottleneck_num_layers = 2
+noisy_input_num_neighbors = 5
+encoder_output_num_neighbors = 0
+norm_type = "{norm_type}"
+"""
+
+_IMPROVED_MODEL = """
+[model]
+path = "improved_fullsubnet.model.Model"
+[model.args]
+n_fft = 512
+hop_length = 128
+win_length = 512
+fdrc = 0.5
+num_freqs = 257
+freq_cutoffs = [20, 80]
+sb_num_center_freqs = [1, 4, 8]
+sb_num_neighbor_freqs = [15, 15, 15]
+fb_num_center_freqs = [1, 4, 8]
+fb_num_neighbor_freqs = [15, 15, 15]
+fb_hidden_size = 512
+sb_hidden_size = 384
+sequence_model = "LSTM"
+fb_output_activate_function = false
+sb_output_activate_function = false
+norm_type = "{norm_type}"
+"""
+
+# name -> (gate family, norm_type, model block, loss, hop, is_flagship)
+FAMILY_RUNS = {
+    "fullsubnet": ("fullsubnet", "offline_laplace_norm", _FLAGSHIP_MODEL,
+                   "mse_loss", 256, True),
+    "fullsubnet_cum": ("fullsubnet", "cumulative_laplace_norm",
+                       _FLAGSHIP_MODEL, "mse_loss", 256, False),
+    "fullband_baseline": ("fullband_baseline", "offline_laplace_norm",
+                          _FULLBAND_MODEL, "mse_loss", 256, False),
+    "fast_fullsubnet": ("fast_fullsubnet", "offline_laplace_norm",
+                        _FAST_MODEL, "mse_loss", 256, False),
+    "improved_fullsubnet": ("improved_fullsubnet", "offline_laplace_norm",
+                            _IMPROVED_MODEL, "si_snr_loss", 128, False),
+}
+
+
+def write_toml(workdir: Path, data: Path, run_name: str, args) -> Path:
+    family, norm_type, model_block, loss, hop, flagship = FAMILY_RUNS[run_name]
+    epochs = args.flagship_epochs if flagship else args.aux_epochs
+    clean_txt = _clean_list_for(data, args.steps_per_epoch, args.batch)
+    model = model_block.format(norm_type=norm_type)
+    toml = f"""# generated by tools/train_quality.py — {run_name}
+[meta]
+save_dir = "{workdir / 'exp'}"
+description = "{run_name}"
+seed = {args.seed}
+use_amp = true
+compilation_cache_dir = "{workdir / 'ccache'}"
+
+[acoustics]
+n_fft = 512
+win_length = 512
+sr = 16000
+hop_length = {hop}
+
+[loss_function]
+name = "{loss}"
+[loss_function.args]
+
+[optimizer]
+lr = 0.001
+beta1 = 0.9
+beta2 = 0.999
+
+[train_dataset]
+path = "dataset_train.Dataset"
+[train_dataset.args]
+clean_dataset = "{clean_txt}"
+noise_dataset = "{data / 'noise.txt'}"
+rir_dataset = "{data / 'rir.txt'}"
+reverb_proportion = 0.75
+silence_length = 0.2
+snr_range = [-5, 20]
+sr = 16000
+sub_sample_length = {args.crop_seconds}
+target_dB_FS = -25
+target_dB_FS_floating_value = 10
+device_synthesis = {str(args.device_synthesis).lower()}
+
+[train_dataset.dataloader]
+batch_size = {args.batch}
+num_workers = {args.loader_workers}
+drop_last = true
+
+[validation_dataset]
+path = "dataset_validation.Dataset"
+[validation_dataset.args]
+dataset_dir_list = ["{data / 'val' / 'with_reverb'}", "{data / 'val' / 'no_reverb'}"]
+sr = 16000
+{model}
+[trainer]
+path = "trainer.Trainer"
+[trainer.train]
+clip_grad_norm_value = 10
+epochs = {epochs}
+save_checkpoint_interval = {args.save_interval}
+[trainer.validation]
+save_max_metric_score = true
+validation_interval = {args.validation_interval}
+[trainer.visualization]
+metrics = ["WB_PESQ", "NB_PESQ", "STOI", "SI_SDR"]
+n_samples = 2
+num_workers = 1
+"""
+    toml_path = workdir / f"{run_name}.toml"
+    toml_path.write_text(toml)
+    return toml_path
+
+
+# ---------------------------------------------------------------------------
+# training subprocess with transient-retry (-R resume), as the soak does
+# ---------------------------------------------------------------------------
+
+def run_training(toml_path: Path, workdir: Path, run_name: str, args) -> dict:
+    log_path = workdir / f"{run_name}.log"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO_ROOT) + os.pathsep + env.get("PYTHONPATH", "")
+    env["PYTHONUNBUFFERED"] = "1"
+    if args.platform:
+        env["JAX_PLATFORMS"] = args.platform
+        env["PALLAS_AXON_POOL_IPS"] = ""
+    t0 = time.time()
+    restarts = 0
+    resume = (workdir / "exp" / run_name / "checkpoints" / "latest").exists()
+    while True:
+        cmd = [sys.executable, "-m", "fullsubnet_tpu.train.cli", "-C", str(toml_path)]
+        if resume:
+            cmd.append("-R")
+        with open(log_path, "ab") as logf:
+            logf.write(f"\n===== launch resume={resume} {time.strftime('%H:%M:%S')} =====\n".encode())
+            logf.flush()
+            proc = subprocess.Popen(cmd, stdout=logf, stderr=subprocess.STDOUT, env=env)
+            try:
+                code = proc.wait(timeout=args.phase_timeout)
+            finally:
+                if proc.poll() is None:
+                    proc.kill()
+                    proc.wait(timeout=60)
+        if code == 0:
+            break
+        restarts += 1
+        resume = (workdir / "exp" / run_name / "checkpoints" / "latest").exists()
+        if restarts > args.max_restarts:
+            raise RuntimeError(
+                f"{run_name}: training failed {restarts}x (last code {code}); "
+                f"see {log_path}"
+            )
+        time.sleep(10.0)
+    return {"restarts": restarts, "wall_seconds": round(time.time() - t0, 1),
+            "log": str(log_path)}
+
+
+# ---------------------------------------------------------------------------
+# audit + export + gate
+# ---------------------------------------------------------------------------
+
+def audit_trajectory(exp_dir: Path, epochs: int, validation_interval: int) -> dict:
+    from tools.train_soak import read_tb_scalars
+
+    scalars = read_tb_scalars(exp_dir / "logs")
+    checks: dict[str, bool] = {}
+
+    loss = dict(scalars.get("Loss/Train", []))
+    es = sorted(loss)
+    checks["loss_every_epoch"] = es == list(range(1, epochs + 1))
+    checks["loss_finite"] = bool(np.isfinite(list(loss.values())).all()) if loss else False
+    if len(es) >= 6:
+        checks["loss_improved"] = (
+            np.mean([loss[e] for e in es[-3:]]) < np.mean([loss[e] for e in es[:3]])
+        )
+    else:
+        checks["loss_improved"] = len(es) >= 2 and loss[es[-1]] < loss[es[0]]
+
+    # enhanced-vs-noisy margin at EVERY validation, both speech types
+    margins: dict[str, list] = {}
+    gain_all, improving = True, True
+    for metric in ("STOI", "WB_PESQ"):
+        for st in ("With_reverb", "No_reverb"):
+            enh = dict(scalars.get(f"Validation/{metric}_{st}_Enhanced", []))
+            noi = dict(scalars.get(f"Validation/{metric}_{st}_Noisy", []))
+            if not enh:
+                continue
+            tr = [[e, round(noi.get(e, float("nan")), 5), round(v, 5)]
+                  for e, v in sorted(enh.items())]
+            margins[f"{metric}_{st}"] = tr
+            vals = [v for _, _, v in tr]
+            # gains over noisy allowed to warm up at the FIRST validation
+            gain_all &= all(v > n for _, n, v in tr[1:]) and len(tr) >= 1
+            # improving trend: final >= first, and the running max is
+            # never undercut by more than a small tolerance
+            tol = 0.02 if metric == "STOI" else 0.12
+            run_max = -1e9
+            for v in vals:
+                if v < run_max - tol:
+                    improving = False
+                run_max = max(run_max, v)
+            improving &= vals[-1] >= vals[0]
+    checks["gain_over_noisy_every_validation"] = gain_all and bool(margins)
+    checks["metric_trajectory_improving"] = improving and bool(margins)
+
+    score = dict(scalars.get("Validation/Score", []))
+    checks["validation_present"] = bool(score)
+    checks["best_beats_first"] = (
+        bool(score) and max(score.values()) > score[min(score)]
+    )
+    return {
+        "pass": all(checks.values()),
+        "checks": checks,
+        "train_loss": [[e, round(v, 6)] for e, v in sorted(loss.items())],
+        "val_score": [[e, round(v, 6)] for e, v in sorted(score.items())],
+        "margins_noisy_vs_enhanced": margins,
+    }
+
+
+def export_best(exp_dir: Path, gate_family: str, out_tar: Path) -> dict:
+    """Best Orbax checkpoint -> released-format torch .tar."""
+    from fullsubnet_tpu.checkpoint import CheckpointManager, save_torch_checkpoint
+
+    mgr = CheckpointManager(exp_dir / "checkpoints", recover=False)
+    which = "best" if mgr.has("best") else "latest"
+    state = mgr.restore(which)
+    params = state["params"] if "params" in state else state
+    save_torch_checkpoint(params, gate_family, out_tar)
+    return {"restored": which, "exported": str(out_tar)}
+
+
+def run_gate(out_tar: Path, gate_family: str, norm_type: str, verdict_path: Path,
+             args, platform: str) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO_ROOT) + os.pathsep + env.get("PYTHONPATH", "")
+    if platform == "cpu":
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PALLAS_AXON_POOL_IPS"] = ""
+    cmd = [
+        sys.executable, str(REPO_ROOT / "tools" / "parity_gate.py"),
+        "-C", str(out_tar), "--model", gate_family, "--norm-type", norm_type,
+        "--n-synthetic", str(args.gate_utterances),
+        "--synthetic-seconds", str(args.gate_seconds),
+        "-O", str(verdict_path),
+    ]
+    rc = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    if not verdict_path.exists():
+        return {"pass": False, "error": rc.stderr[-2000:], "rc": rc.returncode}
+    verdict = json.loads(verdict_path.read_text())
+    verdict["backend"] = platform
+    return verdict
+
+
+# ---------------------------------------------------------------------------
+
+def write_md(results: dict, out_md: Path):
+    lines = [
+        "# Train-to-quality + parity certification — round 5",
+        "",
+        "Weights trained end to end by THIS framework (real train CLI, "
+        "on-chip, device-synthesis data path for the flagship), exported "
+        "as released-format torch checkpoints, certified ours-vs-torch "
+        "via tools/parity_gate.py. Per-family training trajectories show "
+        "enhanced-vs-noisy gains at every validation.",
+        "",
+        f"**Overall: {'PASS' if results['pass'] else 'FAIL'}**",
+        "",
+        "| run | steps | final loss | gate Δmask | gate ΔPESQ | gate ΔSTOI | "
+        "PESQ enh (noisy) | STOI enh (noisy) | pass |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for name, r in results["families"].items():
+        if "error" in r:
+            lines.append(f"| {name} | — | — | — | — | — | — | — | ERROR |")
+            continue
+        tr = r["trajectory"]
+        g = r["gate_cpu"]
+        loss_final = tr["train_loss"][-1][1] if tr["train_loss"] else float("nan")
+        pesq = tr["margins_noisy_vs_enhanced"].get("WB_PESQ_No_reverb", [[0, 0, 0]])[-1]
+        stoi = tr["margins_noisy_vs_enhanced"].get("STOI_No_reverb", [[0, 0, 0]])[-1]
+        lines.append(
+            f"| {name} | {r['total_steps']} | {loss_final:.5f} | "
+            f"{g.get('mask_max_delta', float('nan')):.2e} | "
+            f"{g.get('pesq_max_delta', float('nan')):.4f} | "
+            f"{g.get('stoi_max_delta', float('nan')):.5f} | "
+            f"{pesq[2]:.3f} ({pesq[1]:.3f}) | {stoi[2]:.4f} ({stoi[1]:.4f}) | "
+            f"{'PASS' if r['pass'] else 'FAIL'} |"
+        )
+    lines += ["", "Full trajectories + per-utterance gate rows: see the JSON artifact."]
+    out_md.write_text("\n".join(lines) + "\n")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--out", default="PARITY_r05")
+    ap.add_argument("--families", default=",".join(FAMILY_RUNS),
+                    help="comma list from: " + ",".join(FAMILY_RUNS))
+    ap.add_argument("--flagship-epochs", type=int, default=40)
+    ap.add_argument("--aux-epochs", type=int, default=8)
+    ap.add_argument("--steps-per-epoch", type=int, default=500)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--crop-seconds", type=float, default=3.072)
+    ap.add_argument("--save-interval", type=int, default=10)
+    ap.add_argument("--validation-interval", type=int, default=2)
+    ap.add_argument("--n-clean", type=int, default=192)
+    ap.add_argument("--n-noise", type=int, default=48)
+    ap.add_argument("--n-rir", type=int, default=16)
+    ap.add_argument("--n-val", type=int, default=8, help="utterances per split")
+    ap.add_argument("--loader-workers", type=int, default=2)
+    ap.add_argument("--device-synthesis", action=argparse.BooleanOptionalAction,
+                    default=True)
+    ap.add_argument("--gate-utterances", type=int, default=4)
+    ap.add_argument("--gate-seconds", type=float, default=8.0)
+    ap.add_argument("--gate-onchip", action="store_true",
+                    help="also run the gate on the TPU backend (bf16 tol)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--platform", default=None, help="cpu for smoke runs")
+    ap.add_argument("--phase-timeout", type=float, default=4 * 3600)
+    ap.add_argument("--max-restarts", type=int, default=6)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny flagship, minimal budgets, cpu platform")
+    ap.add_argument("--audit-only", action="store_true",
+                    help="skip training where an exp dir already completed")
+    args = ap.parse_args(argv)
+
+    if args.smoke:
+        args.platform = args.platform or "cpu"
+        args.flagship_epochs, args.aux_epochs = 3, 2
+        args.steps_per_epoch, args.batch = 4, 4
+        args.n_clean, args.n_noise, args.n_rir, args.n_val = 12, 6, 3, 2
+        args.validation_interval = 1
+        args.save_interval = 2
+        args.gate_utterances, args.gate_seconds = 1, 2.0
+
+    workdir = Path(args.workdir).absolute()
+    workdir.mkdir(parents=True, exist_ok=True)
+    data = provision_corpus(workdir, args)
+
+    results: dict = {"tool": "train_quality", "families": {}, "config": {
+        "flagship_epochs": args.flagship_epochs, "aux_epochs": args.aux_epochs,
+        "steps_per_epoch": args.steps_per_epoch, "batch": args.batch,
+        "crop_seconds": args.crop_seconds,
+        "device_synthesis": args.device_synthesis, "smoke": args.smoke,
+    }}
+    overall = True
+    for run_name in args.families.split(","):
+        run_name = run_name.strip()
+        family, norm_type, _mb, _loss, _hop, flagship = FAMILY_RUNS[run_name]
+        epochs = args.flagship_epochs if flagship else args.aux_epochs
+        total_steps = epochs * args.steps_per_epoch
+        print(f"[quality] {run_name}: {total_steps} steps "
+              f"(B={args.batch} x {args.crop_seconds}s)", file=sys.stderr)
+        exp_dir = workdir / "exp" / run_name
+        try:
+            toml_path = write_toml(workdir, data, run_name, args)
+            done_marker = exp_dir / ".train_done"
+            if args.audit_only and done_marker.exists():
+                run_info = {"restarts": -1, "wall_seconds": -1.0,
+                            "log": "(audit-only)"}
+            else:
+                run_info = run_training(toml_path, workdir, run_name, args)
+                done_marker.write_text("ok")
+            trajectory = audit_trajectory(exp_dir, epochs, args.validation_interval)
+            tar = workdir / f"trained_{run_name}.tar"
+            export_info = export_best(exp_dir, family, tar)
+            gate_cpu = run_gate(tar, family, norm_type,
+                                workdir / f"gate_{run_name}_cpu.json",
+                                args, "cpu")
+            entry = {
+                "gate_family": family, "norm_type": norm_type,
+                "total_steps": total_steps, "run": run_info,
+                "export": export_info, "trajectory": trajectory,
+                "gate_cpu": gate_cpu,
+                "pass": bool(trajectory["pass"] and gate_cpu.get("pass")),
+            }
+            if args.gate_onchip and flagship:
+                gate_tpu = run_gate(tar, family, norm_type,
+                                    workdir / f"gate_{run_name}_tpu.json",
+                                    args, "device")
+                entry["gate_tpu"] = gate_tpu
+                entry["pass"] = bool(entry["pass"] and gate_tpu.get("pass"))
+        except Exception as e:  # a family failing must not lose the others
+            entry = {"error": f"{type(e).__name__}: {e}", "pass": False}
+            print(f"[quality] {run_name} FAILED: {e}", file=sys.stderr)
+        overall &= entry["pass"]
+        results["families"][run_name] = entry
+        # checkpoint the artifact after every family
+        results["pass"] = overall
+        Path(f"{args.out}.json").write_text(json.dumps(results, indent=1) + "\n")
+
+    write_md(results, Path(f"{args.out}.md"))
+    print(json.dumps({"pass": overall,
+                      "families": {k: v["pass"] for k, v in results["families"].items()}}))
+    return 0 if overall else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
