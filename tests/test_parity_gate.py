@@ -118,6 +118,35 @@ def test_parity_gate_detects_mismatch(tmp_path):
     assert rc_tight == 1
 
 
+def test_tolerance_backend_policy(tmp_path):
+    """The gate's default tolerances are a decided policy, not an
+    accident: CPU = strict f32, any other backend = bf16-aware (3x
+    headroom over VERIFY_ONCHIP_r04's measured 1.55e-3 on-chip kernel
+    delta). The verdict records backend + gating tolerances, and the
+    CPU run actually gates at the strict values."""
+    from tools.parity_gate import main, tolerances_for
+
+    assert tolerances_for("cpu") == (1e-3, 0.01, 0.001)
+    for backend in ("tpu", "axon"):
+        mask, pesq, stoi = tolerances_for(backend)
+        assert mask == 5e-3 and mask > 3 * 1.55e-3
+        assert (pesq, stoi) == (0.02, 0.002)
+
+    ckpt = _fake_released_checkpoint(tmp_path, "fullsubnet")
+    out = tmp_path / "verdict.json"
+    rc = main([
+        "-C", str(ckpt), "--n-synthetic", "1", "--synthetic-seconds", "1.0",
+        "-O", str(out),
+    ])
+    assert rc == 0
+    verdict = json.loads(out.read_text())
+    assert verdict["backend"] == "cpu"
+    assert verdict["tolerances"] == {"mask": 1e-3, "pesq": 0.01, "stoi": 0.001}
+    # noisy-baseline columns present (enhancement-margin evidence)
+    assert "pesq_noisy" in verdict["utterances"][0]
+    assert verdict["mean_stoi_noisy"] > 0
+
+
 @pytest.mark.parametrize(
     "family",
     ["fullsubnet", "fullband_baseline", "fast_fullsubnet",

@@ -19,8 +19,16 @@ checkpoint converter), then certifies, per utterance:
    cRM decompress -> complex mask multiply -> iSTFT; ``time_domain``
    for improved — inferencer.py:212-215) run end to end on both sides;
    PESQ / STOI computed on both enhanced signals against clean must
-   agree within ``--pesq-tol`` / ``--stoi-tol`` (defaults 0.01 / 0.001 —
-   the BASELINE.json gate).
+   agree within ``--pesq-tol`` / ``--stoi-tol``.
+
+Tolerance policy (``tolerances_for``): defaults depend on the JAX
+backend. CPU = strict f32 mode (mask 1e-3, PESQ 0.01, STOI 0.001 — the
+BASELINE.json gate). TPU = bf16-aware mode (mask 5e-3, PESQ 0.02, STOI
+0.002), justified from the measured on-chip kernel-path delta of 1.55e-3
+(VERIFY_ONCHIP_r04). Explicit ``--*-tol`` flags override. Each verdict
+records the backend and the tolerances it gated with. The ours-side
+pipeline is one jitted program per input length, so the gate runs
+unmodified on the axon TPU backend (no eager complex buffers).
 
 Inputs: either a DNS-style directory pair (``--noisy-dir``/``--clean-dir``,
 e.g. the DNS-1 no_reverb testset the release tables quote) or, with no
@@ -242,30 +250,63 @@ def _torch_enhance_wave(tmodel, noisy):
     return out, out
 
 
-def _ours_enhance_mask(model, params, noisy):
+def _make_ours_mask_fn(model, length: int):
+    """One jitted program: STFT -> model -> cIRM decompress -> complex
+    mask multiply -> iSTFT. Keeping the whole pipeline (incl. all complex
+    math) inside a single jit is what makes the gate runnable on the TPU
+    backend — the axon plugin cannot create complex buffers eagerly."""
+    import jax
     import jax.numpy as jnp
 
     from fullsubnet_tpu.acoustics.mask import decompress_cIRM
     from fullsubnet_tpu.acoustics.stft import istft, stft_complex
 
-    spec = stft_complex(jnp.asarray(noisy)[None], 512, 256, 512)
-    mag = jnp.abs(spec)[:, None]
-    crm = model(params, mag)  # [1, 2, F, T]
-    crm = jnp.transpose(crm, (0, 2, 3, 1))
-    crm_d = decompress_cIRM(crm)
-    er = crm_d[..., 0] * spec.real - crm_d[..., 1] * spec.imag
-    ei = crm_d[..., 1] * spec.real + crm_d[..., 0] * spec.imag
-    enhanced = np.asarray(
-        istft(er + 1j * ei, 512, 256, 512, length=len(noisy))
-    )[0]
-    return np.asarray(crm[0]), enhanced
+    @jax.jit
+    def fn(params, noisy):
+        spec = stft_complex(noisy[None], 512, 256, 512)
+        mag = jnp.abs(spec)[:, None]
+        crm = model(params, mag)  # [1, 2, F, T]
+        crm = jnp.transpose(crm, (0, 2, 3, 1))
+        crm_d = decompress_cIRM(crm)
+        er = crm_d[..., 0] * spec.real - crm_d[..., 1] * spec.imag
+        ei = crm_d[..., 1] * spec.real + crm_d[..., 0] * spec.imag
+        enhanced = istft(er + 1j * ei, 512, 256, 512, length=length)
+        return crm[0], enhanced[0]
+
+    def run(params, noisy):
+        crm, enhanced = fn(params, jnp.asarray(noisy))
+        return np.asarray(crm), np.asarray(enhanced)
+
+    return run
 
 
-def _ours_enhance_wave(model, params, noisy):
+def _make_ours_wave_fn(model, length: int):
+    import jax
     import jax.numpy as jnp
 
-    out = np.asarray(model(params, jnp.asarray(noisy)[None])).squeeze()
-    return out, out
+    fn = jax.jit(lambda params, noisy: model(params, noisy[None]))
+
+    def run(params, noisy):
+        out = np.asarray(fn(params, jnp.asarray(noisy))).squeeze()
+        return out, out
+
+    return run
+
+
+def tolerances_for(backend: str) -> tuple[float, float, float]:
+    """(mask_tol, pesq_tol, stoi_tol) defaults per JAX backend.
+
+    * ``cpu`` — strict f32 mode: both sides compute in float32, so any
+      delta beyond accumulated rounding (1e-3) is a real defect.
+    * anything else (TPU) — bf16-aware mode: the Pallas kernel path's
+      measured on-chip max output delta vs the f32 oracle is 1.55e-3
+      (VERIFY_ONCHIP_r04 ``serving_batch``); 5e-3 gives ~3x headroom
+      without admitting structural errors (a wrong mask is >1e-1). The
+      metric tolerances widen proportionally (PESQ 0.02, STOI 0.002).
+    """
+    if backend == "cpu":
+        return 1e-3, 0.01, 0.001
+    return 5e-3, 0.02, 0.002
 
 
 def main(argv=None):
@@ -284,14 +325,24 @@ def main(argv=None):
     ap.add_argument("--n-synthetic", type=int, default=4,
                     help="bundled-testbed utterance count")
     ap.add_argument("--synthetic-seconds", type=float, default=4.0)
-    ap.add_argument("--mask-tol", type=float, default=1e-3)
-    ap.add_argument("--pesq-tol", type=float, default=0.01)
-    ap.add_argument("--stoi-tol", type=float, default=0.001)
+    ap.add_argument("--mask-tol", type=float, default=None,
+                    help="default: backend policy (CPU strict f32 1e-3; "
+                    "TPU bf16-aware 5e-3 — see tolerances_for)")
+    ap.add_argument("--pesq-tol", type=float, default=None)
+    ap.add_argument("--stoi-tol", type=float, default=None)
     ap.add_argument("-O", "--output", help="write the JSON verdict here too")
     args = ap.parse_args(argv)
 
+    import jax
+
     from fullsubnet_tpu.checkpoint import load_torch_state_dict
     from fullsubnet_tpu.metrics import STOI, WB_PESQ
+
+    backend = jax.default_backend()
+    d_mask, d_pesq, d_stoi = tolerances_for(backend)
+    mask_tol = d_mask if args.mask_tol is None else args.mask_tol
+    pesq_tol = d_pesq if args.pesq_tol is None else args.pesq_tol
+    stoi_tol = d_stoi if args.stoi_tol is None else args.stoi_tol
 
     recipe, build, mode = FAMILIES[args.model]
     ref_kwargs, model, convert = build(args.norm_type)
@@ -311,34 +362,43 @@ def main(argv=None):
     sr = 16000
     rows = []
     ok = True
+    ours_fns: dict[int, object] = {}  # one jitted pipeline per length
     for name, clean, noisy in pairs:
+        if len(noisy) not in ours_fns:
+            make = _make_ours_mask_fn if mode == "mask" else _make_ours_wave_fn
+            ours_fns[len(noisy)] = make(model, len(noisy))
         if mode == "mask":
             out_t, enh_t = _torch_enhance_mask(tmodel, noisy)
-            out_j, enh_j = _ours_enhance_mask(model, params, noisy)
         else:
             out_t, enh_t = _torch_enhance_wave(tmodel, noisy)
-            out_j, enh_j = _ours_enhance_wave(model, params, noisy)
+        out_j, enh_j = ours_fns[len(noisy)](params, noisy)
         mask_delta = float(np.max(np.abs(out_j - out_t)))
 
         pesq_t = float(WB_PESQ(clean, enh_t))
         pesq_j = float(WB_PESQ(clean, enh_j))
         stoi_t = float(STOI(clean, enh_t, sr=sr))
         stoi_j = float(STOI(clean, enh_j, sr=sr))
+        # noisy-input baseline: the enhancement margin this checkpoint
+        # actually delivers (quality evidence, not a parity check)
+        pesq_n = float(WB_PESQ(clean, noisy))
+        stoi_n = float(STOI(clean, noisy, sr=sr))
         row = {
             "utt": name,
             "mask_max_delta": mask_delta,
             "pesq_torch": round(pesq_t, 4),
             "pesq_ours": round(pesq_j, 4),
+            "pesq_noisy": round(pesq_n, 4),
             "pesq_delta": round(abs(pesq_j - pesq_t), 4),
             "stoi_torch": round(stoi_t, 5),
             "stoi_ours": round(stoi_j, 5),
+            "stoi_noisy": round(stoi_n, 5),
             "stoi_delta": round(abs(stoi_j - stoi_t), 5),
             "wave_max_delta": float(np.max(np.abs(enh_j - enh_t))),
         }
         row["pass"] = bool(
-            mask_delta <= args.mask_tol
-            and row["pesq_delta"] <= args.pesq_tol
-            and row["stoi_delta"] <= args.stoi_tol
+            mask_delta <= mask_tol
+            and row["pesq_delta"] <= pesq_tol
+            and row["stoi_delta"] <= stoi_tol
         )
         ok &= row["pass"]
         rows.append(row)
@@ -355,6 +415,8 @@ def main(argv=None):
         "model": args.model,
         "norm_type": args.norm_type,
         "checkpoint": str(args.checkpoint),
+        "backend": backend,
+        "tolerances": {"mask": mask_tol, "pesq": pesq_tol, "stoi": stoi_tol},
         "testbed": "dns-dirs" if args.noisy_dir else "bundled-synthetic",
         "n_utterances": len(rows),
         "pass": bool(ok),
@@ -363,6 +425,8 @@ def main(argv=None):
         "stoi_max_delta": max(r["stoi_delta"] for r in rows),
         "mean_pesq_ours": round(float(np.mean([r["pesq_ours"] for r in rows])), 4),
         "mean_stoi_ours": round(float(np.mean([r["stoi_ours"] for r in rows])), 5),
+        "mean_pesq_noisy": round(float(np.mean([r["pesq_noisy"] for r in rows])), 4),
+        "mean_stoi_noisy": round(float(np.mean([r["stoi_noisy"] for r in rows])), 5),
         "utterances": rows,
     }
     line = json.dumps(verdict)
