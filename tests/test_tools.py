@@ -77,6 +77,77 @@ def test_calculate_metrics_cli(tmp_path):
     assert xlsx_rows[-1][0] == "mean"
 
 
+def test_calculate_metrics_multichannel(tmp_path):
+    # --num_channels N: per-mic est files (…_mic1/_mic2) shrink to one
+    # utterance each; channel 0 (mic1) is scored (reference
+    # tools/calculate_metrics.py:33-56 + reference_channel=0)
+    sr = 16000
+    ref_dir = tmp_path / "ref"
+    est_dir = tmp_path / "est"
+    ref_dir.mkdir()
+    est_dir.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        x = _speech(f=250 + i * 100)
+        write_wav(ref_dir / f"utt{i}_room.wav", x, sr)
+        # mic1 = near-clean (should score high), mic2 = garbage: the tool
+        # must pick mic1, so SI_SDR stays high
+        write_wav(
+            est_dir / f"utt{i}_room_mic1.wav",
+            x + 1e-4 * rng.standard_normal(len(x)).astype(np.float32), sr,
+        )
+        write_wav(
+            est_dir / f"utt{i}_room_mic2.wav",
+            rng.standard_normal(len(x)).astype(np.float32), sr,
+        )
+
+    out = _run(
+        [
+            str(REPO / "tools" / "calculate_metrics.py"),
+            "-R", str(ref_dir), "-E", str(est_dir),
+            "-M", "SI_SDR", "--n_jobs", "2", "--num_channels", "2",
+        ]
+    )
+    assert out.returncode == 0, out.stderr
+    si_sdr = float(out.stdout.split("SI_SDR:")[1].split("±")[0])
+    assert si_sdr > 30.0, out.stdout  # mic2 would score << 0
+
+    # shrink helper parity: strips the trailing _micN token
+    sys.path.insert(0, str(REPO / "tools"))
+    from calculate_metrics import shrink_multi_channel_path
+
+    shrunk = shrink_multi_channel_path(
+        ["a_rev_mic1.wav", "a_rev_mic2.wav", "b_rev_mic1.wav", "b_rev_mic2.wav"], 2
+    )
+    assert shrunk == ["a_rev.wav", "b_rev.wav"]
+
+
+def test_calculate_metrics_multichannel_est_file(tmp_path):
+    # an est FILE with 2 channels: channel 0 is scored (reference
+    # compute_metric loads mono=False and takes est_wav[0])
+    sr = 16000
+    ref_dir = tmp_path / "ref"
+    est_dir = tmp_path / "est"
+    ref_dir.mkdir()
+    est_dir.mkdir()
+    x = _speech()
+    write_wav(ref_dir / "u.wav", x, sr)
+    stereo = np.stack([x, np.zeros_like(x)], axis=0)  # [C, T]
+    write_wav(est_dir / "u.wav", stereo, sr)
+    out = _run(
+        [
+            str(REPO / "tools" / "calculate_metrics.py"),
+            "-R", str(ref_dir), "-E", str(est_dir),
+            "-M", "SI_SDR", "--n_jobs", "1",
+        ]
+    )
+    assert out.returncode == 0, out.stderr
+    si_sdr = float(out.stdout.split("SI_SDR:")[1].split("±")[0])
+    # channel 0 == ref exactly; a channel AVERAGE (half amplitude + zeros)
+    # would still be high — but a channel-0 pick is bit-identical
+    assert si_sdr > 50.0, out.stdout
+
+
 def test_find_wavs_cli(tmp_path):
     d = tmp_path / "wavs"
     d.mkdir()

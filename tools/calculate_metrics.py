@@ -36,6 +36,25 @@ def get_basename(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0]
 
 
+def shrink_multi_channel_path(
+    full_dataset_list: list[str], num_channels: int
+) -> list[str]:
+    """Collapse a per-microphone file list to one logical path per utterance.
+
+    Twin of the reference ``tools/calculate_metrics.py:33-56``: the list is
+    grouped in blocks of ``num_channels`` consecutive files (e.g.
+    ``..._mic1.wav``/``..._mic2.wav``) and each group is represented by its
+    first member with the trailing ``_micN`` token stripped.
+    """
+    assert len(full_dataset_list) % num_channels == 0, "Num error"
+    shrunk = []
+    for index in range(0, len(full_dataset_list), num_channels):
+        full_path = full_dataset_list[index]
+        shrunk.append(f"{'_'.join(full_path.split('_')[:-1])}.wav")
+    assert len(shrunk) == len(full_dataset_list) // num_channels
+    return shrunk
+
+
 def check_two_aligned_list(a, b):
     assert len(a) == len(b), (
         f"The length of two lists are not equal: {len(a)} vs {len(b)}"
@@ -46,7 +65,7 @@ def check_two_aligned_list(a, b):
         )
 
 
-def pre_processing(est, ref, specific_dataset=None):
+def pre_processing(est, ref, specific_dataset=None, num_channels=1):
     ref = Path(ref).expanduser().absolute()
     est = Path(est).expanduser().absolute()
 
@@ -56,6 +75,21 @@ def pre_processing(est, ref, specific_dataset=None):
     estimated_wav_paths = (
         find_audio_files(est) if est.is_dir() else load_wav_paths_from_scp(str(est))
     )
+
+    if num_channels > 1:
+        # Per-mic estimated files (…_mic1.wav, …_mic2.wav): score channel 0
+        # of each utterance (the reference's reference_channel = 0,
+        # tools/calculate_metrics.py:102-104) and align the SHRUNK names
+        # (sans _micN) against the single-channel references.
+        if specific_dataset:
+            raise NotImplementedError(
+                "--num_channels > 1 is only supported with directory/scp "
+                "alignment, not with -D dataset matching."
+            )
+        shrunk = shrink_multi_channel_path(estimated_wav_paths, num_channels)
+        channel0 = estimated_wav_paths[::num_channels]
+        check_two_aligned_list(reference_wav_paths, shrunk)
+        return reference_wav_paths, channel0
 
     if not specific_dataset:
         check_two_aligned_list(reference_wav_paths, estimated_wav_paths)
@@ -95,10 +129,13 @@ def pre_processing(est, ref, specific_dataset=None):
 def _one(args):
     ref_path, est_path, sr, metric_type = args
     metric_function = REGISTERED_METRICS[metric_type]
-    # both sides follow the reference tool's librosa mono convention
-    # (channel AVERAGE, not first channel)
+    # reference-tool channel conventions (tools/calculate_metrics.py:134-137):
+    # ref is librosa mono (channel AVERAGE); a multichannel est file is
+    # loaded mono=False and channel 0 is scored
     ref_wav, _ = read_wav(ref_path, sr=sr, mono=True)
-    est_wav, _ = read_wav(est_path, sr=sr, mono=True)
+    est_wav, _ = read_wav(est_path, sr=sr, mono=False)
+    if est_wav.ndim > 1:
+        est_wav = est_wav[0]
     if len(ref_wav) != len(est_wav):
         print(
             f"[Warning] ref {len(ref_wav)} and est {len(est_wav)} are not "
@@ -121,7 +158,10 @@ def compute_metric(reference_wav_paths, estimated_wav_paths, sr, metric_type, n_
 
 def main(args):
     reference_wav_paths, estimated_wav_paths = pre_processing(
-        args.estimated, args.reference, args.specific_dataset.lower() or None
+        args.estimated,
+        args.reference,
+        args.specific_dataset.lower() or None,
+        num_channels=args.num_channels,
     )
 
     export_dir = None
@@ -180,4 +220,9 @@ if __name__ == "__main__":
     )
     parser.add_argument("--export_dir", type=str, default="")
     parser.add_argument("--n_jobs", type=int, default=40)
+    parser.add_argument(
+        "--num_channels", type=int, default=1,
+        help="Per-mic estimated files per utterance (…_mic1.wav …_micN.wav); "
+        "channel 0 is scored against the single-channel reference",
+    )
     main(parser.parse_args())
