@@ -73,7 +73,7 @@ def build_pipeline(model_name: str, dtype):
         def fn(params, noisy):
             return model(params, noisy).astype(jnp.float32)
 
-        return fn, params
+        return fn, params, model
 
     if model_name == "improved_fullsubnet":
         # wave-to-wave model: fp32 STFT/iSTFT, low-precision recurrent stacks
@@ -84,7 +84,7 @@ def build_pipeline(model_name: str, dtype):
         def fn(params, noisy):
             return model(params, noisy).astype(jnp.float32)
 
-        return fn, params
+        return fn, params, model
 
     defaults = {"fullband_baseline": dict(num_freqs=257, hidden_size=512)}
     model = MODEL_REGISTRY[model_name](**defaults.get(model_name, {}))
@@ -115,7 +115,7 @@ def build_pipeline(model_name: str, dtype):
             input_type="real_imag",
         )
 
-    return fn, params
+    return fn, params, model
 
 
 def bench_train(args):
@@ -212,8 +212,19 @@ def bench_train(args):
             f"--accum {args.accum} does not divide --batch {args.batch}; "
             "pick a divisor (or 0 for auto)"
         )
-    if args.batch % g_accum != 0:  # auto pick incompatible: fall back
-        g_accum = 1
+    if args.batch % g_accum != 0:
+        # auto pick incompatible with --batch: match the trainer's
+        # behavior (nearest compatible split, train/accum.py) so bench
+        # numbers reflect what the trainer would actually run
+        from fullsubnet_tpu.train.accum import largest_compatible_accum
+
+        compat = largest_compatible_accum(g_accum, args.batch)
+        print(
+            f"[bench] auto grad_accum {g_accum} does not divide batch "
+            f"{args.batch}; using nearest compatible {compat}",
+            file=sys.stderr,
+        )
+        g_accum = compat
 
     @jax.jit
     def step(p, o, noisy, clean):
@@ -249,6 +260,9 @@ def bench_train(args):
         times.append(time.perf_counter() - t0)
 
     sec_per_step = float(np.median(times))
+    from fullsubnet_tpu.roofline import roofline_fields
+
+    hop = getattr(model, "hop_length", 256)
     print(
         json.dumps(
             {
@@ -257,6 +271,14 @@ def bench_train(args):
                 "unit": "audio_sec_trained_per_sec_per_chip",
                 "vs_baseline": round(1.0 / sec_per_step, 4),
                 "grad_accum": g_accum,
+                **roofline_fields(
+                    model, args.batch, num_samples // hop + 1, sec_per_step,
+                    itemsize=2 if use_bf16 else 4,
+                    drop_groups=(
+                        groups if groups > 1 and args.batch > groups else 1
+                    ),
+                    train=True,
+                ),
             }
         )
     )
@@ -676,7 +698,7 @@ def bench_serving(args):
 def bench_rtf(args):
     """Offline enhancement real-time factor (the original default mode)."""
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    fn, params = build_pipeline(args.model, dtype)
+    fn, params, model = build_pipeline(args.model, dtype)
     jfn = jax.jit(fn)
 
     num_samples = int(args.sr * args.seconds)
@@ -710,6 +732,9 @@ def bench_rtf(args):
     audio_sec = args.batch * args.seconds
     rtf = audio_sec / sec_per_iter
 
+    from fullsubnet_tpu.roofline import roofline_fields
+
+    hop = getattr(model, "hop_length", 256)
     print(
         json.dumps(
             {
@@ -717,6 +742,10 @@ def bench_rtf(args):
                 "value": round(rtf, 2),
                 "unit": "audio_sec_per_sec_per_chip",
                 "vs_baseline": round(rtf / 500.0, 4),
+                **roofline_fields(
+                    model, args.batch, num_samples // hop + 1, sec_per_iter,
+                    itemsize=2 if args.dtype == "bf16" else 4,
+                ),
             }
         )
     )

@@ -52,7 +52,15 @@ def wav_frames(path: str | os.PathLike) -> tuple[int, int, int]:
     import struct
 
     with open(os.fspath(path), "rb") as f:
-        riff, _size, wave = struct.unpack("<4sI4s", f.read(12))
+        head = f.read(12)
+        if len(head) < 12:
+            raise ValueError(f"truncated WAV header: {path}")
+        riff, _size, wave = struct.unpack("<4sI4s", head)
+        if riff == b"RF64":
+            # RF64 stores the real sizes in a ds64 chunk; the 32-bit
+            # fields here are 0xFFFFFFFF sentinels — a silent garbage
+            # frame count would mis-size device-synthesis buffers
+            raise ValueError(f"RF64 WAV files are not supported: {path}")
         if riff != b"RIFF" or wave != b"WAVE":
             raise ValueError(f"not a RIFF/WAVE file: {path}")
         sr = channels = block_align = None
@@ -63,11 +71,24 @@ def wav_frames(path: str | os.PathLike) -> tuple[int, int, int]:
             cid, csize = struct.unpack("<4sI", hdr)
             if cid == b"fmt ":
                 fmt = f.read(csize + (csize & 1))  # incl. the pad byte
+                if len(fmt) < 16:
+                    raise ValueError(
+                        f"malformed fmt chunk ({len(fmt)} bytes < 16): {path}"
+                    )
                 channels, sr = struct.unpack("<HI", fmt[2:8])
                 (block_align,) = struct.unpack("<H", fmt[12:14])
+                if block_align <= 0 or channels <= 0 or sr <= 0:
+                    raise ValueError(
+                        f"invalid fmt chunk (channels={channels}, sr={sr}, "
+                        f"block_align={block_align}): {path}"
+                    )
             elif cid == b"data":
                 if not (sr and channels and block_align):
                     raise ValueError(f"data chunk before fmt: {path}")
+                if csize == 0xFFFFFFFF:
+                    raise ValueError(
+                        f"streaming WAV with unsized data chunk: {path}"
+                    )
                 return csize // block_align, sr, channels
             else:
                 f.seek(csize + (csize & 1), 1)  # chunks are word-aligned

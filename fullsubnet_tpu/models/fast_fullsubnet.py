@@ -107,11 +107,20 @@ class FastFullSubNet:
         the kernel's internal escapes (chunked stash / split-dW), which
         keep any shape trainable.
 
+        The window was measured at 3.072 s crops (~193 mel frames); it
+        is applied only for crops up to ~4x that regime (t <= 800
+        frames). Longer crops return 1 rather than extrapolate a
+        throughput policy that was never measured there — HBM fit for
+        this family is owned by the kernel's chunked-stash escape, not
+        by G.
+
         ``drop_groups``/``extra_bytes`` accepted for trainer-interface
         compatibility; the mel-domain family has no drop_band and the
         policy is throughput-only.
         """
-        del t, itemsize, drop_groups, extra_bytes
+        del itemsize, drop_groups, extra_bytes
+        if t > 800:
+            return 1
         data_div = mesh.shape.get("data", 1) if mesh is not None else 1
         for g in range(1, b + 1):
             if b % g or (b // g) % max(data_div, 1):

@@ -407,12 +407,18 @@ def _ncc_argmax(a, b, prefer: int, min_overlap: int):
     eb = cb[np.maximum(j0 + overlap, j0)] - cb[j0]
     admissible = (overlap >= min_overlap) & (ea >= 0.5 * ca[-1])
     if not admissible.any():
-        # the energy-coverage gate can be unsatisfiable (degraded signal
-        # much shorter than the reference, or delays past ~half the
-        # file): no lag covers half the reference energy. Fall back to
-        # overlap-only admission rather than the `prefer` sentinel —
-        # a best-effort alignment beats a guaranteed-wrong one.
-        admissible = overlap >= min_overlap
+        # the 50% energy-coverage gate can be unsatisfiable (degraded
+        # signal much shorter than the reference, or delays past ~half
+        # the file). Relax the coverage threshold stepwise rather than
+        # dropping it outright — overlap-only admission re-admits the
+        # +1.5 MOS misalignment pathology the gate was built to stop
+        # (unrelated audio can win on a sliver of reference energy).
+        for frac in (0.25, 0.1):
+            admissible = (overlap >= min_overlap) & (ea >= frac * ca[-1])
+            if admissible.any():
+                break
+        else:
+            return prefer, 0.0
     ncc = np.where(admissible, vals / np.sqrt(ea * eb + _EPS), -np.inf)
     if not np.isfinite(ncc).any():
         return prefer, 0.0

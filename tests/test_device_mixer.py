@@ -145,6 +145,59 @@ def test_wav_frames_odd_fmt_chunk(tmp_path):
     assert wav_frames(p) == (frames, sr, ch)
 
 
+def test_wav_frames_malformed_headers(tmp_path):
+    """Malformed/unsupported WAVs fail dataset-construction-time with a
+    clear ValueError instead of a struct.error or a garbage frame count
+    that mis-sizes the device-synthesis RIR buffer."""
+    import struct
+
+    import pytest
+
+    from fullsubnet_tpu.data.wavio import wav_frames
+
+    def wav(fmt_payload, data_size, data=b"", riff=b"RIFF"):
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_payload)) + fmt_payload
+            + (b"\x00" if len(fmt_payload) % 2 else b"")
+            + b"data" + struct.pack("<I", data_size) + data
+        )
+        return riff + struct.pack("<I", len(body)) + body
+
+    good_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+
+    # truncated fmt chunk (< 16 bytes)
+    p = tmp_path / "shortfmt.wav"
+    p.write_bytes(wav(good_fmt[:10], 4, b"\x00" * 4))
+    with pytest.raises(ValueError, match="malformed fmt"):
+        wav_frames(p)
+
+    # zero block_align would divide by zero / garbage frames
+    bad_align = struct.pack("<HHIIHH", 1, 1, 8000, 0, 0, 16)
+    p = tmp_path / "badalign.wav"
+    p.write_bytes(wav(bad_align, 4, b"\x00" * 4))
+    with pytest.raises(ValueError, match="invalid fmt"):
+        wav_frames(p)
+
+    # streaming sentinel data size
+    p = tmp_path / "streaming.wav"
+    p.write_bytes(wav(good_fmt, 0xFFFFFFFF))
+    with pytest.raises(ValueError, match="unsized data"):
+        wav_frames(p)
+
+    # RF64: 32-bit fields are sentinels, real sizes live in ds64
+    p = tmp_path / "rf64.wav"
+    p.write_bytes(wav(good_fmt, 4, b"\x00" * 4, riff=b"RF64"))
+    with pytest.raises(ValueError, match="RF64"):
+        wav_frames(p)
+
+    # truncated header
+    p = tmp_path / "trunc.wav"
+    p.write_bytes(b"RIFF\x00\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        wav_frames(p)
+
+
 def test_wav_frames_and_resampled_length(tmp_path):
     from fullsubnet_tpu.data.wavio import (
         load_wav,

@@ -142,6 +142,11 @@ def test_fast_recommended_grad_accum_policy():
         got = m.recommended_grad_accum(b, t, itemsize=2)
         assert got == want, f"B={b}: got G={got}, want {want}"
         assert b % got == 0
+    # the [64, 72] window was measured at ~3 s crops only: long crops
+    # (30 s, ~1876 mel frames) stay unsplit — capacity there is owned by
+    # the kernel's chunked-stash escape, not by an unmeasured G policy
+    t_long = int(16000 * 30.0) // 256 + 1
+    assert m.recommended_grad_accum(128, t_long, itemsize=2) == 1
 
 
 def test_improved_grad_accum_respects_data_axis():
