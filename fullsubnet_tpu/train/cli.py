@@ -119,6 +119,17 @@ def main(argv=None):
         output_dir=args.output_dir,
         experiment_name=experiment_name_from_config_path(args.configuration),
     )
+    # host-RSS recycle re-exec target ([trainer.train] host_rss_recycle_gb):
+    # same launch, resumed from the `latest` checkpoint the recycle wrote.
+    # -P must not carry over (it conflicts with -R and the warm-start
+    # weights are already in the checkpoint).
+    import sys
+
+    recycle = [sys.executable, "-m", "fullsubnet_tpu.train.cli",
+               "-C", args.configuration, "-R"]
+    if args.output_dir is not None:
+        recycle += ["-O", args.output_dir]
+    trainer.recycle_argv = recycle
     trainer.train()
 
 

@@ -96,6 +96,22 @@ class Trainer:
         assert self.validation_interval >= 1
         self.only_validation = only_validation
 
+        # host-RSS watchdog: at each epoch boundary, if the process's
+        # resident set exceeds this many GB, write a resumable `latest`
+        # checkpoint and re-exec (or exit 75 for a supervisor to restart
+        # with -R). Guards long trainings against host-side memory growth
+        # outside our control — e.g. the axon remote-PJRT client leaks
+        # every host->device transfer's full size (measured: a 20k-step
+        # run OOM-killed at 130 GB RSS), and a leaky co-tenant process
+        # can squeeze the host the same way. 0 disables.
+        self.host_rss_recycle_gb = float(
+            self.train_cfg.get("host_rss_recycle_gb", 0)
+        )
+        # set by the CLI: the argv to re-exec for a self-managed recycle
+        # (always includes -R); None means exit(75) and let the launching
+        # supervisor (tools/train_quality.py, tools/train_soak.py) resume
+        self.recycle_argv: list[str] | None = None
+
         self.seed = int(config.get("meta", {}).get("seed", 0))
         self.use_bf16 = bool(config.get("meta", {}).get("use_amp", False))
 
@@ -464,9 +480,14 @@ class Trainer:
             self.state["params"] = loaded
         print(f"Model preloaded successfully from {path}.")
 
-    def _save_checkpoint(self, epoch: int, is_best: bool):
+    def _save_checkpoint(
+        self, epoch: int, is_best: bool, keep_weights_history: bool = True
+    ):
         host_state = jax.tree.map(np.asarray, self.state)
-        self.ckpt.save(host_state, epoch, is_best=is_best)
+        self.ckpt.save(
+            host_state, epoch, is_best=is_best,
+            keep_weights_history=keep_weights_history,
+        )
 
     def _is_best_epoch(self, score: float) -> bool:
         best = float(np.asarray(self.state["best_score"]))
@@ -1015,6 +1036,64 @@ class Trainer:
                     self._save_checkpoint(epoch, is_best=True)
 
             print(f"[{timer.duration():.2f} seconds] This epoch is finished.")
+            if epoch < self.epochs:
+                self._maybe_recycle(epoch)
+
+    # ------------------------------------------------------------------
+    # host-RSS recycle (graceful mid-training process replacement)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _host_rss_gb() -> float:
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        return int(line.split()[1]) / 2**20
+        except OSError:
+            pass
+        return 0.0
+
+    # exit code signalling a PLANNED recycle (EX_TEMPFAIL): supervisors
+    # must relaunch with -R and not count it as a failure
+    RECYCLE_EXIT_CODE = 75
+
+    def _maybe_recycle(self, epoch: int):
+        """Checkpoint-and-replace this process when host RSS crosses the
+        configured threshold. The `latest` checkpoint is written first
+        (atomic Orbax swap), so the resumed process continues at
+        epoch + 1 with zero lost work — unlike an OOM kill, which loses
+        everything since the last scheduled checkpoint."""
+        if not self.host_rss_recycle_gb or jax.process_count() > 1:
+            # multi-host: one host exec'ing would desync the collective;
+            # rely on the preemption/restart story there
+            return
+        rss = self._host_rss_gb()
+        if rss < self.host_rss_recycle_gb:
+            return
+        print(
+            f"[recycle] host RSS {rss:.1f} GB >= "
+            f"{self.host_rss_recycle_gb:.1f} GB after epoch {epoch}: "
+            "checkpointing and replacing the process to reclaim memory."
+        )
+        self._save_checkpoint(epoch, is_best=False, keep_weights_history=False)
+        import os
+        import sys
+
+        try:
+            if self.writer is not None:
+                self.writer.close()
+        except Exception:
+            pass
+        sys.stdout.flush()
+        sys.stderr.flush()
+        if self.recycle_argv:
+            # exec replaces the image in-place: same PID, fresh heap.
+            # Python's non-inheritable fds close across exec, so the
+            # multiprocessing forkserver/resource-tracker wind down on
+            # their control-pipe EOF.
+            os.execv(self.recycle_argv[0], self.recycle_argv)
+        os._exit(self.RECYCLE_EXIT_CODE)
 
     def _install_preemption_hook(self):
         """TPU-pod preemption safety: on SIGTERM, write a resumable

@@ -319,6 +319,7 @@ path = "trainer.Trainer"
 clip_grad_norm_value = 10
 epochs = {epochs}
 save_checkpoint_interval = {args.save_interval}
+host_rss_recycle_gb = {args.host_rss_recycle_gb}
 [trainer.validation]
 save_max_metric_score = true
 validation_interval = {args.validation_interval}
@@ -363,8 +364,14 @@ def run_training(toml_path: Path, workdir: Path, run_name: str, args) -> dict:
                     proc.wait(timeout=60)
         if code == 0:
             break
-        restarts += 1
         resume = (workdir / "exp" / run_name / "checkpoints" / "latest").exists()
+        if code == 75:
+            # planned host-RSS recycle (Trainer.RECYCLE_EXIT_CODE): the
+            # trainer checkpointed and asked to be relaunched — zero lost
+            # work, not a failure. (The CLI normally re-execs in place;
+            # exit 75 is the supervisor-managed path.)
+            continue
+        restarts += 1
         if restarts > args.max_restarts:
             raise RuntimeError(
                 f"{run_name}: training failed {restarts}x (last code {code}); "
@@ -538,6 +545,11 @@ def main(argv=None):
     ap.add_argument("--platform", default=None, help="cpu for smoke runs")
     ap.add_argument("--phase-timeout", type=float, default=4 * 3600)
     ap.add_argument("--max-restarts", type=int, default=6)
+    ap.add_argument(
+        "--host-rss-recycle-gb", type=float, default=80.0,
+        help="trainer host-RSS recycle threshold (the axon remote-PJRT "
+        "client leaks every host->device transfer; 0 disables)",
+    )
     ap.add_argument("--smoke", action="store_true",
                     help="tiny flagship, minimal budgets, cpu platform")
     ap.add_argument("--audit-only", action="store_true",

@@ -242,6 +242,7 @@ path = "trainer.Trainer"
 clip_grad_norm_value = 10
 epochs = {args.epochs}
 save_checkpoint_interval = {args.save_interval}
+host_rss_recycle_gb = 80
 [trainer.validation]
 save_max_metric_score = true
 validation_interval = {args.validation_interval}
