@@ -259,10 +259,21 @@ def _interp_db(f, curve):
     return np.interp(f, hz, db)
 
 
-def _apply_fft_filter(x, m: _Model, curve, active, re_1khz: bool):
-    """Zero-phase magnitude filter over the active region: gains from a
-    piecewise-linear dB table, optionally normalized to 0 dB at 1 kHz
-    (``apply_filter``'s overallGainFilter)."""
+def _apply_fft_filter(
+    x, m: _Model, curve, active, re_1khz: bool, phase: str = "zero"
+):
+    """Magnitude filter over the active region: gains from a piecewise-
+    linear dB table, optionally normalized to 0 dB at 1 kHz
+    (``apply_filter``'s overallGainFilter).
+
+    ``phase='zero'`` applies the table as a zero-phase FFT filter (the
+    calibrated default). ``phase='minimum'`` converts the same magnitude
+    response to its minimum-phase counterpart (real-cepstrum folding) —
+    the ITU C implementation realizes the IRS-receive response as an IIR
+    cascade, which is minimum-phase-like, so this option narrows the
+    documented phase deviation without changing the table-exact
+    magnitude (tests/test_pesq_fidelity.py pins the score delta between
+    the two)."""
     start, n = active
     seg = x[start : start + n]
     nfft = int(2 ** np.ceil(np.log2(max(n, 2))))
@@ -271,10 +282,21 @@ def _apply_fft_filter(x, m: _Model, curve, active, re_1khz: bool):
     db = _interp_db(f, curve)
     if re_1khz:
         db = db - _interp_db(1000.0, curve)
+    gain = 10.0 ** (db / 20.0)
+    if phase == "minimum":
+        # homomorphic construction: fold the real cepstrum of log|H| so
+        # exp(FFT(fold)) has the same magnitude and minimum phase
+        cep = np.fft.irfft(np.log(np.maximum(gain, 1e-8)), nfft)
+        fold = np.zeros_like(cep)
+        fold[0] = cep[0]
+        fold[1 : nfft // 2] = 2 * cep[1 : nfft // 2]
+        fold[nfft // 2] = cep[nfft // 2]
+        h = np.exp(np.fft.rfft(fold, nfft))
+    else:
+        assert phase == "zero", phase
+        h = gain
     out = x.copy()
-    out[start : start + n] = np.fft.irfft(
-        spec * 10.0 ** (db / 20.0), nfft
-    )[:n]
+    out[start : start + n] = np.fft.irfft(spec * h, nfft)[:n]
     return out
 
 
@@ -708,15 +730,17 @@ def _bad_intervals(bad):
     ]
 
 
-def pesq_raw(ref, deg, sr: int = 16000, mode: str = "wb") -> float:
+def pesq_raw(
+    ref, deg, sr: int = 16000, mode: str = "wb", irs_phase: str = "zero"
+) -> float:
     """Raw P.862 score in ~[-0.5, 4.5] (before the MOS-LQO mapping)."""
-    a = _analyze(ref, deg, sr=sr, mode=mode)
+    a = _analyze(ref, deg, sr=sr, mode=mode, irs_phase=irs_phase)
     if a is None:
         return -0.5
     return _score(a)
 
 
-def _analyze(ref, deg, sr: int, mode: str):
+def _analyze(ref, deg, sr: int, mode: str, irs_phase: str = "zero"):
     """Level/filter/align/perceptual stages, up to the PRE-SCALE per-frame
     disturbances. Returns everything ``_score`` needs (kept separate so the
     calibration fit in ``tools/pesq_calibrate.py`` can reuse one analysis
@@ -750,10 +774,12 @@ def _analyze(ref, deg, sr: int, mode: str):
         deg = _apply_wb_iir_fast(deg)
     else:
         ref = _apply_fft_filter(
-            ref, m, _IRS_FILTER_DB, (m.buf, n_active), re_1khz=True
+            ref, m, _IRS_FILTER_DB, (m.buf, n_active), re_1khz=True,
+            phase=irs_phase,
         )
         deg = _apply_fft_filter(
-            deg, m, _IRS_FILTER_DB, (m.buf, n_active), re_1khz=True
+            deg, m, _IRS_FILTER_DB, (m.buf, n_active), re_1khz=True,
+            phase=irs_phase,
         )
 
     utts = _locate_utterances(ref, deg, m, n_vad)
@@ -867,12 +893,17 @@ def _score(a, sym_scale: float | None = None,
     return float(4.5 - _D_WEIGHT * dist_sym - _A_WEIGHT * dist_asym)
 
 
-def pesq(ref, deg, sr: int = 16000, mode: str = "wb") -> float:
+def pesq(
+    ref, deg, sr: int = 16000, mode: str = "wb", irs_phase: str = "zero"
+) -> float:
     """PESQ MOS-LQO: P.862.2 mapping for ``mode='wb'``, P.862.1 for 'nb'.
 
     ref/deg: float waveforms in [-1, 1]. Returns ~[1.02, 4.64] (wb) /
-    ~[1.02, 4.55] (nb).
+    ~[1.02, 4.55] (nb). ``irs_phase='minimum'`` (NB only) swaps the
+    zero-phase IRS-receive realization for its minimum-phase twin —
+    closer in phase behavior to the ITU IIR cascade, same table-exact
+    magnitude (docs/parity.md).
     """
-    raw = pesq_raw(ref, deg, sr=sr, mode=mode)
+    raw = pesq_raw(ref, deg, sr=sr, mode=mode, irs_phase=irs_phase)
     a, b = _MAPPING[mode]
     return float(0.999 + 4.0 / (1.0 + np.exp(-a * raw + b)))
