@@ -33,6 +33,14 @@ from fullsubnet_tpu.utils import basename, expand_path
 _AUDIO_EXTS = (".wav", ".flac", ".aif", ".aiff", ".ogg")
 
 
+def _quantize_int16(x: np.ndarray) -> np.ndarray:
+    """Float waveform -> wav-native int16 PCM (round-half-even, clipped).
+    Exact inverse of wavio's int16 read (x * 32768) for on-grid values."""
+    return np.clip(
+        np.round(np.asarray(x, np.float32) * 32768.0), -32768, 32767
+    ).astype(np.int16)
+
+
 def find_audio_files(directory: str | os.PathLike) -> list[str]:
     """Recursively list audio files, sorted (librosa.util.find_files twin)."""
     out = []
@@ -89,6 +97,7 @@ class TrainDataset(BaseDataset):
         num_workers=0,
         seed=0,
         device_synthesis=False,
+        device_synthesis_transfer="f32",
     ):
         self.sr = sr
         self.num_workers = num_workers
@@ -135,6 +144,18 @@ class TrainDataset(BaseDataset):
         # the max post-resample RIR length is sized up front from wav
         # headers alone (no sample decode).
         self.device_synthesis = bool(device_synthesis)
+        # "int16" ships the waveform components as wav-native PCM (half
+        # the host->device bytes; the device mixer upcasts by an exact
+        # 1/32768). Bit-identical to "f32" when the sources are 16-bit
+        # PCM read at their native rate; resampled or float-format
+        # sources quantize to the int16 grid (~1e-5 — inaudible, but
+        # keep "f32" where exact host-mixer parity is being certified).
+        if device_synthesis_transfer not in ("f32", "int16"):
+            raise ValueError(
+                "device_synthesis_transfer must be 'f32' or 'int16', got "
+                f"{device_synthesis_transfer!r}"
+            )
+        self.device_synthesis_transfer = device_synthesis_transfer
         self.rir_samples = 1
         if self.device_synthesis and self.rir_dataset_list:
             self.rir_samples = max(
@@ -308,9 +329,21 @@ class TrainDataset(BaseDataset):
                         "list stable since dataset construction?"
                     )
                 rir_buf[: len(rir)] = rir
+            # getattr: loader workers re-import this module fresh, so a
+            # dataset pickled by an older build must not crash mid-epoch
+            if getattr(self, "device_synthesis_transfer", "f32") == "int16":
+                # wav-native PCM: half the transfer bytes; the device
+                # mixer upcasts by 1/32768 (exact). The mixer is per-row
+                # scale-invariant, so only the int16 GRID matters — and
+                # 16-bit sources land on it exactly.
+                q = _quantize_int16
+                clean_y, noise_y, rir_buf = q(clean_y), q(noise_y), q(rir_buf)
+            else:
+                clean_y = clean_y.astype(np.float32)
+                noise_y = noise_y.astype(np.float32)
             return (
-                clean_y.astype(np.float32),
-                noise_y.astype(np.float32),
+                clean_y,
+                noise_y,
                 rir_buf,
                 np.float32(rir is not None),
                 np.float32(snr),

@@ -43,6 +43,14 @@ def _tailor_db_fs(y: jnp.ndarray, target_db, eps: float):
     return y * scalar, scalar
 
 
+def _as_audio_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """Waveform to float32: integer dtypes are wav-native PCM and scale
+    by 1/32768 (exact power of two); floats pass through."""
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        return x.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+    return x.astype(jnp.float32)
+
+
 def fft_convolve_trunc(clean: jnp.ndarray, rir: jnp.ndarray) -> jnp.ndarray:
     """Batched FFT convolution truncated to the clean length:
     ``scipy.signal.fftconvolve(clean, rir)[:L]`` per row.
@@ -82,9 +90,18 @@ def device_snr_mix(
     Returns (noisy [B, L], clean_target [B, L]) float32 — identical to
     the host mixer on the same draws (the clean target is the reverbed
     clean, like the reference).
+
+    Integer inputs (``device_synthesis_transfer = "int16"``) are
+    upcast as wav-native audio (x / 32768, an exact power-of-two scale):
+    when the source wavs are 16-bit PCM and unresampled, the int16
+    transfer is bit-identical to the f32 one at HALF the host->device
+    bytes — which matters doubly on a remote-PJRT tunnel (bandwidth in
+    the step's critical path, and the client leaks every transfer's
+    size; see CLAUDE.md).
     """
-    clean = clean.astype(jnp.float32)
-    noise = noise.astype(jnp.float32)
+    clean = _as_audio_f32(clean)
+    noise = _as_audio_f32(noise)
+    rir = _as_audio_f32(rir)
     reverb_mask = jnp.asarray(use_reverb, bool)[:, None]
     snr = jnp.asarray(snr, jnp.float32)[:, None]
     noisy_target_db_fs = jnp.asarray(noisy_target_db_fs, jnp.float32)[:, None]

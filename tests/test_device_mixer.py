@@ -423,3 +423,85 @@ def test_trainer_device_synthesis_matches_host_loss(tmp_path, mixer_layout):
         losses[mode] = trainer._train_epoch(0)
     assert np.isfinite(losses["device"]) and losses["device"] > 0.0
     np.testing.assert_allclose(losses["device"], losses["host"], rtol=5e-4)
+
+
+def test_int16_transfer_bit_parity_on_grid():
+    """device_synthesis_transfer='int16': on the int16 grid (16-bit PCM
+    sources at native rate) the device mixer's output is BIT-IDENTICAL
+    to the f32 transfer — the upcast is an exact power-of-two scale and
+    the mixer is per-row scale-invariant."""
+    import jax
+
+    from fullsubnet_tpu.data.datasets import _quantize_int16
+    from fullsubnet_tpu.data.device_mixer import device_snr_mix
+
+    rng = np.random.default_rng(11)
+    B, L, R = 4, 3200, 700
+    # on-grid signals: integers / 32768
+    clean = rng.integers(-9000, 9000, (B, L)).astype(np.float32) / 32768.0
+    noise = rng.integers(-3000, 3000, (B, L)).astype(np.float32) / 32768.0
+    rir = np.zeros((B, R), np.float32)
+    rir[:, 0] = 29491 / 32768.0  # int16 peaks top out at 32767/32768
+    rir[:, 1:] = rng.integers(-8000, 8000, (B, R - 1)) / 32768.0
+    flags = np.array([1, 0, 1, 0], np.float32)
+    snr = np.array([-5, 3, 10, 20], np.float32)
+    tdb = np.array([-30, -25, -20, -18], np.float32)
+
+    q = _quantize_int16
+    assert q(clean).dtype == np.int16
+    np.testing.assert_array_equal(q(clean).astype(np.float32) / 32768.0, clean)
+
+    jmix = jax.jit(device_snr_mix)
+    nf, cf = jmix(clean, noise, rir, flags, snr, tdb)
+    ni, ci = jmix(q(clean), q(noise), q(rir), flags, snr, tdb)
+    np.testing.assert_array_equal(np.asarray(nf), np.asarray(ni))
+    np.testing.assert_array_equal(np.asarray(cf), np.asarray(ci))
+
+
+def test_int16_transfer_dataset_components(mixer_layout):
+    """The dataset ships int16 components under the flag; through the
+    mixer they match the f32-transfer path (exactly for int16-source
+    rows; the float32-format multichannel RIR quantizes to ~3e-5)."""
+    import jax
+
+    from fullsubnet_tpu.data.device_mixer import device_snr_mix
+
+    scp, sr = mixer_layout
+    common = dict(
+        clean_dataset=scp["clean"], noise_dataset=scp["noise"],
+        rir_dataset=scp["rir"], snr_range=(-5, 20),
+        reverb_proportion=0.5, silence_length=0.1, target_dB_FS=-25,
+        target_dB_FS_floating_value=10, sub_sample_length=0.4, sr=sr,
+        seed=3, device_synthesis=True,
+    )
+    f32_ds = TrainDataset(device_synthesis_transfer="f32", **common)
+    i16_ds = TrainDataset(device_synthesis_transfer="int16", **common)
+    jmix = jax.jit(device_snr_mix)
+    for item in range(6):
+        cf, nf, rf, flag, snr, tdb = f32_ds[item]
+        ci, ni, ri, flag2, snr2, tdb2 = i16_ds[item]
+        assert ci.dtype == ni.dtype == ri.dtype == np.int16
+        assert (flag, snr, tdb) == (flag2, snr2, tdb2)
+        a = jmix(cf[None], nf[None], rf[None],
+                 flag[None], snr[None], tdb[None])
+        b = jmix(ci[None], ni[None], ri[None],
+                 flag[None], snr[None], tdb[None])
+        np.testing.assert_allclose(
+            np.asarray(a[0]), np.asarray(b[0]), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(a[1]), np.asarray(b[1]), atol=2e-4
+        )
+
+
+def test_int16_transfer_rejects_unknown():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="device_synthesis_transfer"):
+        TrainDataset(
+            clean_dataset="/dev/null", noise_dataset="/dev/null",
+            rir_dataset="/dev/null", snr_range=(0, 5),
+            reverb_proportion=0.0, silence_length=0.1, target_dB_FS=-25,
+            target_dB_FS_floating_value=10, sub_sample_length=0.4,
+            sr=16000, device_synthesis_transfer="fp8",
+        )

@@ -301,6 +301,7 @@ sub_sample_length = {args.crop_seconds}
 target_dB_FS = -25
 target_dB_FS_floating_value = 10
 device_synthesis = {str(args.device_synthesis).lower()}
+device_synthesis_transfer = "{args.device_synthesis_transfer}"
 
 [train_dataset.dataloader]
 batch_size = {args.batch}
@@ -537,6 +538,11 @@ def main(argv=None):
     ap.add_argument("--loader-workers", type=int, default=2)
     ap.add_argument("--device-synthesis", action=argparse.BooleanOptionalAction,
                     default=True)
+    ap.add_argument(
+        "--device-synthesis-transfer", default="f32", choices=["f32", "int16"],
+        help="component transfer dtype; int16 halves host->device bytes "
+        "(bit-exact for 16-bit PCM sources at native rate)",
+    )
     ap.add_argument("--gate-utterances", type=int, default=4)
     ap.add_argument("--gate-seconds", type=float, default=8.0)
     ap.add_argument("--gate-onchip", action="store_true",
