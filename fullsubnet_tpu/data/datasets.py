@@ -123,6 +123,7 @@ class TrainDataset(BaseDataset):
         self.clean_dataset_list = clean_list
         self.noise_dataset_list = noise_list
         self.rir_dataset_list = rir_list
+        self._header_cache: dict = {}  # path -> wav_frames() or None
         self.snr_list = self._parse_snr_range(list(snr_range))
 
         assert 0 <= reverb_proportion <= 1, (
@@ -186,27 +187,104 @@ class TrainDataset(BaseDataset):
     def __len__(self):
         return self.length
 
+    def _wav_info(self, entry):
+        """Header ``(frames, sr, channels)`` of a path entry, cached
+        per path; None for preloaded (name, array) pairs or unparsable
+        files (callers fall back to a full decode)."""
+        if not isinstance(entry, (str, os.PathLike)):
+            return None
+        cached = self._header_cache.get(entry, False)
+        if cached is not False:
+            return cached
+        try:
+            from fullsubnet_tpu.data.wavio import wav_frames
+
+            info = wav_frames(expand_path(os.fspath(entry)))
+        except Exception:
+            info = None
+        self._header_cache[entry] = info
+        return info
+
+    def _sliceable(self, entry):
+        """Frame count when ``entry`` can be read as a partial slice
+        (mono wav at the dataset rate — no resample, no channel mix),
+        else None."""
+        info = self._wav_info(entry)
+        if info is not None and info[1] == self.sr and info[2] == 1:
+            return info[0]
+        return None
+
     def _select_noise_y(self, target_length: int, rng: np.random.Generator):
-        noise_y = np.zeros(0, dtype=np.float32)
-        silence = np.zeros(int(self.sr * self.silence_length), dtype=np.float32)
+        """Assemble ``target_length`` samples of noise: whole files with
+        silence gaps, random-cropped. Draw-for-draw identical to the
+        naive read-everything loop (the reference's,
+        ``dataset_train.py:102-128``), but the assembly is PLANNED from
+        wav headers first and only the byte ranges that survive the
+        final crop are decoded — the dominant IO saving when noise files
+        are much longer than the crop."""
+        silence_len_full = int(self.sr * self.silence_length)
         remaining_length = target_length
 
+        # plan: (kind, payload, appended_samples); rng consumption and
+        # the loop arithmetic exactly mirror the naive implementation
+        # (incl. its len() semantics: a [C, T] preloaded array decrements
+        # the remaining length by C but appends C*T flattened samples,
+        # as np.append did)
+        segments = []
+        total = 0
         while remaining_length > 0:
-            noise_file = self.noise_dataset_list[
+            entry = self.noise_dataset_list[
                 int(rng.integers(0, len(self.noise_dataset_list)))
             ]
-            noise_added = load_wav(noise_file, sr=self.sr)
-            noise_y = np.append(noise_y, noise_added)
-            remaining_length -= len(noise_added)
+            frames = self._sliceable(entry)
+            if frames is not None:
+                segments.append(("slice", entry, frames))
+                total += frames
+                remaining_length -= frames
+            else:
+                arr = load_wav(entry, sr=self.sr)
+                segments.append(("array", np.ravel(arr), arr.size))
+                total += arr.size
+                remaining_length -= len(arr)
             if remaining_length > 0:
-                silence_len = min(remaining_length, len(silence))
-                noise_y = np.append(noise_y, silence[:silence_len])
+                silence_len = min(remaining_length, silence_len_full)
+                segments.append(("silence", None, silence_len))
+                total += silence_len
                 remaining_length -= silence_len
 
-        if len(noise_y) > target_length:
-            idx_start = int(rng.integers(0, len(noise_y) - target_length))
-            noise_y = noise_y[idx_start : idx_start + target_length]
-        return noise_y
+        idx_start = 0
+        if total > target_length:
+            idx_start = int(rng.integers(0, total - target_length))
+
+        # materialize only [idx_start, idx_start + target_length)
+        out = np.zeros(min(total, target_length), dtype=np.float32)
+        pos = 0  # global sample cursor over the planned assembly
+        end = idx_start + len(out)
+        for kind, payload, n in segments:
+            lo, hi = max(pos, idx_start), min(pos + n, end)
+            if hi > lo:
+                if kind == "slice":
+                    from fullsubnet_tpu.data.wavio import read_wav_slice
+
+                    try:
+                        seg = read_wav_slice(
+                            expand_path(os.fspath(payload)),
+                            lo - pos, hi - lo,
+                        )
+                    except Exception:  # unmappable format: full decode
+                        seg = np.ravel(load_wav(payload, sr=self.sr))[
+                            lo - pos : hi - pos
+                        ]
+                elif kind == "array":
+                    seg = payload[lo - pos : hi - pos]
+                else:
+                    seg = None  # silence: out is already zeros
+                if seg is not None:
+                    out[lo - idx_start : hi - idx_start] = seg
+            pos += n
+            if pos >= end:
+                break
+        return out
 
     @staticmethod
     def mix_draws(rng, rir, target_dB_FS, target_dB_FS_floating_value):
@@ -293,13 +371,34 @@ class TrainDataset(BaseDataset):
             np.random.SeedSequence([self.seed, self.epoch, item])
         )
         clean_fpath = self.clean_dataset_list[item]
+        crop = int(self.sub_sample_length * self.sr)
+        frames = self._sliceable(clean_fpath)
+        if frames is not None and frames > crop:
+            # header-planned partial read: same crop-start draw as
+            # subsample(), but only the cropped frames are decoded
+            start = int(rng.integers(0, frames - crop))
+            try:
+                from fullsubnet_tpu.data.wavio import read_wav_slice
+
+                clean_y = read_wav_slice(
+                    expand_path(os.fspath(clean_fpath)), start, crop
+                )
+            except Exception:  # unmappable format: full decode
+                clean_y = load_wav(clean_fpath, sr=self.sr)[
+                    start : start + crop
+                ]
+            return self._getitem_with_clean(clean_y, rng)
         clean_y = load_wav(clean_fpath, sr=self.sr)
         clean_y = subsample(
             clean_y,
             sub_sample_length=int(self.sub_sample_length * self.sr),
             rng=rng,
         )
+        return self._getitem_with_clean(clean_y, rng)
 
+    def _getitem_with_clean(self, clean_y, rng):
+        """The rest of the item pipeline after the clean crop (shared by
+        the partial-read and full-decode clean paths)."""
         noise_y = self._select_noise_y(target_length=len(clean_y), rng=rng)
         assert len(clean_y) == len(noise_y)
 

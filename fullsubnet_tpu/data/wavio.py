@@ -103,6 +103,23 @@ def resampled_length(frames: int, file_sr: int, sr: int) -> int:
     return -(-frames * frac.numerator // frac.denominator)
 
 
+def read_wav_slice(path: str | os.PathLike, start: int, count: int) -> np.ndarray:
+    """Frames ``[start, start + count)`` of a MONO wav at its native rate,
+    as float32 — the file is memory-mapped and only the slice is touched
+    and converted. The caller must have verified (via :func:`wav_frames`)
+    that the file is mono and needs no resampling; raises on formats
+    scipy cannot mmap (e.g. 24-bit PCM) — fall back to a full read."""
+    _sr, data = wavfile.read(os.fspath(path), mmap=True)
+    seg = np.asarray(data[start : start + count])
+    if seg.dtype == np.int16:
+        return seg.astype(np.float32) / 32768.0
+    if seg.dtype == np.int32:
+        return seg.astype(np.float32) / 2147483648.0
+    if seg.dtype == np.uint8:
+        return (seg.astype(np.float32) - 128.0) / 128.0
+    return seg.astype(np.float32)
+
+
 def load_wav(file, sr: int = 16000):
     """Reference-compatible loader (``audio_zen/acoustics/feature.py:117``):
     accepts a path or a (name, array) pair; returns the waveform."""

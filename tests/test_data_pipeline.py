@@ -263,3 +263,47 @@ def test_collate_keeps_strings():
     assert out[0] == ["a.wav", "b.wav"]
     assert all(isinstance(s, str) for s in out[0])
     np.testing.assert_array_equal(out[1], np.asarray([1.0, 2.0]))
+
+
+def test_partial_reads_bit_identical_to_full_decode(dns_layout, tmp_path):
+    """The header-planned partial-read fast path (clean crop slice +
+    noise-assembly range reads) must be draw-for-draw AND bit-for-bit
+    identical to the naive decode-everything path, across epochs, for
+    both host-mix and device-synthesis items — incl. a non-native-rate
+    noise file that forces the per-entry resample fallback mid-plan."""
+    tmp, scp, sr = dns_layout
+
+    # add an 8 kHz noise file: not sliceable (resampled), exercises the
+    # mixed fast/fallback plan without disturbing the draw stream
+    rng = np.random.default_rng(3)
+    p8 = tmp / "noise" / "noise_8k.wav"
+    write_wav(p8, (0.1 * rng.standard_normal(4000)).astype(np.float32), 8000)
+    noise_scp = tmp / "noise_mixed.txt"
+    noise_scp.write_text(
+        open(scp["noise"]).read().rstrip("\n") + "\n" + str(p8) + "\n"
+    )
+
+    common = dict(
+        clean_dataset=scp["clean"], noise_dataset=str(noise_scp),
+        rir_dataset=scp["rir"], snr_range=(-5, 20), reverb_proportion=0.6,
+        silence_length=0.08, target_dB_FS=-25,
+        target_dB_FS_floating_value=10, sub_sample_length=0.35, sr=sr,
+        seed=11,
+    )
+    for dev in (False, True):
+        fast = TrainDataset(device_synthesis=dev, **common)
+        naive = TrainDataset(device_synthesis=dev, **common)
+        naive._sliceable = lambda entry: None  # force full decodes
+        for epoch in (0, 2):
+            fast.set_epoch(epoch)
+            naive.set_epoch(epoch)
+            for item in range(len(fast)):
+                a, b = fast[item], naive[item]
+                if dev:
+                    for x, y in zip(a, b):
+                        np.testing.assert_array_equal(
+                            np.asarray(x), np.asarray(y)
+                        )
+                else:
+                    np.testing.assert_array_equal(a[0], b[0])
+                    np.testing.assert_array_equal(a[1], b[1])
