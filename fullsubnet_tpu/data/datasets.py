@@ -193,6 +193,9 @@ class TrainDataset(BaseDataset):
         files (callers fall back to a full decode)."""
         if not isinstance(entry, (str, os.PathLike)):
             return None
+        if not hasattr(self, "_header_cache"):
+            # dataset pickled by an older build than the worker's module
+            self._header_cache = {}
         cached = self._header_cache.get(entry, False)
         if cached is not False:
             return cached
