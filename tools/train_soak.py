@@ -150,7 +150,30 @@ def provision(workdir: Path, args) -> Path:
             write_wav(cd / f"clean_fileid_{i}.wav",
                       (clean / peak * 0.9).astype(np.float32), sr)
 
-    if args.tiny:
+    if args.family == "improved_fullsubnet":
+        # shipped improved recipe (wave-to-wave, si_snr waveform loss)
+        model_block = """
+[model]
+path = "improved_fullsubnet.model.Model"
+[model.args]
+n_fft = 512
+hop_length = 128
+win_length = 512
+fdrc = 0.5
+num_freqs = 257
+freq_cutoffs = [20, 80]
+sb_num_center_freqs = [1, 4, 8]
+sb_num_neighbor_freqs = [15, 15, 15]
+fb_num_center_freqs = [1, 4, 8]
+fb_num_neighbor_freqs = [15, 15, 15]
+fb_hidden_size = 512
+sb_hidden_size = 384
+sequence_model = "LSTM"
+fb_output_activate_function = false
+sb_output_activate_function = false
+norm_type = "offline_laplace_norm"
+"""
+    elif args.tiny:
         model_block = """
 [model]
 path = "fullsubnet.model.Model"
@@ -200,10 +223,10 @@ compilation_cache_dir = "{workdir / 'ccache'}"
 n_fft = 512
 win_length = 512
 sr = 16000
-hop_length = 256
+hop_length = {128 if args.family == "improved_fullsubnet" else 256}
 
 [loss_function]
-name = "mse_loss"
+name = "{"si_snr_loss" if args.family == "improved_fullsubnet" else "mse_loss"}"
 [loss_function.args]
 
 [optimizer]
@@ -224,6 +247,8 @@ sr = 16000
 sub_sample_length = {args.crop_seconds}
 target_dB_FS = -25
 target_dB_FS_floating_value = 10
+device_synthesis = {str(bool(args.device_synthesis)).lower()}
+device_synthesis_transfer = "{args.transfer}"
 
 [train_dataset.dataloader]
 batch_size = {args.batch}
@@ -456,7 +481,9 @@ def audit(args, run: dict, workdir: Path) -> dict:
     return {
         "soak": "train-soak",
         "config": {
-            "model": "fullsubnet" + ("-tiny" if args.tiny else " (flagship 512/384)"),
+            "model": args.family + ("-tiny" if args.tiny else ""),
+            "device_synthesis": bool(args.device_synthesis),
+            "transfer": args.transfer,
             "epochs": args.epochs, "steps_per_epoch": args.steps_per_epoch,
             "batch": args.batch, "crop_seconds": args.crop_seconds,
             "total_steps": total_steps, "audio_seconds_trained": audio_s,
@@ -481,9 +508,12 @@ def audit(args, run: dict, workdir: Path) -> dict:
 def write_md(verdict: dict, out_md: Path):
     c = verdict["config"]
     lines = [
-        "# Training soak — round 4",
+        f"# Training soak — {c['model']}"
+        + (" (device synthesis, "
+           f"{c.get('transfer', 'f32')} transfer)"
+           if c.get("device_synthesis") else ""),
         "",
-        f"Flagship recipe, {c['total_steps']} optimizer steps "
+        f"{c['model']} recipe, {c['total_steps']} optimizer steps "
         f"({c['epochs']} epochs x {c['steps_per_epoch']} steps, B={c['batch']}, "
         f"{c['crop_seconds']} s crops = {c['audio_seconds_trained']:.0f} audio-s), "
         f"synthetic DNS-style data, SIGTERM preemption at epoch "
@@ -560,6 +590,20 @@ def main(argv=None):
     ap.add_argument("--loader-workers", type=int, default=2)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tiny", action="store_true", help="tiny model (CPU smoke)")
+    ap.add_argument(
+        "--family", default="fullsubnet",
+        choices=["fullsubnet", "improved_fullsubnet"],
+        help="recipe to soak: the cIRM flagship or the waveform-loss "
+        "improved model (VERDICT r4 #5 asked for both novel train paths)",
+    )
+    ap.add_argument(
+        "--device-synthesis", action="store_true",
+        help="fuse on-device mixture synthesis into the train step",
+    )
+    ap.add_argument(
+        "--transfer", default="f32", choices=["f32", "int16"],
+        help="with --device-synthesis: component transfer dtype",
+    )
     ap.add_argument("--platform", default=None, help="e.g. cpu for smoke runs")
     ap.add_argument("--phase-timeout", type=float, default=3 * 3600)
     ap.add_argument("--max-restarts", type=int, default=3)
