@@ -102,7 +102,10 @@ def _stages(model, batch: int, frames: int, drop_groups: int = 1):
         yield model.fb_model, batch, t
         yield model.sb_model, batch * f_eff, t
     elif name == "SubBandBaseline":
-        f_eff = model.num_freqs // drop_groups if drop_groups > 1 else model.num_freqs
+        # F is an input property for this model (no ctor attr); account
+        # at the paper spectrum unless the caller set one
+        f = getattr(model, "num_freqs", 257)
+        f_eff = f // drop_groups if drop_groups > 1 else f
         yield model.sb_model, batch * f_eff, t
     elif name == "FullBandModel":
         yield model.fullband_model, batch, t
