@@ -437,9 +437,12 @@ def bench_streaming(args):
 
     model = FullSubNet(norm_type="cumulative_laplace_norm")
     params = model.init(jax.random.PRNGKey(0), weight_init=False)
-    engine = StreamingFullSubNet(model, params)
 
     rng = np.random.default_rng(0)
+    if getattr(args, "multistream_only", False):
+        bench_multistream(args, model, params, rng)
+        return
+    engine = StreamingFullSubNet(model, params)
     frame = jnp.asarray(np.abs(rng.standard_normal(model.num_freqs)).astype(np.float32))
     state = engine.init_state()
     for _ in range(args.warmup + 3):
@@ -769,6 +772,11 @@ _SUITE = [
     ("train", dict(model="improved_fullsubnet", batch=128)),
     ("train", dict(model="improved_fullsubnet_48k", batch=64, sr=48000)),
     ("streaming", dict(model="fullsubnet", streams=16)),
+    # capacity is maximized over lane count: the per-tick cost is
+    # dispatch-dominated, so wider lane batches amortize it (the b16 row
+    # is kept for round-over-round continuity)
+    ("streaming", dict(model="fullsubnet", streams=64,
+                       multistream_only=True)),
     ("serving", dict(model="fullsubnet", batch=32, seconds=8.0)),
     ("data", dict(batch=32, data_workers=0, iters=2)),
     ("data_device", dict(batch=128)),
@@ -859,6 +867,12 @@ def main():
         "--streams", type=int, default=1,
         help="with --streaming: also bench B concurrent streams per "
         "batched device call (MultiStreamEnhancer serving capacity)",
+    )
+    p.add_argument(
+        "--multistream-only", dest="multistream_only", action="store_true",
+        help="with --streaming --streams N: skip the single-stream "
+        "latency sections (capacity sweep runs only the lane-batched "
+        "engine)",
     )
     p.add_argument(
         "--train", action="store_true",
