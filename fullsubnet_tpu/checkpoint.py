@@ -241,16 +241,25 @@ EXPORTERS = {
 }
 
 
-def save_torch_checkpoint(params: dict, model_name: str, path) -> None:
+def save_torch_checkpoint(
+    params: dict, model_name: str, path, **export_kwargs
+) -> None:
     """Write our trained params as a released-format torch ``.tar``
     (``{"model_state_dict": ...}`` — the wrapper the reference's release
     checkpoints use, docs/source/usage/release.md) so the weights flow
-    through tools/parity_gate.py and the reference's own loaders."""
+    through tools/parity_gate.py and the reference's own loaders.
+
+    ``export_kwargs`` flow to the family exporter. For
+    ``fast_fullsubnet`` the mel filterbank is REGENERATED (derived
+    buffer, not learned) — a model trained with a non-default
+    ``sample_rate``/``num_mels``/``num_freqs`` MUST pass them here, or
+    the exported ``mel_scale.fb`` silently encodes the 16 kHz default
+    (same shape, wrong projection)."""
     import torch
 
     state = {
         k: torch.from_numpy(np.ascontiguousarray(v).copy())
-        for k, v in EXPORTERS[model_name](params).items()
+        for k, v in EXPORTERS[model_name](params, **export_kwargs).items()
     }
     torch.save({"model_state_dict": state}, os.fspath(path))
 

@@ -440,6 +440,32 @@ def _ncc_argmax(a, b, prefer: int, min_overlap: int):
             if admissible.any():
                 break
         else:
+            # coverage unsatisfiable at any threshold (degraded signal
+            # covers <10% of the reference energy at every lag). Allow an
+            # overlap-only candidate — but only with a strong CENTERED
+            # (Pearson) score: uncentered NCC of two nonnegative
+            # envelopes is high (~0.7+) even for unrelated audio, while
+            # centering sends unrelated to ~0 and a genuine match stays
+            # near 1. Below the floor, return the ``prefer`` sentinel
+            # rather than a confident wrong lag.
+            admissible = overlap >= min_overlap
+            if admissible.any():
+                la = np.concatenate([[0.0], np.cumsum(a)])
+                lb = np.concatenate([[0.0], np.cumsum(b)])
+                sa = la[np.maximum(i1, i0)] - la[i0]
+                sb = lb[np.maximum(j0 + overlap, j0)] - lb[j0]
+                ov = np.maximum(overlap, 1)
+                cov = vals - sa * sb / ov
+                va = ea - sa * sa / ov
+                vb = eb - sb * sb / ov
+                r = np.where(
+                    admissible & (va > 0) & (vb > 0),
+                    cov / np.sqrt(np.maximum(va * vb, _EPS)),
+                    -np.inf,
+                )
+                i = int(np.argmax(r))
+                if np.isfinite(r[i]) and r[i] >= 0.5:
+                    return int(lags[i]), float(r[i])
             return prefer, 0.0
     ncc = np.where(admissible, vals / np.sqrt(ea * eb + _EPS), -np.inf)
     if not np.isfinite(ncc).any():
@@ -750,6 +776,14 @@ def _analyze(ref, deg, sr: int, mode: str, irs_phase: str = "zero"):
     assert sr in (8000, 16000), "PESQ is defined for 8 kHz / 16 kHz input"
     if mode == "wb":
         assert sr == 16000, "wideband PESQ requires 16 kHz input"
+        if irs_phase != "zero":
+            # wb uses the IIR pre-filter, not the IRS-receive FFT filter —
+            # a non-default irs_phase would be silently ignored
+            raise ValueError(
+                "irs_phase applies to nb mode only (wb uses the P.862.2 "
+                "IIR pre-filter); got irs_phase="
+                f"{irs_phase!r} with mode='wb'"
+            )
     m = _model(sr)
 
     ref = np.asarray(ref, np.float64).reshape(-1) * 32768.0

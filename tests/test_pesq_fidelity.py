@@ -180,6 +180,34 @@ def test_truncated_degraded_still_scored(clips):
     assert score > 0.99
 
 
+def test_tiny_matching_slice_aligns_unrelated_returns_sentinel():
+    """Below-10%-coverage fallback: a genuinely matching slice (<10% of
+    the reference energy at every lag) still aligns via the overlap-only
+    + NCC>=0.5 floor path, while UNRELATED audio of the same length must
+    return the ``prefer`` sentinel instead of a confident wrong lag —
+    the two halves of the round-4 advisor finding."""
+    rng = np.random.default_rng(3)
+    a = np.abs(rng.standard_normal(4000)) + 0.1   # ref envelope
+    lo = 1500
+    b = a[lo:lo + 300].copy()                     # 7.5% interior slice
+    lag, score = P._ncc_argmax(a, b, prefer=0, min_overlap=50)
+    assert lag == -lo, (lag, score)
+    assert score >= 0.5
+
+    unrelated = np.abs(rng.standard_normal(300)) + 0.1
+    lag_u, score_u = P._ncc_argmax(a, unrelated, prefer=0, min_overlap=50)
+    assert lag_u == 0 and score_u == 0.0, (lag_u, score_u)
+
+
+def test_wb_rejects_irs_phase():
+    """wb mode uses the IIR pre-filter; a non-default ``irs_phase``
+    must raise, not be silently ignored (round-4 review finding)."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(16000 * 2).astype(np.float32) * 0.1
+    with pytest.raises(ValueError, match="irs_phase"):
+        P.pesq(x, x, 16000, "wb", irs_phase="minimum")
+
+
 # ---------------------------------------------------------------------------
 # stimuli beyond the noisy testbed (VERDICT r4 #6): reverberant, tonal,
 # level-swept, clipped, dropout, mid-stream delay change — each behavior

@@ -59,6 +59,15 @@ def main(argv=None):
     if args.resume and Path(args.out).exists():
         prev = json.loads(Path(args.out).read_text())
 
+    def cached_sweep(phase: str, wanted_ns, make):
+        """Reuse cached records ONLY for the n values they actually cover.
+
+        A stale --quick artifact must not short-circuit a full sweep
+        (each missing n re-runs live; extras in the cache are dropped).
+        """
+        by_n = {r["n_devices"]: r for r in (prev.get(phase) or []) if r}
+        return [by_n.get(n) or make(n) for n in wanted_ns]
+
     results: dict = {"tool": "multichip_scale_r05", "full_shape": True,
                      "checks": {}}
 
@@ -77,10 +86,11 @@ def main(argv=None):
     # and pads to a full tile, which (correctly) shows up in the
     # per-device FLOPs and breaks the pure a + s/n model by ~20%
     sub_ns = [1, 2, 4, 8]
-    sub_recs = prev.get("subband_axis_full_shape") or [
-        g._scaling_record(n, "subband", full_shape=True, per_device_batch=8)
-        for n in sub_ns
-    ]
+    sub_recs = cached_sweep(
+        "subband_axis_full_shape", sub_ns,
+        lambda n: g._scaling_record(n, "subband", full_shape=True,
+                                    per_device_batch=8),
+    )
     results["subband_axis_full_shape"] = sub_recs
     dump()
 
@@ -138,9 +148,10 @@ def main(argv=None):
 
     # -- 2. data axis, weak scaling to 32 devices ------------------------
     data_ns = [4, 8] if args.quick else [4, 8, 16, 32]
-    data_recs = prev.get("data_axis_full_shape") or [
-        g._scaling_record(n, "data", full_shape=True) for n in data_ns
-    ]
+    data_recs = cached_sweep(
+        "data_axis_full_shape", data_ns,
+        lambda n: g._scaling_record(n, "data", full_shape=True),
+    )
     results["data_axis_full_shape"] = data_recs
     dump()
 

@@ -112,27 +112,12 @@ def _config(model_path: str, model_args: dict, strategy: str,
     }
 
 
-FULLSUBNET_ARGS = dict(
-    sb_num_neighbors=15, fb_num_neighbors=0, num_freqs=257, look_ahead=2,
-    sequence_model="LSTM", fb_output_activate_function="ReLU",
-    sb_output_activate_function=False, fb_model_hidden_size=512,
-    sb_model_hidden_size=384, norm_type="offline_laplace_norm",
-    num_groups_in_drop_band=2,
-)
-FAST_ARGS = dict(
-    look_ahead=2, shrink_size=2, sequence_model="LSTM", num_mels=64,
-    encoder_input_size=257, bottleneck_hidden_size=384,
-    bottleneck_num_layers=2, noisy_input_num_neighbors=5,
-    encoder_output_num_neighbors=0, norm_type="offline_laplace_norm",
-)
-IMPROVED_ARGS = dict(
-    n_fft=512, hop_length=128, win_length=512, fdrc=0.5, num_freqs=257,
-    freq_cutoffs=[20, 80], sb_num_center_freqs=[1, 4, 8],
-    sb_num_neighbor_freqs=[15, 15, 15], fb_num_center_freqs=[1, 4, 8],
-    fb_num_neighbor_freqs=[15, 15, 15], fb_hidden_size=512,
-    sb_hidden_size=384, sequence_model="LSTM",
-    fb_output_activate_function=False, sb_output_activate_function=False,
-)
+from tools.recipe_blocks import model_args as _recipe_args  # noqa: E402
+
+# shipped-recipe ctor kwargs — single source: tools/recipe_blocks.py
+FULLSUBNET_ARGS = _recipe_args("fullsubnet")
+FAST_ARGS = _recipe_args("fast_fullsubnet")
+IMPROVED_ARGS = _recipe_args("improved_fullsubnet")
 
 
 def _read_dir(d: pathlib.Path) -> dict[str, np.ndarray]:

@@ -171,78 +171,17 @@ def _clean_list_for(data: Path, steps_per_epoch: int, batch: int) -> Path:
 
 
 # ---------------------------------------------------------------------------
-# family recipes: model blocks mirror the SHIPPED recipe TOMLs, which are
-# exactly what tools/parity_gate.py's builders construct
+# family recipes: model blocks mirror the SHIPPED recipe TOMLs (single
+# source: tools/recipe_blocks.py), which are exactly what
+# tools/parity_gate.py's builders construct with
 # ---------------------------------------------------------------------------
 
-_FLAGSHIP_MODEL = """
-[model]
-path = "fullsubnet.model.Model"
-[model.args]
-sb_num_neighbors = 15
-fb_num_neighbors = 0
-num_freqs = 257
-look_ahead = 2
-sequence_model = "LSTM"
-fb_output_activate_function = "ReLU"
-sb_output_activate_function = false
-fb_model_hidden_size = 512
-sb_model_hidden_size = 384
-weight_init = false
-norm_type = "{norm_type}"
-num_groups_in_drop_band = 2
-"""
-
-_FULLBAND_MODEL = """
-[model]
-path = "fullband_baseline.model.Model"
-[model.args]
-num_freqs = 257
-look_ahead = 2
-sequence_model = "LSTM"
-output_activate_function = false
-hidden_size = 512
-weight_init = false
-norm_type = "{norm_type}"
-"""
-
-_FAST_MODEL = """
-[model]
-path = "fast_fullsubnet.model.Model"
-[model.args]
-look_ahead = 2
-shrink_size = 2
-sequence_model = "LSTM"
-encoder_input_size = 257
-num_mels = 64
-bottleneck_hidden_size = 384
-bottleneck_num_layers = 2
-noisy_input_num_neighbors = 5
-encoder_output_num_neighbors = 0
-norm_type = "{norm_type}"
-"""
-
-_IMPROVED_MODEL = """
-[model]
-path = "improved_fullsubnet.model.Model"
-[model.args]
-n_fft = 512
-hop_length = 128
-win_length = 512
-fdrc = 0.5
-num_freqs = 257
-freq_cutoffs = [20, 80]
-sb_num_center_freqs = [1, 4, 8]
-sb_num_neighbor_freqs = [15, 15, 15]
-fb_num_center_freqs = [1, 4, 8]
-fb_num_neighbor_freqs = [15, 15, 15]
-fb_hidden_size = 512
-sb_hidden_size = 384
-sequence_model = "LSTM"
-fb_output_activate_function = false
-sb_output_activate_function = false
-norm_type = "{norm_type}"
-"""
+from tools.recipe_blocks import (  # noqa: E402
+    FAST_MODEL as _FAST_MODEL,
+    FLAGSHIP_MODEL as _FLAGSHIP_MODEL,
+    FULLBAND_MODEL as _FULLBAND_MODEL,
+    IMPROVED_MODEL as _IMPROVED_MODEL,
+)
 
 # name -> (gate family, norm_type, model block, loss, hop, is_flagship)
 FAMILY_RUNS = {
@@ -433,6 +372,12 @@ def audit_trajectory(exp_dir: Path, epochs: int, validation_interval: int) -> di
 
     score = dict(scalars.get("Validation/Score", []))
     checks["validation_present"] = bool(score)
+    # a validation at EVERY scheduled epoch — a TB writer or validation
+    # crash mid-run must not pass "every validation" checks over a
+    # silently truncated series (the soak does this; mirror it here)
+    expected_val = list(range(validation_interval, epochs + 1,
+                              validation_interval))
+    checks["validation_cadence_complete"] = sorted(score) == expected_val
     checks["best_beats_first"] = (
         bool(score) and max(score.values()) > score[min(score)]
     )
@@ -475,7 +420,18 @@ def run_gate(out_tar: Path, gate_family: str, norm_type: str, verdict_path: Path
     if not verdict_path.exists():
         return {"pass": False, "error": rc.stderr[-2000:], "rc": rc.returncode}
     verdict = json.loads(verdict_path.read_text())
-    verdict["backend"] = platform
+    # record what was REQUESTED next to what parity_gate says it RAN on
+    # (its own `backend` field) — if the tunnel was down and a "device"
+    # gate silently fell back to CPU, that must fail, not masquerade
+    verdict["requested_platform"] = platform
+    if platform == "device":
+        ran_on = str(verdict.get("backend", ""))
+        if "cpu" in ran_on.lower():
+            verdict["pass"] = False
+            verdict["error"] = (
+                f"requested an on-chip gate but parity_gate ran on "
+                f"backend={ran_on!r}"
+            )
     return verdict
 
 

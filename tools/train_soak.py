@@ -150,29 +150,11 @@ def provision(workdir: Path, args) -> Path:
             write_wav(cd / f"clean_fileid_{i}.wav",
                       (clean / peak * 0.9).astype(np.float32), sr)
 
+    from tools.recipe_blocks import model_block as _shared_block
+
     if args.family == "improved_fullsubnet":
         # shipped improved recipe (wave-to-wave, si_snr waveform loss)
-        model_block = """
-[model]
-path = "improved_fullsubnet.model.Model"
-[model.args]
-n_fft = 512
-hop_length = 128
-win_length = 512
-fdrc = 0.5
-num_freqs = 257
-freq_cutoffs = [20, 80]
-sb_num_center_freqs = [1, 4, 8]
-sb_num_neighbor_freqs = [15, 15, 15]
-fb_num_center_freqs = [1, 4, 8]
-fb_num_neighbor_freqs = [15, 15, 15]
-fb_hidden_size = 512
-sb_hidden_size = 384
-sequence_model = "LSTM"
-fb_output_activate_function = false
-sb_output_activate_function = false
-norm_type = "offline_laplace_norm"
-"""
+        model_block = _shared_block("improved_fullsubnet")
     elif args.tiny:
         model_block = """
 [model]
@@ -193,23 +175,7 @@ num_groups_in_drop_band = 2
 """
     else:
         # the shipped flagship config (recipes/.../fullsubnet/train.toml)
-        model_block = """
-[model]
-path = "fullsubnet.model.Model"
-[model.args]
-sb_num_neighbors = 15
-fb_num_neighbors = 0
-num_freqs = 257
-look_ahead = 2
-sequence_model = "LSTM"
-fb_output_activate_function = "ReLU"
-sb_output_activate_function = false
-fb_model_hidden_size = 512
-sb_model_hidden_size = 384
-weight_init = false
-norm_type = "offline_laplace_norm"
-num_groups_in_drop_band = 2
-"""
+        model_block = _shared_block("fullsubnet")
 
     toml = f"""# generated by tools/train_soak.py — flagship soak recipe
 [meta]
