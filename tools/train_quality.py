@@ -48,6 +48,26 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
+# The PARENT process only reads TensorBoard, restores Orbax checkpoints on
+# the host, and exports torch tars — it must NEVER grab the device tunnel
+# (minutes of init, and export needs no device). Capture the launch env for
+# the children (training / on-chip gate subprocesses get the real backend
+# back), then pin the parent to CPU before anything imports jax.
+_CHILD_ENV_KEYS = ("JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")
+_LAUNCH_ENV = {k: os.environ.get(k) for k in _CHILD_ENV_KEYS}
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+
+
+def _device_child_env(env: dict) -> dict:
+    """Undo the parent's CPU pin for a subprocess meant to see the device."""
+    for k in _CHILD_ENV_KEYS:
+        if _LAUNCH_ENV[k] is None:
+            env.pop(k, None)
+        else:
+            env[k] = _LAUNCH_ENV[k]
+    return env
+
 
 # ---------------------------------------------------------------------------
 # corpus: richer than the soak's (diversity -> the trained model must
@@ -285,6 +305,8 @@ def run_training(toml_path: Path, workdir: Path, run_name: str, args) -> dict:
     if args.platform:
         env["JAX_PLATFORMS"] = args.platform
         env["PALLAS_AXON_POOL_IPS"] = ""
+    else:
+        _device_child_env(env)
     t0 = time.time()
     restarts = 0
     resume = (workdir / "exp" / run_name / "checkpoints" / "latest").exists()
@@ -414,6 +436,8 @@ def run_gate(out_tar: Path, gate_family: str, norm_type: str, verdict_path: Path
     if platform == "cpu":
         env["JAX_PLATFORMS"] = "cpu"
         env["PALLAS_AXON_POOL_IPS"] = ""
+    else:
+        _device_child_env(env)
     cmd = [
         sys.executable, str(REPO_ROOT / "tools" / "parity_gate.py"),
         "-C", str(out_tar), "--model", gate_family, "--norm-type", norm_type,
